@@ -1,0 +1,209 @@
+"""Scalar function surface (SURVEY.md §2.8) — one showcase query per
+family. Everything here is a built-in Catalyst expression (JVM-side,
+whole-stage codegen) — the fast path the engine keeps UDFs off of.
+
+Cross-engine notes baked into the oracles:
+- Spark ``length``/``year``/``floor`` return INT/LONG while DuckDB
+  returns BIGINT/DOUBLE — explicit CASTs align dtypes.
+- transcendentals (ln/exp/pow) are not bit-identical across libm
+  implementations → (floor((…) * 1000000.0 + 0.5) / 1000000.0) on both sides.
+- epoch seconds via integer ``unix_micros``/``epoch_us`` (float
+  epochs lose µs precision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+from ..rounding import dround
+
+_ORACLE_FN_STRING = """
+SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       upper(p_brand) AS brand_upper,
+       substring(p_type, 1, 5) AS type_prefix,
+       concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+       string_split(p_name, ' ')[1] AS first_word,
+       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+FROM part
+"""
+
+
+@register("fn_string", _ORACLE_FN_STRING, tags=("functions",))
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — string functions: case, substring, concat, split,
+    regex extract, length, padding."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("-", F.col("p_brand"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+_ORACLE_FN_DATE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(dayofmonth(o_orderdate) AS INT) AS order_day,
+       date_trunc('month', o_orderdate) AS order_month_start,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_epoch_start,
+       epoch_us(o_orderdate) AS order_us,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
+FROM orders
+"""
+
+
+@register("fn_date", _ORACLE_FN_DATE, tags=("functions",))
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — date/time functions over ``o_orderdate`` (timestamp[ms])."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.unix_micros(F.col("o_orderdate")).alias("order_us"),
+        # DATE-typed outputs canonicalize differently across pandas
+        # bridges → serialize as ISO string on both sides.
+        F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+    )
+
+
+_ORACLE_FN_MATH = """
+SELECT l_orderkey, l_linenumber,
+       (floor((l_extendedprice) * 10.0 + 0.5) / 10.0) AS price_r1,
+       CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct_floor,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       (floor((abs(l_quantity - 25.0)) * 1000000.0 + 0.5) / 1000000.0) AS qty_dev,
+       (floor((sqrt(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0) AS price_sqrt,
+       (floor((power(l_discount, 2)) * 10000000000.0 + 0.5) / 10000000000.0) AS disc_sq,
+       (floor((ln(l_extendedprice + 1)) * 1000000.0 + 0.5) / 1000000.0) AS price_ln,
+       (floor((exp(l_discount)) * 1000000.0 + 0.5) / 1000000.0) AS disc_exp,
+       CAST(l_quantity AS BIGINT) % 5 AS qty_mod5
+FROM lineitem
+"""
+
+
+@register("fn_math", _ORACLE_FN_MATH, tags=("functions",))
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — math functions: round/floor/ceil/abs/sqrt/pow/ln/exp/mod."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround("l_extendedprice", 1).alias("price_r1"),
+        F.floor(F.col("l_discount") * 100).alias("disc_pct_floor"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        dround(F.abs(F.col("l_quantity") - 25.0), 6).alias("qty_dev"),
+        dround(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        dround(F.pow("l_discount", F.lit(2)), 10).alias("disc_sq"),
+        dround(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        dround(F.exp("l_discount"), 6).alias("disc_exp"),
+        (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod5"),
+    )
+
+
+_ORACLE_FN_ARRAY = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       (floor((CAST(embedding[1] AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS first_val,
+       (floor((CAST(list_max(embedding) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS max_val,
+       (floor((list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0) AS norm_sq
+FROM embeddings
+"""
+
+
+@register("fn_array", _ORACLE_FN_ARRAY, tags=("functions", "array"))
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — array functions over the 64-dim ``embedding`` column:
+    size, element access, max, and a fold (squared L2 norm).
+
+    The fold (``aggregate``) is the same JVM-side expression the
+    similarity ops (L3) build dot products from — element order is
+    identical on both engines, so the double sums are bit-stable.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    norm_sq = F.expr(
+        "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), "
+        "cast(0 as double), (acc, x) -> acc + x)"
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        dround(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        dround(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        dround(norm_sq, 6).alias("norm_sq"),
+    )
+
+
+_ORACLE_FN_CONDITIONAL = """
+SELECT event_id,
+       COALESCE(json_extract_string(props, '$.missing_key'), 'absent') AS k_or_default,
+       NULLIF(event_type, 'view') AS non_view_type,
+       CASE WHEN value > 50 THEN 'big' WHEN value > 10 THEN 'mid' ELSE 'small' END AS value_band,
+       (json_extract_string(props, '$.k') IS NULL) AS k_missing
+FROM events
+"""
+
+
+@register("fn_conditional", _ORACLE_FN_CONDITIONAL, tags=("functions",))
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — null-handling / branching: coalesce, nullif, CASE, IS NULL."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return e.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object(F.col("props"), "$.missing_key"), F.lit("absent")
+        ).alias("k_or_default"),
+        F.nullif(F.col("event_type"), F.lit("view")).alias("non_view_type"),
+        F.when(F.col("value") > 50, "big")
+        .when(F.col("value") > 10, "mid")
+        .otherwise("small")
+        .alias("value_band"),
+        k.isNull().alias("k_missing"),
+    )
+
+
+_ORACLE_FN_JSON = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       (floor((AVG(value)) * 1000000.0 + 0.5) / 1000000.0) AS avg_value
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("fn_json", _ORACLE_FN_JSON, tags=("functions", "json"))
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — JSON extraction feeding an aggregation (bucket by the
+    extracted value)."""
+    e = load(spark, sf_dir, "events")
+    k_int = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.filter(k_int.isNotNull())
+        .groupBy((k_int % 5).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.avg("value"), 6).alias("avg_value"),
+        )
+    )

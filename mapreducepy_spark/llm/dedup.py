@@ -1,0 +1,283 @@
+"""Deduplication operators over ``documents`` (SURVEY.md §2.10 L1–L2
+plus SimHash and n-gram-Jaccard variants).
+
+Four tiers, cheapest-first — a real corpus pipeline runs them as a
+funnel (exact → near-candidate generation → verified similarity):
+
+1. ``dedup_exact``      — byte-identical texts (hash groupBy).
+2. ``dedup_near``       — MinHash + LSH banding candidate pairs.
+3. ``dedup_simhash``    — SimHash bucket clustering.
+4. ``dedup_ngram_jaccard`` — exact shingle-set Jaccard via an
+   inverted-index join (verifies candidates; never cartesian).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+from ..rounding import dround
+from . import DUCK_SHINGLES, SPARK_SHINGLES
+
+_ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", _ORACLE_DEDUP_EXACT, tags=("llm", "dedup"))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 — exact dedup: one keeper (min doc_id) per distinct text.
+
+    Scale: groupBy on the 128-bit digest, never the full text — the
+    shuffle carries 16-byte keys, not documents. Survivors join back
+    to the corpus by doc_id. (md5 here for oracle parity; xxhash64 +
+    a collision-check pass at production scale.)
+    """
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --- MinHash + LSH -------------------------------------------------
+# 8 portable hash functions h_i(s) = md5(s || '#i'); the min over a
+# doc's shingle set is a lexicographic min of hex strings (identical
+# in both engines). 8 minhashes → 4 bands of 2 → docs sharing any
+# band signature become candidate pairs.
+
+_N_HASHES = 8
+_BAND_SIZE = 2
+_N_BANDS = _N_HASHES // _BAND_SIZE
+
+
+def _duck_minhash_lsh() -> str:
+    mins = ",\n           ".join(
+        f"min(md5(shingle || '#{i}')) AS mh{i}" for i in range(_N_HASHES)
+    )
+    bands = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, mh{2 * b} || mh{2 * b + 1} AS sig FROM mh"
+        for b in range(_N_BANDS)
+    )
+    return f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS shingle
+    FROM documents
+),
+mh AS (
+    SELECT doc_id,
+           {mins}
+    FROM sh
+    GROUP BY doc_id
+),
+bands AS (
+{bands}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_near", _duck_minhash_lsh(), tags=("llm", "dedup", "lsh"))
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 — near-dup candidate pairs via MinHash + LSH banding.
+
+    Pipeline: shingle (3-word) → 8 minhashes → 4 band signatures →
+    bucket-join. With band size 2, docs with Jaccard j collide in a
+    band w.p. j²; any-of-4-bands gives the usual S-curve.
+
+    Scale: THE point of LSH — candidate generation is a groupBy on
+    band signature + within-bucket pairing, never an all-pairs join.
+    Bucket skew (boilerplate shingles) is the risk: cap bucket size /
+    drop top-DF shingles at production scale. Feed pairs to
+    ``dedup_ngram_jaccard`` to verify.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
+    ).distinct()
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    bands = None
+    for b in range(_N_BANDS):
+        part = mh.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("sig"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --- SimHash -------------------------------------------------------
+# 16-bit SimHash from the first 4 hex chars of md5(token): bit b of
+# the hash is the sign of Σ_tokens (2·bit_b(md5(token)) − 1).
+# Hex digit → int via instr('0123456789abcdef', ch) − 1 (portable).
+
+_N_BITS = 16
+
+
+def _bit_contrib(b: int) -> str:
+    """±1 contribution of md5(token)'s bit ``b`` (same SQL text is
+    valid in Spark SQL and DuckDB)."""
+    hex_pos = b // 4 + 1
+    shift = 2 ** (b % 4)
+    return (
+        f"(2 * (cast(floor((instr('0123456789abcdef', "
+        f"substring(md5(token), {hex_pos}, 1)) - 1) / {shift}) as int) % 2) - 1)"
+    )
+
+
+def _duck_simhash() -> str:
+    sums = ",\n           ".join(
+        f"SUM({_bit_contrib(b)}) AS s{b}" for b in range(_N_BITS)
+    )
+    hash_expr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_N_BITS)
+    )
+    return f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+sums AS (
+    SELECT doc_id,
+           {sums}
+    FROM toks
+    WHERE token <> ''
+    GROUP BY doc_id
+)
+SELECT CAST({hash_expr} AS BIGINT) AS simhash16,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM sums
+GROUP BY 1
+"""
+
+
+@register("dedup_simhash", _duck_simhash(), tags=("llm", "dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash clustering: 16-bit signature per doc; docs sharing a
+    signature are near-dup candidates (keeper = min doc_id).
+
+    Scale: one explode + one groupBy(doc_id) (16 integer sums ride
+    the same aggregate) + one groupBy(signature) — shuffle volume is
+    O(docs), not O(pairs). Production: 64-bit signature via xxhash64
+    + Hamming-distance banding (split into 4×16-bit sub-keys).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[F.sum(F.expr(_bit_contrib(b))).alias(f"s{b}") for b in range(_N_BITS)]
+    )
+    hash_col = None
+    for b in range(_N_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        hash_col = term if hash_col is None else hash_col + term
+    return (
+        sums.select("doc_id", hash_col.cast("bigint").alias("simhash16"))
+        .groupBy("simhash16")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+# --- exact n-gram Jaccard via inverted-index join ------------------
+
+_JACCARD_THRESHOLD = 0.5
+
+_ORACLE_DEDUP_JACCARD = f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS shingle
+    FROM documents
+),
+sizes AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       (floor((CAST(i.n_common AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - i.n_common)) * 1000000.0 + 0.5) / 1000000.0) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE)
+      / (sa.n_shingles + sb.n_shingles - i.n_common) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", _ORACLE_DEDUP_JACCARD, tags=("llm", "dedup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity ≥ 0.5 between document pairs.
+
+    The pair space is generated by an inverted-index self-join on the
+    shingle (only pairs sharing ≥1 shingle are ever materialized),
+    then |A∩B| via count and |A∪B| = |A|+|B|−|A∩B|.
+
+    Scale: shuffle on shingle; stop-shingle skew is bounded by
+    dropping shingles with document-frequency above a cap (the same
+    pairs surface via their rarer shingles). Used as the verifier
+    behind ``dedup_near``'s candidates.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", dround(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,220 @@
+"""Multimodal columns (SURVEY.md §2.10 L6).
+
+Two layers:
+
+1. ``multimodal_cols`` (registered, oracle-checked): text + vector +
+   metadata queried jointly — "multimodal" as schema discipline
+   (documents ⋈ embeddings on id), all built-in expressions.
+
+2. Binary-payload plumbing (NOT in the registry — the fixtures carry
+   no binary column): ``attach_payload`` / ``decode_images`` /
+   ``sample_frames`` model image/audio/video as opaque ``binary``
+   columns with typed metadata, processed via Arrow-batched
+   ``mapInPandas``. The decode step is a clearly-marked STUB (the
+   image/audio codecs aren't in this container — see
+   ``DeterministicFakeDecoder``); the Spark-side schema, batching,
+   and partitioning are real and unit-tested in
+   ``tests/test_multimodal.py``.
+
+Scale: binary payloads dominate row size — the plumbing keeps them
+out of shuffles (derive features, then drop/offload the payload
+before any wide operation; metadata travels, bytes don't).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..io import load
+from ..registry import register
+from ..rounding import dround
+
+if TYPE_CHECKING:  # pandas only crosses the wire inside mapInPandas
+    import pandas as pd
+
+_ORACLE_MULTIMODAL_COLS = """
+SELECT d.lang,
+       e.label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       (floor((AVG(CAST(d.n_chars AS DOUBLE))) * 10000.0 + 0.5) / 10000.0) AS avg_chars,
+       (floor((AVG(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) * 1000000.0 + 0.5) / 1000000.0)
+           AS avg_norm_sq
+FROM documents d
+JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY d.lang, e.label
+"""
+
+
+@register("multimodal_cols", _ORACLE_MULTIMODAL_COLS, tags=("llm", "multimodal"))
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 — joint query over text metadata + embedding vectors:
+    per (lang, label) document counts, mean length, mean squared
+    norm.
+
+    Scale: doc_id⇄vec_id equi-join (shuffle or broadcast per AQE);
+    the vector math is a codegen'd fold BEFORE the aggregate, so the
+    shuffle carries one double per row, not the 64-float vector.
+    """
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    norm_sq = F.expr(
+        "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), "
+        "cast(0 as double), (acc, x) -> acc + x)"
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select("lang", "label", F.col("n_chars").cast("double").alias("nc"), norm_sq.alias("nsq"))
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dround(F.avg("nc"), 4).alias("avg_chars"),
+            dround(F.avg("nsq"), 6).alias("avg_norm_sq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- #
+# Binary-payload plumbing (schema + mapInPandas pipeline, stub codec)
+# ---------------------------------------------------------------- #
+
+PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),  # opaque encoded bytes
+        StructField("media_meta", StringType(), True),  # JSON: codec, dims…
+    ]
+)
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("payload_bytes", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("feature", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+class DecoderUnavailable(NotImplementedError):
+    """Raised by the real decoder path: image/audio codecs are not
+    installed in this environment (Pillow/av/soundfile)."""
+
+
+class DeterministicFakeDecoder:
+    """Stand-in codec: derives (width, height, 4-dim feature) purely
+    from the payload bytes so tests are deterministic. Swap for a
+    Pillow/av decoder in production — the mapInPandas contract
+    (Arrow batch in → Arrow batch out) is unchanged."""
+
+    @staticmethod
+    def decode(payload: bytes) -> tuple[int, int, list[float]]:
+        if payload is None:
+            return (0, 0, [0.0, 0.0, 0.0, 0.0])
+        n = len(payload)
+        head = payload[:16]
+        checksum = float(sum(head)) if head else 0.0
+        return (
+            (n % 640) + 1,
+            (n % 480) + 1,
+            [float(n), checksum, float(payload[0]) if n else 0.0, float(n % 7)],
+        )
+
+
+def attach_payload(docs: DataFrame, modality: str = "image") -> DataFrame:
+    """Build a payload table from ``documents`` by treating the UTF-8
+    text bytes as the opaque payload (a deterministic fake for an
+    object-store fetch). Demonstrates the binary-column schema."""
+    return docs.select(
+        F.col("doc_id"),
+        F.lit(modality).alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.to_json(F.struct(F.lit("fake/raw").alias("codec"), F.col("n_chars"))).alias(
+            "media_meta"
+        ),
+    )
+
+
+def decode_images(payloads: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Decode / feature-extract over Arrow batches via ``mapInPandas``.
+
+    ``use_real_codec=True`` raises :class:`DecoderUnavailable` (the
+    honest stub); the fake decoder exercises the identical batch
+    path. Scale: batches stream through Python workers with Arrow —
+    payload bytes never hit a shuffle; output is fixed-width features.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # executor-side import
+
+        if use_real_codec:
+            raise DecoderUnavailable(
+                "real image decode requires Pillow/av, not installed here"
+            )
+        dec = DeterministicFakeDecoder.decode
+        for pdf in batches:
+            decoded = [dec(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "payload_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "feature": [d[2] for d in decoded],
+                }
+            )
+
+    return payloads.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def sample_frames(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: emit one row
+    per sampled offset (1→N explode via mapInPandas), payload chunk
+    included. Deterministic; real frame extraction would decode at
+    the sampled timestamps instead."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("offset", LongType(), False),
+            StructField("chunk", BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for idx, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    rows.append(
+                        (doc_id, idx, off, bytes(payload[off : off + 8]))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "offset", "chunk"]
+            )
+
+    return payloads.mapInPandas(run, out_schema)

@@ -1,0 +1,315 @@
+"""Text analysis operators over ``documents`` (SURVEY.md §2.10
+L4–L5 + quality scoring, language-ID, token counting, and
+fingerprinting for training-data pipelines).
+
+Everything is explode + groupBy + built-in string functions — the
+canonical MapReduce wordcount family, expressed so partial
+aggregation (the combiner) and codegen apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+from ..rounding import dround
+from . import DUCK_SHINGLES, SPARK_SHINGLES
+
+_ORACLE_TEXT_STATS = """
+SELECT w AS word,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents
+)
+WHERE w <> ''
+GROUP BY w
+"""
+
+
+@register("text_stats", _ORACLE_TEXT_STATS, tags=("llm", "text"))
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — wordcount (the canonical MapReduce job): occurrences and
+    document frequency per token.
+
+    Scale: explode + groupBy(word); map-side partial aggregation
+    collapses each partition to its local vocabulary before the
+    shuffle, so shuffle volume ≈ vocab × partitions, not tokens.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+_ORACLE_TEXT_TFIDF = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks WHERE word <> '' GROUP BY doc_id, word
+),
+df AS (
+    SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM toks WHERE word <> '' GROUP BY word
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.word, tf.tf,
+       (floor((tf.tf * ln(n.n_docs / df.df)) * 1000000.0 + 0.5) / 1000000.0) AS tfidf
+FROM tf
+JOIN df ON tf.word = df.word
+CROSS JOIN n
+"""
+
+
+@register("text_tfidf", _ORACLE_TEXT_TFIDF, tags=("llm", "text"))
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 — TF-IDF per (document, term): tf × ln(N/df).
+
+    Scale: two aggregations sharing the token explode + one join on
+    word. The document-frequency table is vocabulary-sized →
+    broadcast to the tf side (no shuffle of the big side). N is a
+    scalar cross join (1 row, broadcast-trivial).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            dround(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+# --- quality scoring ----------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_ORACLE_TEXT_QUALITY = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_types,
+           (floor((AVG(CAST(length(word) AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0) AS avg_token_len,
+           (floor((SUM(CASE WHEN word IN ({_SW_SQL}) THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0) AS stopword_ratio
+    FROM toks WHERE word <> ''
+    GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, d.n_chars, p.n_tokens, p.n_types, p.avg_token_len,
+       p.stopword_ratio,
+       (floor((CAST(p.n_types AS DOUBLE) / p.n_tokens) * 1000000.0 + 0.5) / 1000000.0) AS type_token_ratio
+FROM documents d
+JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+@register("text_quality", _ORACLE_TEXT_QUALITY, tags=("llm", "text", "quality"))
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, type count, mean
+    token length, stopword ratio, type-token ratio — the standard
+    cheap filters before expensive corpus processing.
+
+    Scale: one explode + one groupBy(doc_id) + join back to the
+    document row (doc_id equi-join, co-partitioned with the
+    aggregation output — AQE reuses the shuffle).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("word").alias("n_types"),
+        dround(F.avg(F.length("word").cast("double")), 6).alias("avg_token_len"),
+        dround(
+            F.sum(F.when(F.col("word").isin(*_STOPWORDS), 1.0).otherwise(0.0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("stopword_ratio"),
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(per_doc, "doc_id")
+        .withColumn(
+            "type_token_ratio",
+            dround(F.col("n_types").cast("double") / F.col("n_tokens"), 6),
+        )
+    )
+
+
+# --- language ID (keyword-overlap heuristic) -----------------------
+
+_LANG_KEYWORDS = {
+    "en": ("the", "and", "data", "query", "join"),
+    "es": ("el", "la", "de", "datos", "consulta"),
+    "de": ("der", "die", "und", "daten", "abfrage"),
+    "fr": ("le", "la", "et", "données", "requête"),
+    "zh": ("数据", "查询", "的", "表", "连接"),
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    kws = ", ".join(f"'{k}'" for k in _LANG_KEYWORDS[lang])
+    return f"SUM(CASE WHEN word IN ({kws}) THEN 1 ELSE 0 END)"
+
+
+def _duck_langid() -> str:
+    scores = ",\n           ".join(
+        f"{_lang_score_sql(lg)} AS sc_{lg}" for lg in sorted(_LANG_KEYWORDS)
+    )
+    best = "GREATEST(" + ", ".join(f"sc_{lg}" for lg in sorted(_LANG_KEYWORDS)) + ")"
+    # deterministic argmax: first lang (alphabetical) reaching the max;
+    # 'und' when no keyword hit at all.
+    case = " ".join(
+        f"WHEN sc_{lg} = best THEN '{lg}'" for lg in sorted(_LANG_KEYWORDS)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+scores AS (
+    SELECT doc_id,
+           {scores}
+    FROM toks WHERE word <> ''
+    GROUP BY doc_id
+),
+best AS (
+    SELECT *, {best} AS best
+    FROM scores
+),
+pred AS (
+    SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und' {case} END AS predicted_lang
+    FROM best
+)
+SELECT d.lang, p.predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d
+JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.predicted_lang
+"""
+
+
+@register("text_langid", _duck_langid(), tags=("llm", "text", "langid"))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (keyword-list overlap, deterministic
+    alphabetical tie-break, 'und' when nothing matches) reported as a
+    confusion matrix against the labeled ``lang`` column.
+
+    The fixtures' synthetic vocabulary rarely hits the keyword lists
+    — the operator's value here is the exactly-reproducible argmax
+    plumbing; production swaps the keyword score for a char-n-gram
+    profile score over the same explode/groupBy skeleton.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    langs = sorted(_LANG_KEYWORDS)
+    scores = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("word").isin(*_LANG_KEYWORDS[lg]), 1).otherwise(0)
+            ).alias(f"sc_{lg}")
+            for lg in langs
+        ]
+    )
+    best = F.greatest(*[F.col(f"sc_{lg}") for lg in langs])
+    pred_expr = F.when(best == 0, "und")
+    for lg in langs:
+        pred_expr = pred_expr.when(F.col(f"sc_{lg}") == best, lg)
+    pred = scores.select("doc_id", pred_expr.alias("predicted_lang"))
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --- token counting (BPE-ish regex) --------------------------------
+
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+_ORACLE_TEXT_TOKENS = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_regex_tokens,
+       CAST(ceil(CAST(n_chars AS DOUBLE) / 4) AS BIGINT) AS approx_bpe_tokens,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+FROM documents
+"""
+
+
+@register("text_tokens", _ORACLE_TEXT_TOKENS, tags=("llm", "text", "tokens"))
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, BPE-ish regex
+    lexer ([a-z]+ | digits | single other-char), and the chars/4
+    heuristic LLM budgeting uses.
+
+    Scale: pure narrow map (regexp per row, codegen'd) — no shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)"))
+        .cast("bigint")
+        .alias("n_regex_tokens"),
+        F.ceil(F.col("n_chars").cast("double") / 4).alias("approx_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
+# --- document fingerprinting --------------------------------------
+
+_ORACLE_TEXT_FINGERPRINT = f"""
+WITH sh AS (
+    SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle
+    FROM documents
+)
+SELECT doc_id,
+       substring(MIN(md5(shingle)), 1, 16) AS fingerprint
+FROM sh
+GROUP BY doc_id
+"""
+
+
+@register("text_fingerprint", _ORACLE_TEXT_FINGERPRINT, tags=("llm", "text"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum shingle hash (the 1-hash MinHash
+    — winnowing's degenerate case), truncated to 64 bits of hex.
+
+    Two docs sharing a fingerprint share their rarest-hashed shingle
+    — a cheap near-dup blocking key. Scale: explode + min-aggregate,
+    shuffle O(docs).
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle"))
+    return sh.groupBy("doc_id").agg(
+        F.substring(F.min(F.md5("shingle")), 1, 16).alias("fingerprint")
+    )

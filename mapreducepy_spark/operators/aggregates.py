@@ -1,0 +1,253 @@
+"""Aggregation (SURVEY.md §2.4).
+
+MapReduce origin: ``reducer(k, values)``; the combiner is Spark's
+built-in partial aggregation (``HashAggregateExec`` partial → final),
+so map-side combine needs no engine code. The inverted index (A7) is
+the canonical MapReduce example, re-expressed as explode + groupBy.
+
+Float discipline (FIXTURES.md): all money/quantity columns are
+doubles; aggregate results are ROUNDed identically on the Spark and
+oracle sides so partial-aggregation order cannot flip low bits of the
+value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+from ..rounding import dround
+
+_ORACLE_AGG_GROUP = """
+SELECT l_returnflag,
+       l_linestatus,
+       (floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty,
+       (floor((SUM(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS sum_base_price,
+       (floor((SUM(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0) AS sum_disc_price,
+       (floor((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0) AS sum_charge,
+       (floor((AVG(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS avg_qty,
+       (floor((AVG(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS avg_price,
+       (floor((AVG(l_discount)) * 1000000.0 + 0.5) / 1000000.0) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_group", _ORACLE_AGG_GROUP, tags=("agg", "flagship"))
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — the flagship: TPC-H-Q1-shaped pricing summary.
+
+    Scale: filter pushes to the scan; the groupBy key has tiny
+    cardinality (≤6 groups), so partial aggregation collapses each
+    input partition to ≤6 rows before the single cheap shuffle.
+    This plan is shuffle-volume-optimal at any scale factor.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            dround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            dround(F.sum(charge), 2).alias("sum_charge"),
+            dround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            dround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            dround(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_ORACLE_AGG_COUNT_DISTINCT = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_count_distinct", _ORACLE_AGG_COUNT_DISTINCT, tags=("agg",))
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — exact distinct count per group.
+
+    Scale: Catalyst expands this to a two-phase aggregate (distinct
+    expand → final), shuffling (priority, custkey) pairs — i.e. the
+    shuffle carries distinct pairs, not raw rows. For very hot keys,
+    A3's HLL sketch is the cheap alternative.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("agg_approx_distinct", None, tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — approximate distinct count (HyperLogLog++).
+
+    No oracle (approx ≠ exact) → driver records a rows-only check.
+
+    Scale: THE 100 TB cardinality operator — fixed-size sketch per
+    group merged map-side; shuffle volume is O(groups × sketch),
+    independent of row count.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_ORACLE_AGG_HAVING = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       (floor((SUM(o_totalprice)) * 100.0 + 0.5) / 100.0) AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12 AND SUM(o_totalprice) > 100000
+"""
+
+
+@register("agg_having", _ORACLE_AGG_HAVING, tags=("agg",))
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — post-aggregation filter (HAVING).
+
+    Scale: the HAVING predicate runs on aggregated rows (cheap); the
+    un-rounded SUM is used in the predicate exactly as SQL HAVING
+    does, rounding applies only to the output column.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_total"),
+        )
+        .filter((F.col("n_orders") >= 12) & (F.col("_total") > 100000))
+        .select(
+            "o_custkey",
+            "n_orders",
+            dround("_total", 2).alias("total_spent"),
+        )
+    )
+
+
+_ORACLE_AGG_ROLLUP = """
+SELECT l_returnflag,
+       l_linestatus,
+       (floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_rollup", _ORACLE_AGG_ROLLUP, tags=("agg",))
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — hierarchical totals (ROLLUP).
+
+    Scale: Spark plans this as an Expand (3 grouping sets) over the
+    scan; partial aggregation still applies per set.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_ORACLE_AGG_CUBE = """
+SELECT l_returnflag,
+       l_linestatus,
+       (floor((SUM(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_cube", _ORACLE_AGG_CUBE, tags=("agg",))
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — multi-dimensional totals (CUBE: all 4 grouping sets)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dround(F.sum("l_extendedprice"), 2).alias("sum_price")
+    )
+
+
+_ORACLE_AGG_STATS = """
+SELECT l_returnflag,
+       (floor((stddev_samp(l_quantity)) * 1000000.0 + 0.5) / 1000000.0) AS sd_qty,
+       (floor((var_samp(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS var_price,
+       (floor((corr(l_quantity, l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0) AS corr_qty_price,
+       (floor((quantile_cont(l_discount, 0.5)) * 1000000.0 + 0.5) / 1000000.0) AS median_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_stats", _ORACLE_AGG_STATS, tags=("agg", "stats"))
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — statistical aggregates (stddev/variance/corr/percentile).
+
+    ``percentile`` is the EXACT interpolating form (matches DuckDB's
+    ``quantile_cont``); at 100 TB you would switch to
+    ``percentile_approx`` (fixed-size sketch) — exact percentile
+    requires a sort of each group.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        dround(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+        dround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        dround(F.percentile("l_discount", 0.5), 6).alias("median_disc"),
+    )
+
+
+_ORACLE_AGG_COLLECT = """
+SELECT w AS word,
+       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents
+)
+WHERE w <> ''
+GROUP BY w
+"""
+
+
+@register("agg_collect", _ORACLE_AGG_COLLECT, tags=("agg", "collect"))
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — inverted index (word → sorted posting list), the canonical
+    MapReduce example.
+
+    Determinism: ``collect_set`` order is nondeterministic, so the
+    posting list is ``sort_array``-ed before serialization
+    (SURVEY.md §4.3 item 3). Output is a comma-joined string so the
+    oracle hash sees a stable scalar, not a nested array.
+
+    Scale: explode multiplies rows by tokens/doc; the groupBy
+    shuffles (word, doc_id) pairs after map-side distinct. Posting
+    lists for stop-word-like tokens are the skew risk — AQE skew
+    handling plus (at real scale) a doc-frequency cap before collect.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return words.groupBy("word").agg(
+        F.array_join(
+            F.transform(F.sort_array(F.collect_set("doc_id")), lambda x: x.cast("string")),
+            ",",
+        ).alias("doc_ids"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

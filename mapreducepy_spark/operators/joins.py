@@ -1,0 +1,262 @@
+"""Joins (SURVEY.md §2.3).
+
+MapReduce origin: reduce-side join (tag records by source, shuffle on
+key, pair in the reducer) → Spark shuffle join; map-side join
+(replicated small table) → ``broadcast()`` hint. Spark picks the
+strategy from size estimates; we hint explicitly where the dimension
+side is provably small (region/nation/customer dims), because at
+100 TB a mis-estimated sort-merge join on a broadcastable dim is the
+single biggest avoidable shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..io import load
+from ..registry import register
+from ..rounding import dround
+
+_ORACLE_JOIN_INNER = """
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@register("join_inner", _ORACLE_JOIN_INNER, tags=("join",))
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — equi inner join (orders ⋈ customer).
+
+    Scale: customer (filtered to one segment) is dimension-sized →
+    broadcast hash join: zero shuffle of the orders fact side. The
+    segment filter is applied BEFORE the broadcast so only the
+    matching slice ships to executors.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+_ORACLE_JOIN_LEFT = """
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       (floor((COALESCE(SUM(o.o_totalprice), 0)) * 100.0 + 0.5) / 100.0) AS total_spent
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+"""
+
+
+@register("join_left", _ORACLE_JOIN_LEFT, tags=("join",))
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — left outer join preserving customers with zero orders.
+
+    Scale: left side is the dim here; at 100 TB the orders side would
+    be pre-aggregated per custkey BEFORE the join (reduces join input
+    from #orders to #customers) — which is exactly how this is
+    written: aggregate-then-join would be the scale rewrite, but
+    Catalyst cannot do it automatically for outer joins, so we keep
+    join-then-aggregate at test scale and document the rewrite.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+_ORACLE_JOIN_MULTI = """
+SELECT n.n_name AS nation,
+       (floor((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0) AS revenue
+FROM customer c
+JOIN orders o    ON o.o_custkey = c.c_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register("join_multi", _ORACLE_JOIN_MULTI, tags=("join", "flagship"))
+def join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — TPC-H-Q5-shaped 6-table star join.
+
+    Scale: region/nation/supplier broadcast (tiny dims); the only
+    real shuffles are lineitem⋈orders and orders⋈customer on their
+    join keys. AQE reorders/demotes as runtime sizes dictate. Date
+    range pushes into the orders scan (partition pruning on a
+    date-partitioned lake).
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_ORACLE_JOIN_SEMI = """
+SELECT c.c_custkey, c.c_mktsegment
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+)
+"""
+
+
+@register("join_semi", _ORACLE_JOIN_SEMI, tags=("join",))
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4a — left-semi join (customers WITH a recent order).
+
+    Scale: semi join ships only the join key of the probe side and
+    short-circuits on first match — strictly cheaper than inner
+    join + distinct.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+_ORACLE_JOIN_ANTI = """
+SELECT c.c_custkey, c.c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+)
+"""
+
+
+@register("join_anti", _ORACLE_JOIN_ANTI, tags=("join",))
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4b — left-anti join (customers with NO orders)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+_ORACLE_JOIN_THETA_RANGE = """
+SELECT s.s_suppkey,
+       s.s_name,
+       CAST(COUNT(c.c_custkey) AS BIGINT) AS n_richer_customers
+FROM supplier s
+LEFT JOIN customer c
+  ON c.c_nationkey = s.s_nationkey AND c.c_acctbal > s.s_acctbal
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@register("join_theta_range", _ORACLE_JOIN_THETA_RANGE, tags=("join", "theta"))
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — non-equi (range) join: per supplier, customers in the same
+    nation with a larger account balance.
+
+    Scale: the equi component (nationkey) makes this a hash join with
+    the range predicate as a post-join filter — NOT a cartesian
+    product. A pure theta join (no equi key) degrades to
+    broadcast-nested-loop; always hunt for an equi/bucket component
+    first (same trick the similarity ops use).
+    """
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    return (
+        s.join(
+            c,
+            (c.c_nationkey == s.s_nationkey) & (c.c_acctbal > s.s_acctbal),
+            "left",
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("c_custkey").alias("n_richer_customers"))
+    )
+
+
+_ORACLE_JOIN_ASOF = """
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+FROM (
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
+           ) AS rn
+    FROM events e
+    LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+) t
+WHERE rn = 1
+"""
+
+
+@register("join_asof", _ORACLE_JOIN_ASOF, tags=("join", "asof"))
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — as-of join: for each event, the latest order of the same
+    user at-or-before the event time.
+
+    Spark has no native ASOF JOIN (SURVEY.md §4.3 item 2); the
+    library formulation is equi-join on the entity key + range
+    predicate + ``row_number() == 1`` with fully deterministic
+    tie-breaks (orderdate DESC, orderkey DESC).
+
+    Scale: the join shuffles on user_id — fine when per-key match
+    counts are bounded. For unbounded history, pre-reduce the right
+    side per (key, time-bucket) or use a sort-merge within
+    repartitionByRange(key, ts); the window dedup stays the same.
+    """
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    joined = e.join(
+        o,
+        (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+    )

@@ -1,0 +1,153 @@
+"""Time-window operators, batch formulations (SURVEY.md §2.9 T1–T3).
+
+These are the oracle-checkable batch twins of the Structured
+Streaming operators in ``streaming/`` — same logical semantics, so a
+pipeline developed in batch promotes to ``readStream`` unchanged
+(SURVEY.md §3.2: one algebra, two execution modes).
+
+Alignment note: Spark's ``window()`` buckets align to the Unix epoch;
+DuckDB's ``time_bucket`` to 2000-01-01 — both are multiples of the
+bucket widths used here, so bucket starts coincide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load
+from ..registry import register
+from ..rounding import dround
+
+_ORACLE_WIN_TUMBLING = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       (floor((SUM(value)) * 100.0 + 0.5) / 100.0) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("win_tumbling", _ORACLE_WIN_TUMBLING, tags=("temporal",))
+def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — 10-minute tumbling window count/sum per event type.
+
+    Scale: ``window()`` is a plain projection (bucket = floor(ts)) +
+    hash aggregate — partial agg collapses each partition to
+    #buckets×#types rows before the shuffle. Streaming twin:
+    ``streaming.windows.tumbling_counts``.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_ORACLE_WIN_SLIDING = """
+WITH assigned AS (
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start, value
+    FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS bucket_start, value
+    FROM events
+)
+SELECT bucket_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       (floor((SUM(value)) * 100.0 + 0.5) / 100.0) AS sum_value
+FROM assigned
+GROUP BY bucket_start
+"""
+
+
+@register("win_sliding", _ORACLE_WIN_SLIDING, tags=("temporal",))
+def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — sliding window (10 min length, 5 min slide).
+
+    Each event lands in exactly length/slide = 2 windows; Spark's
+    ``window()`` expands rows accordingly (the oracle mirrors this
+    with a 2-way UNION ALL of shifted 5-min buckets).
+
+    Scale: row expansion factor = length/slide — keep it small;
+    aggregate state is per-bucket, merged map-side.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
+    )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+_ORACLE_WIN_SESSION = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('microsecond', LAG(ts) OVER w, ts) > {_SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+    SELECT user_id, ts, value,
+           SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM flagged
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       (floor((SUM(value)) * 100.0 + 0.5) / 100.0) AS session_value
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+@register("win_session", _ORACLE_WIN_SESSION, tags=("temporal", "session"))
+def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — session windows (30-minute inactivity gap) per user,
+    batch formulation: gap-flag via lag, session id via running sum.
+
+    Streaming twin: ``session_window('ts', '30 minutes')`` in
+    ``streaming/windows.py`` — same session boundaries.
+
+    Scale: two windows + final aggregate, all partitioned by
+    user_id → one shuffle total (Spark reuses the partitioning
+    across the window and groupBy stages).
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(gap_us.isNull() | (gap_us > _SESSION_GAP_US), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dround(F.sum("value"), 2).alias("session_value"),
+    )

@@ -1,0 +1,146 @@
+"""Window functions (SURVEY.md §2.5).
+
+MapReduce origin: secondary sort (shuffle on partition key, sort
+values in the reducer). Spark's ``WindowExec`` does exactly that —
+one shuffle on ``partitionBy`` + in-partition sort — so every window
+below names explicit, total orderings (deterministic tie-breaks are a
+hash-parity requirement, SURVEY.md §4.3 item 3).
+
+Scale: windows partitioned by a real key (custkey/user_id)
+parallelize across executors. Beware windows with NO partitionBy —
+they serialize onto one task; none are used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load
+from ..registry import register
+from ..rounding import dround
+
+_ORACLE_WIN_RANK = """
+SELECT c_custkey, o_orderkey, o_totalprice, rnk, rn
+FROM (
+    SELECT o.o_custkey AS c_custkey, o.o_orderkey, o.o_totalprice,
+           RANK() OVER w AS rnk,
+           ROW_NUMBER() OVER w AS rn
+    FROM orders o
+    WINDOW w AS (PARTITION BY o.o_custkey ORDER BY o.o_totalprice DESC, o.o_orderkey ASC)
+) t
+WHERE rnk <= 3
+"""
+
+
+@register("win_rank", _ORACLE_WIN_RANK, tags=("window",))
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — rank / row_number per partition: top-3 orders by price
+    per customer."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+_ORACLE_WIN_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       (floor((SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )) * 100.0 + 0.5) / 100.0) AS running_spend,
+       (floor((AVG(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       )) * 10000.0 + 0.5) / 10000.0) AS moving_avg_3
+FROM orders
+"""
+
+
+@register("win_running", _ORACLE_WIN_RUNNING, tags=("window",))
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — running sum + 3-row moving average per customer.
+
+    Determinism: the frame order (orderdate, orderkey) is total, so
+    both engines add the same doubles in the same sequence —
+    bit-identical prefixes; ROUND is belt-and-braces.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        dround(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+        dround(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias(
+            "moving_avg_3"
+        ),
+    )
+
+
+_ORACLE_WIN_LEAD_LAG = """
+SELECT event_id, user_id, ts,
+       LAG(event_id) OVER w AS prev_event_id,
+       date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+@register("win_lead_lag", _ORACLE_WIN_LEAD_LAG, tags=("window",))
+def win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — lag/lead: time since the user's previous event.
+
+    The gap is computed in integer microseconds (``unix_micros``)
+    because the fixture ``ts`` is ns-precision parquet truncated to
+    µs by both engines — integer math sidesteps float epoch issues.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)).alias("gap_us"),
+    )
+
+
+_ORACLE_WIN_NTILE = """
+SELECT c_custkey, c_acctbal,
+       NTILE(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS wealth_quartile
+FROM customer
+"""
+
+
+@register("win_ntile", _ORACLE_WIN_NTILE, tags=("window",))
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — ntile quartiles over account balance.
+
+    Note: this window has no partitionBy, which serializes the sort
+    onto one task — acceptable for a per-entity scoring table that
+    fits one node; at 100 TB use ``percent_rank`` over range
+    partitions or bucketed quantiles (A6) instead.
+    """
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("wealth_quartile")
+    )

@@ -1,0 +1,35 @@
+"""Local mirror of the driver's t2 correctness gate: every registered
+query runs on Spark AND DuckDB at the test scale factor; results must
+match exactly after canonicalization (see ``parity_util``)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreducepy_spark.registry import load_catalog
+
+from .parity_util import assert_frames_match
+
+CATALOG = load_catalog()
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG))
+def test_parity(name, spark, oracle, sf_dir):
+    q = CATALOG[name]
+    sdf = q.builder(spark, sf_dir)
+    spark_pd = sdf.toPandas()
+    if q.oracle is None:
+        # rows-only check (approx ops) — must at least run and return rows
+        assert len(spark_pd) > 0, f"{name}: rows-only query returned no rows"
+        return
+    duck_pd = oracle.execute(q.oracle).fetchdf()
+    assert_frames_match(spark_pd, duck_pd, name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
