@@ -1,0 +1,129 @@
+"""Streaming window/stateful operators over the ``events`` schema.
+
+Every builder takes an events-shaped DataFrame (batch or streaming —
+the algebra is mode-agnostic; Spark plans stateful incremental
+execution when the input is a stream). Watermarks bound state: at
+100 TB/day the state store only retains windows newer than the
+watermark, so state size is O(active windows), not O(history).
+
+Tested in ``tests/test_streaming.py`` by replaying the parquet
+fixture through a file-source stream (``Trigger.AvailableNow``) into
+a memory sink and comparing against the batch twin on the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..rounding import dround
+
+
+def read_events_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an events parquet directory.
+
+    Schema is taken from a batch read of the same path (file sources
+    require an explicit schema). ``maxFilesPerTrigger`` simulates
+    arrival in micro-batches; the production source would be Kafka
+    with the same downstream algebra.
+    """
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(events_dir)
+    # same ns→µs rebuild as io.load (parquet TIMESTAMP(NANOS) arrives
+    # as long under spark.sql.legacy.parquet.nanosAsLong)
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """T4 — declare event-time + allowed lateness. Events older than
+    max(event time seen) − delay are dropped from stateful operators
+    downstream; this is what bounds state at scale."""
+    return events.withWatermark("ts", delay)
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``win_tumbling`` (identical aggregation)."""
+    return (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_sums(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``win_sliding`` (10 min window, 5 min slide)."""
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
+    )
+
+
+def session_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming session windows (native ``session_window`` operator —
+    the stateful twin of the batch lag/cumsum formulation in
+    ``operators/temporal.py::win_session``)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T5 — stateful exact dedup on event_id within the watermark
+    horizon. State = seen keys newer than the watermark; without the
+    watermark the state would grow unboundedly."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, spark: SparkSession):
+    """Drain a (bounded) stream into a memory sink and return the
+    results as a batch DataFrame. Output mode 'complete' for
+    aggregations keeps the test single-shot."""
+    mode = "complete" if stream_df.isStreaming and _has_aggregation(stream_df) else "append"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().logical().toString()
+    return "Aggregate" in plan

@@ -1,0 +1,89 @@
+"""Streaming twins produce the same results as their batch
+formulations when the whole fixture is replayed (SURVEY.md §5.2:
+streaming ops are tested via micro-batch unit tests, outside
+``queries()``)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from mapreducepy_spark.io import load
+from mapreducepy_spark.streaming import windows as sw
+
+from .parity_util import canon_frame
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory, sf_dir):
+    # file-source streams want a directory; stage the fixture file
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _batch_events(spark, sf_dir):
+    return load(spark, sf_dir, "events")
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_dir):
+    stream = sw.read_events_stream(spark, events_dir)
+    got = sw.run_available_now(
+        sw.tumbling_counts(sw.with_watermark(stream)), "t_tumbling", spark
+    ).toPandas()
+    want = sw.tumbling_counts(_batch_events(spark, sf_dir)).toPandas()
+    assert canon_frame(got) == canon_frame(want)
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, events_dir):
+    stream = sw.read_events_stream(spark, events_dir)
+    got = sw.run_available_now(
+        sw.sliding_sums(sw.with_watermark(stream)), "t_sliding", spark
+    ).toPandas()
+    want = sw.sliding_sums(_batch_events(spark, sf_dir)).toPandas()
+    assert canon_frame(got) == canon_frame(want)
+
+
+def test_session_stream_matches_batch(spark, sf_dir, events_dir):
+    stream = sw.read_events_stream(spark, events_dir)
+    got = sw.run_available_now(
+        sw.session_stats(sw.with_watermark(stream)), "t_session", spark
+    ).toPandas()
+    want = sw.session_stats(_batch_events(spark, sf_dir)).toPandas()
+    assert canon_frame(got) == canon_frame(want)
+
+
+def test_session_native_agrees_with_batch_lag_formulation(spark, sf_dir):
+    """The native session_window operator and the lag/cumsum batch
+    formulation (queries()['win_session']) must find the same
+    sessions: same count, same per-user totals."""
+    from mapreducepy_spark.operators.temporal import win_session
+
+    native = sw.session_stats(_batch_events(spark, sf_dir)).toPandas()
+    lag_based = win_session(spark, sf_dir).toPandas()
+    assert len(native) == len(lag_based)
+    a = native.groupby("user_id")["n_events"].sum().to_dict()
+    b = lag_based.groupby("user_id")["n_events"].sum().to_dict()
+    assert a == b
+
+
+def test_streaming_dedup_drops_replayed_batch(spark, events_dir, tmp_path):
+    """Replaying the same file twice within the watermark horizon
+    yields each event_id once."""
+    import shutil as _sh
+
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    _sh.copy(f"{events_dir}/part-000.parquet", d / "a.parquet")
+    _sh.copy(f"{events_dir}/part-000.parquet", d / "b.parquet")
+    stream = sw.read_events_stream(spark, str(d))
+    got = sw.run_available_now(sw.dedup_events(stream), "t_dedup", spark).toPandas()
+    n_unique = spark.read.parquet(str(d)).select("event_id").distinct().count()
+    assert len(got) == n_unique
+    assert got["event_id"].is_unique
+
+
+def test_watermark_present_in_plan(spark, events_dir):
+    stream = sw.with_watermark(sw.read_events_stream(spark, events_dir), "7 minutes")
+    assert "EventTimeWatermark" in stream._jdf.queryExecution().logical().toString()
