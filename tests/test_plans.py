@@ -1,0 +1,117 @@
+"""Physical-plan assertions: the scale properties the operators claim
+in their docstrings must actually appear in the executed plan
+(predicate pushdown, column pruning, broadcast joins, top-k
+heaps, map-side partial aggregation). These are the
+"would this survive 100×?" checks, kept as living tests so a
+refactor that silently degrades a plan fails CI."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from mapreducepy_spark.registry import load_catalog
+
+CATALOG = load_catalog()
+
+
+def plan_of(spark, name, sf_dir, mode="formatted") -> str:
+    df = CATALOG[name].builder(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_scan_project_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, "scan_project", sf_dir)
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
+    # column pruning: the scan must not read the unused timestamp col
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_orderdate" not in read_schema
+    assert "o_totalprice" in read_schema
+
+
+def test_filter_pred_pushes_range_predicates(spark, sf_dir):
+    plan = plan_of(spark, "filter_pred", sf_dir)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in plan
+    assert "In(l_returnflag" in plan
+
+
+def test_agg_group_has_partial_and_final_aggregation(spark, sf_dir):
+    plan = plan_of(spark, "agg_group", sf_dir)
+    assert "partial_sum" in plan  # map-side combine
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_join_inner_broadcasts_dimension(spark, sf_dir):
+    plan = plan_of(spark, "join_inner", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_join_multi_broadcasts_all_small_dims(spark, sf_dir):
+    plan = plan_of(spark, "join_multi", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_semi_anti_plan_shapes(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, "join_semi", sf_dir)
+    assert "LeftAnti" in plan_of(spark, "join_anti", sf_dir)
+
+
+def test_theta_join_is_hash_join_not_cartesian(spark, sf_dir):
+    """The equi component (nationkey) must carry the join; the range
+    predicate is a post-join condition."""
+    plan = plan_of(spark, "join_theta_range", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_sort_limit_uses_topk_not_global_sort(spark, sf_dir):
+    plan = plan_of(spark, "sort_limit", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    plan = plan_of(spark, "topk_per_group", sf_dir)
+    assert "WindowGroupLimit" in plan  # per-partition k-heap below shuffle
+
+
+def test_tfidf_broadcasts_vocabulary_side(spark, sf_dir):
+    plan = plan_of(spark, "text_tfidf", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ann_lsh_bucket_join_is_equi_not_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, "sim_ann_lsh", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
+    # codegen stages (`*(n)` markers) only appear once AQE finalizes;
+    # collect() (not a sink write, which gets its OWN execution)
+    # finalizes this DataFrame's plan
+    for name in ("agg_group", "filter_pred", "project_expr", "win_rank"):
+        df = CATALOG[name].builder(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in plan, f"{name}: no WholeStageCodegen stage in final plan"
+
+
+@pytest.mark.parametrize("name", ["scan_count", "agg_count_distinct"])
+def test_counts_prune_to_minimal_schema(spark, sf_dir, name):
+    plan = plan_of(spark, name, sf_dir)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # count(*) needs zero data columns; count-distinct two
+    assert "l_extendedprice" not in read_schema
+    assert "o_totalprice" not in read_schema
