@@ -1,0 +1,65 @@
+"""Sink/source round-trips (SURVEY.md §2.1 S3): what goes out comes
+back identical, and partitioned layouts actually prune."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from mapreducepy_spark.io import load
+from mapreducepy_spark.sources import formats as fmt
+
+from .parity_util import canon_frame
+
+
+def _roundtrip(spark, df, path, format_):
+    fmt.write_table(df, path, fmt=format_)
+    back = fmt.read_table(spark, path, fmt=format_, schema=df.schema)
+    assert canon_frame(back.toPandas()) == canon_frame(df.toPandas())
+
+
+def test_parquet_roundtrip(spark, sf_dir, tmp_path):
+    df = load(spark, sf_dir, "orders")
+    _roundtrip(spark, df, str(tmp_path / "o_parquet"), "parquet")
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    # CSV has no timestamp fidelity guarantee across writers: use the
+    # non-temporal columns (interchange format, not analytics)
+    df = load(spark, sf_dir, "customer")
+    _roundtrip(spark, df, str(tmp_path / "c_csv"), "csv")
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    df = load(spark, sf_dir, "nation")
+    _roundtrip(spark, df, str(tmp_path / "n_json"), "json")
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    df = load(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    fmt.write_table(df, path, partition_by=["order_year"])
+
+    back = fmt.read_table(spark, path).filter(F.col("order_year") == 1997)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    # partition filter must prune directories, not scan-and-filter
+    assert "PartitionFilters" in plan
+    assert "order_year" in [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    want = df.filter(F.col("order_year") == 1997).count()
+    assert back.count() == want
+
+
+def test_repartition_for_output_sizes_files(spark, sf_dir, tmp_path):
+    df = load(spark, sf_dir, "lineitem")
+    sized = fmt.repartition_for_output(df, target_file_bytes=64 * 1024, est_row_bytes=100)
+    path = tmp_path / "li_sized"
+    fmt.write_table(sized, str(path))
+    files = [p for p in path.glob("*.parquet")]
+    assert len(files) == sized.rdd.getNumPartitions()
