@@ -45,6 +45,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table, guaranteeing at least one partition per core.
+
+    CPU-heavy operators (shingling, hashing, explode) must never run
+    single-task just because the input arrived as one small file /
+    one parquet row-group. If the scan already splits wide — the
+    normal case at scale, where `maxPartitionBytes` gives thousands
+    of splits — this is a no-op; the round-robin repartition only
+    fires for narrow scans, where its shuffle is trivially cheap.
+    """
+    df = load(spark, sf_dir, name)
+    n_cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n_cores:
+        df = df.repartition(n_cores)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table (used by ``bench.py`` warm-up)."""
     return {name: load(spark, sf_dir, name) for name in TABLES}

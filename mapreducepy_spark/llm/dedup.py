@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load_spread
 from ..registry import register
 from ..rounding import dround
 from . import DUCK_SHINGLES, SPARK_SHINGLES
@@ -39,7 +39,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the corpus by doc_id. (md5 here for oracle parity; xxhash64 +
     a collision-check pass at production scale.)
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return docs.groupBy(F.md5("text").alias("text_hash")).agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
@@ -110,7 +110,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop top-DF shingles at production scale. Feed pairs to
     ``dedup_ngram_jaccard`` to verify.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     sh = (
         docs.select("doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle"))
         .select("doc_id", F.md5("shingle").alias("h"))
@@ -197,7 +197,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(docs), not O(pairs). Production: 64-bit signature via xxhash64
     + Hamming-distance banding (split into 4×16-bit sub-keys).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
@@ -262,7 +262,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs surface via their rarer shingles). Used as the verifier
     behind ``dedup_near``'s candidates.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
     ).distinct()

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load_spread
 from ..registry import register
 from ..rounding import dround
 from . import DUCK_SHINGLES, SPARK_SHINGLES
@@ -39,7 +39,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses each partition to its local vocabulary before the
     shuffle, so shuffle volume ≈ vocab × partitions, not tokens.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
@@ -80,7 +80,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast to the tf side (no shuffle of the big side). N is a
     scalar cross join (1 row, broadcast-trivial).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
@@ -139,7 +139,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     document row (doc_id equi-join, co-partitioned with the
     aggregation output — AQE reuses the shuffle).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
@@ -227,7 +227,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing; production swaps the keyword score for a char-n-gram
     profile score over the same explode/groupBy skeleton.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
@@ -274,7 +274,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pure narrow map (regexp per row, codegen'd) — no shuffle.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.size(F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)"))
@@ -308,7 +308,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a cheap near-dup blocking key. Scale: explode + min-aggregate,
     shuffle O(docs).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     sh = docs.select("doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle"))
     return sh.groupBy("doc_id").agg(
         F.substring(F.min(F.md5("shingle")), 1, 16).alias("fingerprint")
