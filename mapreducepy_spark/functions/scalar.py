@@ -207,3 +207,33 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.avg("value"), 6).alias("avg_value"),
         )
     )
+
+
+_ORACLE_FN_LEVENSHTEIN = """
+SELECT n.n_name,
+       r.r_name,
+       CAST(levenshtein(n.n_name, r.r_name) AS INT) AS edit_dist
+FROM nation n
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE levenshtein(n.n_name, r.r_name) <= 10
+"""
+
+
+@register("fn_levenshtein", _ORACLE_FN_LEVENSHTEIN, tags=("functions", "string"))
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance as a fuzzy-match predicate (the scalar behind
+    typo-tolerant entity matching; pairs with distance ≤ threshold).
+
+    Scale: levenshtein is O(len²) per pair — never run it on a
+    cartesian space. Here it rides an equi-join; the blocking-key
+    pattern (join on a cheap key, THEN edit-distance the survivors)
+    is the production shape.
+    """
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    dist = F.levenshtein("n_name", "r_name")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .filter(dist <= 10)
+        .select("n_name", "r_name", dist.cast("int").alias("edit_dist"))
+    )

@@ -183,6 +183,67 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_AGG_GROUPING_SETS = """
+SELECT l_returnflag,
+       l_linestatus,
+       (floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("agg_grouping_sets", _ORACLE_AGG_GROUPING_SETS, tags=("agg",))
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — explicit GROUPING SETS (per-flag, per-status, grand total
+    — the sets ROLLUP/CUBE can't express à la carte).
+
+    Scale: same Expand-based plan as rollup/cube — one scan, one
+    shuffle; each row is replicated once per set, partial aggregation
+    still applies before the exchange.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_ORACLE_AGG_PIVOT = """
+SELECT l_returnflag,
+       (floor((SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END)) * 100.0 + 0.5) / 100.0) AS qty_open,
+       (floor((SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END)) * 100.0 + 0.5) / 100.0) AS qty_fulfilled
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_pivot", _ORACLE_AGG_PIVOT, tags=("agg", "pivot"))
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide reshape: one column per pivoted l_linestatus value.
+
+    The pivot values are declared explicitly — at scale this skips
+    the extra distinct-collect job Spark otherwise runs to discover
+    them, and pins the output schema (a moving schema is operationally
+    worse than the job failing on an unexpected value).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            dround("O", 2).alias("qty_open"),
+            dround("F", 2).alias("qty_fulfilled"),
+        )
+    )
+
+
 _ORACLE_AGG_STATS = """
 SELECT l_returnflag,
        (floor((stddev_samp(l_quantity)) * 1000000.0 + 0.5) / 1000000.0) AS sd_qty,
