@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, load_spread
 from ..registry import register
 from ..rounding import dround
 
@@ -301,7 +301,7 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists for stop-word-like tokens are the skew risk — AQE skew
     handling plus (at real scale) a doc-frequency cap before collect.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     ).filter(F.col("word") != "")

@@ -108,11 +108,56 @@ def dedup_events(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, spark: SparkSession):
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """T5 — custom stateful operator via ``applyInPandasWithState``:
+    per-user running (count, value-total) carried across micro-batches
+    in the state store — the arbitrary-state escape hatch for logic
+    the built-in stateful operators can't express (rate limiting,
+    session enrichment, per-key models).
+
+    State is one (bigint, double) pair per user — O(users), not
+    O(events); with timeouts (``GroupStateTimeout.ProcessingTimeTimeout``)
+    idle keys expire, which is the state-bounding knob at 100 TB/day.
+    Each update emits the new running totals for the key ('update'
+    output mode).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        "user_id bigint, n_events bigint, total_value double",
+        "n_events bigint, total_value double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    spark: SparkSession,
+    output_mode: str | None = None,
+):
     """Drain a (bounded) stream into a memory sink and return the
     results as a batch DataFrame. Output mode 'complete' for
-    aggregations keeps the test single-shot."""
-    mode = "complete" if stream_df.isStreaming and _has_aggregation(stream_df) else "append"
+    aggregations keeps the test single-shot; pass ``output_mode``
+    explicitly for operators that mandate one (e.g. 'update' for
+    ``applyInPandasWithState`` in update mode)."""
+    if output_mode is not None:
+        mode = output_mode
+    else:
+        mode = "complete" if stream_df.isStreaming and _has_aggregation(stream_df) else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)

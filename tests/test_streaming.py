@@ -87,3 +87,44 @@ def test_streaming_dedup_drops_replayed_batch(spark, events_dir, tmp_path):
 def test_watermark_present_in_plan(spark, events_dir):
     stream = sw.with_watermark(sw.read_events_stream(spark, events_dir), "7 minutes")
     assert "EventTimeWatermark" in stream._jdf.queryExecution().logical().toString()
+
+
+def test_stateful_running_totals_across_batches(spark, sf_dir, events_dir, tmp_path):
+    """applyInPandasWithState carries per-user state across
+    micro-batches: replaying the fixture as TWO single-file triggers
+    must end at the same totals as one batch groupBy."""
+    import shutil as _sh
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "two_batches"
+    d.mkdir()
+    src = f"{events_dir}/part-000.parquet"
+    half_a = spark.read.parquet(src).filter(F.col("event_id") % 2 == 0)
+    half_b = spark.read.parquet(src).filter(F.col("event_id") % 2 == 1)
+    half_a.coalesce(1).write.parquet(str(d / "a"))
+    half_b.coalesce(1).write.parquet(str(d / "b"))
+    for i, sub in enumerate(("a", "b")):
+        for f in (d / sub).glob("*.parquet"):
+            _sh.move(str(f), d / f"{i}.parquet")
+        _sh.rmtree(d / sub)
+
+    stream = sw.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    got = sw.run_available_now(
+        sw.running_user_totals(stream), "t_stateful", spark, output_mode="update"
+    ).toPandas()
+    # 'update' mode emits one row per key per touching batch; the
+    # final state is the row with the max running count per user
+    final = got.loc[got.groupby("user_id")["n_events"].idxmax()]
+    want = (
+        _batch_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .toPandas()
+    )
+    merged = final.merge(want, on="user_id", suffixes=("_got", "_want"))
+    assert len(merged) == len(want) == len(final)
+    assert (merged["n_events_got"] == merged["n_events_want"]).all()
+    # pandas sums pairwise, Spark's fold is sequential — tolerance, not hash
+    assert (merged["total_value_got"] - merged["total_value_want"]).abs().max() < 1e-6
