@@ -1,0 +1,71 @@
+"""SQL-string entry point (SURVEY.md §3.2 #2).
+
+Every query in the catalog is defined twice by construction — as a
+DataFrame builder and as ANSI SQL (the DuckDB oracle). For the
+dialect-portable subset below, the SAME SQL text runs unchanged on
+``spark.sql``, so users get a pure-SQL interface with no second
+implementation to drift: `tests/test_sql.py` proves
+``spark.sql(oracle) == builder`` row-for-row.
+
+Queries outside ``PORTABLE`` use DuckDB-specific functions in their
+oracle (``list_sum``, ``unnest``, ``json_extract_string``,
+``quantile_cont``, …) or interval/window syntax that differs; their
+SQL form exists for the oracle check but is not a Spark entry point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .io import TABLES, load
+from .registry import load_catalog
+
+# Verified-portable: spark.sql(oracle) hash-matches the DataFrame
+# builder on the fixtures (list discovered empirically, enforced by
+# tests/test_sql.py — a dialect regression removes the name here).
+PORTABLE = (
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_group",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_rollup",
+    "dedup_exact",
+    "distinct_rows",
+    "filter_pred",
+    "fn_levenshtein",
+    "join_anti",
+    "join_asof",
+    "join_inner",
+    "join_left",
+    "join_multi",
+    "join_semi",
+    "join_theta_range",
+    "project_expr",
+    "scan_count",
+    "scan_project",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sort_limit",
+    "topk_per_group",
+    "win_ntile",
+    "win_rank",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every fixture table as a temp view, so arbitrary
+    ``spark.sql`` text (not just the catalog) can query them."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Run catalog query ``name`` through the SQL entry point."""
+    if name not in PORTABLE:
+        raise KeyError(
+            f"{name!r} is not dialect-portable; use the DataFrame builder"
+        )
+    register_views(spark, sf_dir)
+    return spark.sql(load_catalog()[name].oracle)

@@ -7,29 +7,23 @@ refactor that silently degrades a plan fails CI."""
 
 from __future__ import annotations
 
-import io
-from contextlib import redirect_stdout
-
 import pytest
 
+from mapreducepy_spark.plans import executed_plan, plan_text, read_schema_line
 from mapreducepy_spark.registry import load_catalog
 
 CATALOG = load_catalog()
 
 
 def plan_of(spark, name, sf_dir, mode="formatted") -> str:
-    df = CATALOG[name].builder(spark, sf_dir)
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
+    return plan_text(CATALOG[name].builder(spark, sf_dir), mode)
 
 
 def test_scan_project_pushes_filter_and_prunes_columns(spark, sf_dir):
     plan = plan_of(spark, "scan_project", sf_dir)
     assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
     # column pruning: the scan must not read the unused timestamp col
-    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    read_schema = read_schema_line(CATALOG["scan_project"].builder(spark, sf_dir))
     assert "o_orderdate" not in read_schema
     assert "o_totalprice" in read_schema
 
@@ -104,14 +98,37 @@ def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
     for name in ("agg_group", "filter_pred", "project_expr", "win_rank"):
         df = CATALOG[name].builder(spark, sf_dir)
         df.collect()
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = executed_plan(df)
         assert "*(" in plan, f"{name}: no WholeStageCodegen stage in final plan"
 
 
 @pytest.mark.parametrize("name", ["scan_count", "agg_count_distinct"])
 def test_counts_prune_to_minimal_schema(spark, sf_dir, name):
-    plan = plan_of(spark, name, sf_dir)
-    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    read_schema = read_schema_line(CATALOG[name].builder(spark, sf_dir))
     # count(*) needs zero data columns; count-distinct two
     assert "l_extendedprice" not in read_schema
     assert "o_totalprice" not in read_schema
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """salted_join must be a pure plan rewrite: identical rows to the
+    unsalted join, salt column never escapes, and the small side is
+    exploded (replicated) rather than the join degrading to a
+    cartesian product."""
+    from pyspark.sql import functions as F
+
+    from mapreducepy_spark.io import load
+    from mapreducepy_spark.plans import plan_text, salted_join
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    salted = salted_join(o, c, o.o_custkey == c.c_custkey, n_salts=8)
+    plain = o.join(c, o.o_custkey == c.c_custkey)
+    assert salted.columns == plain.columns
+    assert salted.count() == plain.count()
+    a = salted.agg(F.sum("o_totalprice"), F.sum("c_acctbal")).collect()[0]
+    b = plain.agg(F.sum("o_totalprice"), F.sum("c_acctbal")).collect()[0]
+    assert a == b
+    plan = plan_text(salted)
+    assert "Generate" in plan and "explode" in plan  # small side replicated per salt
+    assert "CartesianProduct" not in plan

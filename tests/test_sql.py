@@ -1,0 +1,26 @@
+"""SQL entry point: for every dialect-portable query, the oracle SQL
+text run through ``spark.sql`` must equal the DataFrame builder —
+one semantic definition, two APIs, zero drift."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreducepy_spark import sql as engine_sql
+from mapreducepy_spark.registry import load_catalog
+
+from .parity_util import canon_frame
+
+CATALOG = load_catalog()
+
+
+@pytest.mark.parametrize("name", engine_sql.PORTABLE)
+def test_sql_twin_matches_dataframe_builder(name, spark, sf_dir):
+    got = engine_sql.run_sql(spark, sf_dir, name).toPandas()
+    want = CATALOG[name].builder(spark, sf_dir).toPandas()
+    assert canon_frame(got) == canon_frame(want), name
+
+
+def test_non_portable_raises(spark, sf_dir):
+    with pytest.raises(KeyError):
+        engine_sql.run_sql(spark, sf_dir, "text_stats")
