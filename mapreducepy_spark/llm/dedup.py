@@ -176,6 +176,13 @@ GROUP BY doc_id
 
 _MAX_CC_ITERS = 25
 
+# Above this many candidate edges the union-find moves off the driver
+# into the distributed propagation loop. LSH banding shrinks the edge
+# list by orders of magnitude relative to the corpus (0.015% of the
+# pair space on the fixtures), so even a 100 TB corpus usually lands
+# under this; the distributed path exists for when it doesn't.
+_DRIVER_CC_MAX_EDGES = 2_000_000
+
 
 @register("dedup_clusters", _ORACLE_DEDUP_CLUSTERS, tags=("llm", "dedup", "graph"))
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,20 +191,63 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     step that turns PAIRS into dedup GROUPS (keep cluster_id, drop
     the rest).
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels; converges in
-    O(graph diameter) rounds (near-dup clusters are shallow — single
-    digits even at corpus scale). Convergence is detected by the
-    monotonically decreasing label sum, one scalar action per round.
-    At 1000-executor scale the same loop runs with the edge list
-    hash-partitioned by src — each round is one shuffle join — and
-    the large-star/small-star variant (fewer rounds, same algebra)
-    is the drop-in upgrade if diameters grow.
+    Hybrid execution. The candidate EDGE list is tiny relative to the
+    corpus (that is the whole point of LSH banding), so below
+    ``_DRIVER_CC_MAX_EDGES`` the components are solved with a
+    path-compressed union-find on the driver — one collect of the
+    edges, microseconds of CPU. Above it, distributed min-label
+    propagation takes over (``_cc_distributed``): converges in
+    O(graph diameter) rounds (near-dup clusters are shallow), one
+    shuffle join per round. Both paths produce the identical
+    fixpoint; a test pins them equal.
 
     Non-SQL-expressible in one shot, but DuckDB's recursive CTE
     computes the identical fixpoint, so this stays hash-checkable.
     """
-    pairs = _candidate_pairs(spark, sf_dir)
+    pairs = _candidate_pairs(spark, sf_dir).localCheckpoint()
+    if pairs.count() <= _DRIVER_CC_MAX_EDGES:
+        return _cc_driver(spark, pairs)
+    return _cc_distributed(spark, pairs)
+
+
+def _cc_driver(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Union-find with path compression + union-by-size; cluster_id =
+    min member, matching the propagation fixpoint exactly."""
+    import pandas as pd
+
+    pdf = pairs.toPandas()
+    parent: dict[int, int] = {}
+    size: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if size.get(ra, 1) < size.get(rb, 1):
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] = size.get(ra, 1) + size.get(rb, 1)
+    cluster_min: dict[int, int] = {}
+    for node in parent:
+        root = find(node)
+        cluster_min[root] = min(cluster_min.get(root, node), node)
+    out = pd.DataFrame(
+        {
+            "doc_id": list(parent),
+            "cluster_id": [cluster_min[find(n)] for n in parent],
+        }
+    )
+    return spark.createDataFrame(out, "doc_id bigint, cluster_id bigint")
+
+
+def _cc_distributed(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     # Iterative-algorithm hygiene: localCheckpoint truncates lineage,
     # so round N's plan never re-derives the whole LSH pipeline or
     # N−1 previous joins — without it, per-round planning + recompute

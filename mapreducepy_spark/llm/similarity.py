@@ -1,21 +1,23 @@
 """Similarity search over the ``embeddings`` table (SURVEY.md §2.10
 L3 + scale-path variants).
 
-Two execution strategies, chosen per operator:
+All three operators put the pairwise math in Arrow-batched numpy
+GEMM blocks (a Catalyst higher-order-function fold is interpreted
+per pair — measured 24 s for 4M pairs at sf0.1; the same math as a
+blocked matrix product is sub-second). What differs is how the pair
+space is partitioned:
 
-- **Catalyst fold** (``sim_ann_lsh``): JVM-side ``aggregate``/
-  ``zip_with`` over doubles in element order. Zero Python; the LSH
-  equi-join is the part that matters at scale there.
-- **Broadcast GEMM via mapInPandas** (``sim_knn``,
-  ``dedup_embedding``): the all-pairs kernels. A Catalyst
-  higher-order-function fold is interpreted per pair — measured 24 s
-  for 4M pairs at sf0.1 — while the same math as a numpy blocked
-  matrix product is sub-second. The corpus's unit matrix is
-  broadcast (small side, like a broadcast-hash join); each Arrow
-  batch of queries computes one GEMM block. At cluster scale this is
-  exactly the block-partitioned brute-force layout: queries
-  partitioned across executors, corpus replicated (or LSH-bucketed
-  first via ``sim_ann_lsh`` when the corpus itself is huge).
+- ``sim_knn`` / ``dedup_embedding`` — all-pairs: the corpus's unit
+  matrix is broadcast (small side, like a broadcast-hash join);
+  query rows partition across executors; each ``mapInPandas`` batch
+  computes one GEMM block. At cluster scale this is exactly the
+  block-partitioned brute-force layout; when the corpus itself
+  outgrows a broadcast, it is LSH-bucketed first (below) or chunked
+  with a partial-top-k merge.
+- ``sim_ann_lsh`` — bucketed: the JVM computes sign-LSH bucket keys,
+  ``groupBy(bucket).applyInPandas`` runs an exact GEMM per bucket —
+  Σ O(bucket²) work, never O(n²), and the only shuffle is on the
+  bucket key.
 
 **Bit-exactness discipline** (hash-parity critical): the GEMM
 accumulates dimension-by-dimension in index order —
@@ -33,31 +35,18 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..io import load
 from ..registry import register
-from ..rounding import dround
 
 # --- shared kernels ------------------------------------------------
+# (Catalyst-fold history, measured at sf0.1 on the 4M-pair kernel:
+# per-pair norm recompute 72 s; flat 64-term element_at sum 44 s —
+# codegen bails on the huge tree; zip_with+aggregate fold over
+# pre-normalized vectors 28 s; the numpy GEMM below, with identical
+# dimension-ordered accumulation, < 1 s.)
 
-# Spark: squared L2 norm of a float vector (double fold).
-_SPARK_NORM_SQ = (
-    "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), "
-    "cast(0 as double), (acc, x) -> acc + x)"
-)
-# Spark: scale to unit length (norm_sq is a prior column).
-_SPARK_UNIT = "transform(embedding, x -> cast(x as double) / sqrt(norm_sq))"
-# Spark: dot of two pre-normalized double vectors = cosine.
-# Measured alternatives at sf0.1 (4M-pair kernel): per-pair norm
-# recompute 72 s; flat 64-term element_at sum 44 s (codegen bails on
-# the huge tree); zip_with+aggregate fold over pre-normalized
-# vectors 28 s — the fold wins, keep it.
 _DIM = 64
-_SPARK_COS = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
-    "cast(0 as double), (acc, x) -> acc + x)"
-)
 
 # DuckDB mirrors, element-order sequential (bit-identical).
 _DUCK_NORM_SQ = (
@@ -120,20 +109,6 @@ def _query_side(spark: SparkSession, emb: DataFrame) -> DataFrame:
     file arrives as one partition; the GEMM should parallelize)."""
     return emb.repartition(spark.sparkContext.defaultParallelism)
 
-
-def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vec_id + unit-length double vector (one fold per vector).
-
-    Filters to dim == _DIM so the flat dot-product kernel is safe
-    (fixtures are uniformly 64-dim; a ragged production corpus would
-    drop mis-sized vectors here, loudly loggable).
-    """
-    emb = load(spark, sf_dir, "embeddings")
-    return (
-        emb.filter(F.size("embedding") == _DIM)
-        .withColumn("norm_sq", F.expr(_SPARK_NORM_SQ))
-        .select("vec_id", F.expr(_SPARK_UNIT).alias("unit"))
-    )
 
 
 _K = 3
@@ -262,52 +237,61 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbor: sign-LSH bucket, then exact
     top-1 cosine WITHIN the bucket only.
 
-    Scale: the equi-join on ``bucket`` turns O(n²) into
-    Σ O(bucket²) — a shuffle-partitioned hash join. Recall is tuned
-    by #planes (bucket granularity) and #independent tables (union
-    of probes); both embarrassingly parallel. This is the IVF-style
-    scale path for ``sim_knn``.
+    Scale: bucketing turns O(n²) into Σ O(bucket²). The bucket key is
+    computed JVM-side (sign bits of the first dims — for a unit
+    vector, sign(unit[i]) == sign(raw[i]), so no normalization pass
+    is needed to bucket); the within-bucket exact top-1 runs as one
+    ``applyInPandas`` GEMM per bucket group with the same
+    dimension-ordered accumulation as ``sim_knn`` (bit-identical to
+    the oracle). Recall is tuned by #planes (bucket granularity) and
+    #independent tables (union of probes); both embarrassingly
+    parallel. This is the IVF-style scale path for ``sim_knn``.
     """
-    normed = _normalized(spark, sf_dir)
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") == _DIM)
+        .select("vec_id", "embedding")
+    )
     bucket = None
     for i in range(_N_PLANES):
-        term = F.when(F.element_at("unit", i + 1) > 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
+        term = F.when(
+            F.element_at("embedding", i + 1).cast("double") > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
-    bucketed = normed.select("vec_id", "unit", bucket.cast("int").alias("bucket"))
-    a = bucketed.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("unit").alias("ua"),
-        F.col("bucket").alias("bucket"),
-    )
-    b = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("unit").alias("ub"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("bucket") == F.col("bucket_b"))
-        & (F.col("query_id") != F.col("neighbor_id")),
-    ).select(
-        "query_id",
-        "neighbor_id",
-        "bucket",
-        F.expr(_SPARK_COS.format(a="ua", b="ub")).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "bucket",
-            dround("cos_sim", 6).alias("cos_sim"),
+    bucketed = emb.withColumn("bucket", bucket.cast("int"))
+
+    def bucket_top1(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "bucket": pd.Series(dtype="int32"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        unit = _np_unit(np.stack(pdf["embedding"].to_list()).astype(np.float64))
+        sim = _np_cos(unit, unit)
+        np.fill_diagonal(sim, -np.inf)  # exclude self
+        out_n = np.empty(len(ids), np.int64)
+        out_c = np.empty(len(ids), np.float64)
+        for i in range(len(ids)):
+            order = np.lexsort((ids, -sim[i]))
+            j = order[0] if ids[order[0]] != ids[i] else order[1]
+            out_n[i] = ids[j]
+            out_c[i] = sim[i, j]
+        return pd.DataFrame(
+            {
+                "query_id": ids,
+                "neighbor_id": out_n,
+                "bucket": np.full(len(ids), pdf["bucket"].iloc[0], np.int32),
+                "cos_sim": _dround_np(out_c),
+            }
         )
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        bucket_top1, "query_id bigint, neighbor_id bigint, bucket int, cos_sim double"
     )
 
 

@@ -33,3 +33,16 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_cc_driver_and_distributed_agree(spark, sf_dir):
+    """The driver union-find fast path and the distributed min-label
+    propagation must produce the identical fixpoint."""
+    from mapreducepy_spark.llm import dedup as dd
+
+    pairs = dd._candidate_pairs(spark, sf_dir).localCheckpoint()
+    a = dd._cc_driver(spark, pairs).toPandas()
+    b = dd._cc_distributed(spark, pairs).toPandas()
+    from .parity_util import canon_frame
+
+    assert canon_frame(a) == canon_frame(b)
