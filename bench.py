@@ -31,10 +31,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     catalog = load_catalog()
 
-    # warm-up: touch the biggest table so JVM/IO startup isn't billed
+    # warm-up: touch the biggest table so JVM/IO startup isn't billed,
+    # and run one trivial Arrow batch so Python-worker startup isn't
+    # billed to the first pandas-UDF query
     from mapreducepy_spark.io import load
 
     load(spark, sf_dir, "lineitem").count()
+    spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in sorted(catalog):

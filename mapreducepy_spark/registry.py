@@ -47,6 +47,7 @@ _MODULES = (
     "mapreducepy_spark.operators.sorts",
     "mapreducepy_spark.operators.sets",
     "mapreducepy_spark.operators.temporal",
+    "mapreducepy_spark.operators.sampling",
     "mapreducepy_spark.functions.scalar",
     "mapreducepy_spark.llm.dedup",
     "mapreducepy_spark.llm.similarity",

@@ -46,3 +46,24 @@ def test_cc_driver_and_distributed_agree(spark, sf_dir):
     from .parity_util import canon_frame
 
     assert canon_frame(a) == canon_frame(b)
+
+
+def test_sampling_deterministic_per_seed(spark, sf_dir):
+    """Fixed seed ⇒ identical sample across runs; the stratified
+    sampler must respect per-stratum rate ordering."""
+    from mapreducepy_spark.operators.sampling import sample_fraction, sample_stratified
+
+    a = sample_fraction(spark, sf_dir).toPandas()
+    b = sample_fraction(spark, sf_dir).toPandas()
+    assert len(a) > 0
+    assert a.equals(b)
+    strat = sample_stratified(spark, sf_dir).toPandas().set_index("lang")["n_kept"]
+    from mapreducepy_spark.io import load
+
+    full = (
+        load(spark, sf_dir, "documents").groupBy("lang").count().toPandas()
+        .set_index("lang")["count"]
+    )
+    # en downsampled to ~30%, zh kept whole
+    assert strat["en"] < 0.6 * full["en"]
+    assert strat["zh"] == full["zh"]
