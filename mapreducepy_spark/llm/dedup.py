@@ -126,10 +126,12 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (doc_a < doc_b), shared by
     ``dedup_near`` and ``dedup_clusters``."""
     docs = load_spread(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle"))
-        .select("doc_id", F.md5("shingle").alias("h"))
-        .distinct()
+    # no .distinct() before the min-aggregation: min() is duplicate-
+    # insensitive, so deduplicating (doc_id, h) first would only add
+    # a full shuffle of the exploded shingle set for the same result
+    # (the oracle's DISTINCT is likewise semantically inert there)
+    sh = docs.select("doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")).select(
+        "doc_id", F.md5("shingle").alias("h")
     )
     mh = sh.groupBy("doc_id").agg(
         *[F.min(F.expr(_rot("h", i))).alias(f"mh{i}") for i in range(_N_HASHES)]
