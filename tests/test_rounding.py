@@ -1,0 +1,77 @@
+"""Property-based check of the hash-parity-critical rounding formula.
+
+The engine's entire oracle strategy rests on one claim: the sequence
+multiply → add 0.5 → floor → divide produces bit-identical doubles in
+Spark, DuckDB, Python, and numpy (all IEEE-754 double ops). Hypothesis
+hammers that claim across the value range the fixtures produce —
+money-like magnitudes, tiny fractions, negatives, huge sums — on all
+four implementations.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mapreducepy_spark.rounding import dround_sql
+
+
+def _py_dround(x: float, d: int) -> float:
+    s = float(10**d)
+    return math.floor(x * s + 0.5) / s
+
+
+# The determinism contract holds while |x|·10^d stays below 2^53
+# (rounding.py docstring): beyond it the scaled intermediate loses
+# integer exactness and engines may legitimately disagree in the last
+# ulp (hypothesis found x=900719925474.9999, d=4 — x·10^4 > 2^53 —
+# where DuckDB and Python differ). Fixture magnitudes are money-scale
+# (≤1e8) with d ≤ 6, far inside the bound; the strategy covers that
+# domain with margin.
+@given(
+    x=st.floats(min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False),
+    d=st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_python_numpy_duckdb_agree(x, d):
+    py = _py_dround(x, d)
+    np_v = float(np.floor(np.float64(x) * float(10**d) + 0.5) / float(10**d))
+    # literal cast mirrors reality: oracle expressions round DOUBLE
+    # columns (a bare literal would parse as DECIMAL in DuckDB)
+    duck = duckdb.sql(
+        f"SELECT {dround_sql(f'CAST({x!r} AS DOUBLE)', d)} AS v"
+    ).fetchone()[0]
+    assert py == np_v == duck, (x, d, py, np_v, duck)
+
+
+@pytest.mark.parametrize("d", [0, 2, 4, 6])
+def test_spark_column_matches_python(spark, d):
+    """One Spark pass over adversarial doubles (shortest-repr traps
+    like 48319.604999999996 included) must equal the Python formula
+    bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from mapreducepy_spark.rounding import dround
+
+    values = [
+        48319.604999999996,
+        0.1 + 0.2,
+        -2.675,
+        1e-7,
+        -1e-7,
+        123456789.987654321,
+        -0.5,
+        0.5,
+        2.5,
+        -2.5,
+        0.0,
+    ]
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    got = [r[0] for r in df.select(dround(F.col("x"), d)).collect()]
+    want = [_py_dround(v, d) for v in values]
+    assert got == want
