@@ -11,6 +11,7 @@ its pure-expression equivalent (``tests/test_udf.py``):
 | mapper with fan-out (1→N)| ``mapInPandas``            | ``explode_tokens`` |
 | reducer(k, values)       | ``applyInPandas``          | ``zscore_per_group`` |
 | UDAF                     | ``pandas_udf`` GROUPED_AGG | ``geometric_mean`` |
+| table function (SQL-side)| ``@udtf`` (Spark 4)        | ``NGramsUDTF`` |
 
 These are the SLOW PATH by design (SURVEY.md §4: ~10-100× slower
 than codegen'd expressions even with Arrow) — nothing in
@@ -101,3 +102,24 @@ def zscore_per_group(lineitem: DataFrame) -> DataFrame:
         .groupBy("l_returnflag")
         .applyInPandas(run, ZSCORE_SCHEMA)
     )
+
+
+try:  # Spark 4 Python UDTF (arrow-optimized when available)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ngram: string, pos: int")
+    class NGramsUDTF:
+        """Table-valued function (1 row → N rows with schema): word
+        n-grams + positions from a text column — the reference's
+        'mapper that emits many records' as a FIRST-CLASS relation
+        usable in SQL ``LATERAL`` joins. Expression alternative for
+        this particular job: ``posexplode(transform(...))`` — the
+        UDTF form is for emit-logic too dynamic for expressions."""
+
+        def eval(self, text: str, n: int):
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(len(toks) - n + 1):
+                yield (" ".join(toks[i : i + n]), i)
+
+except ImportError:  # pragma: no cover - pre-4.0 Spark
+    NGramsUDTF = None

@@ -61,3 +61,35 @@ def test_applyinpandas_reducer_zscores(spark, sf_dir):
     # z-scores: mean ≈ 0, sd ≈ 1 within every group
     assert (by_flag.mean().abs() < 1e-9).all()
     assert ((by_flag.std(ddof=1) - 1).abs() < 1e-9).all()
+
+
+def test_udtf_ngrams_lateral_join(spark, sf_dir):
+    """UDTF registered as a SQL table function; LATERAL join fans each
+    doc into its bigrams. Row counts must match the expression-side
+    formula max(0, n_tokens - 1) summed over docs."""
+    import pyspark.sql.functions as F
+
+    from mapreducepy_spark.io import load
+    from mapreducepy_spark.udf import NGramsUDTF
+
+    assert NGramsUDTF is not None
+    spark.udtf.register("ngrams", NGramsUDTF)
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_udtf")
+    got = spark.sql(
+        "SELECT d.doc_id, g.ngram, g.pos "
+        "FROM docs_udtf d, LATERAL ngrams(d.text, 2) g"
+    )
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    want = docs.select(
+        F.sum(F.greatest(n_tokens - 1, F.lit(0))).alias("n")
+    ).collect()[0]["n"]
+    assert got.count() == want
+    # spot-check one doc's first bigram is its first two tokens
+    row = docs.select("doc_id", "text").first()
+    first = [t for t in row["text"].split(" ") if t][:2]
+    got_first = got.filter(
+        (F.col("doc_id") == row["doc_id"]) & (F.col("pos") == 0)
+    ).collect()
+    if len(first) == 2:
+        assert got_first[0]["ngram"] == " ".join(first)
