@@ -151,3 +151,76 @@ def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         dround(F.sum("value"), 2).alias("session_value"),
     )
+
+
+_ORACLE_EVENTS_FUNNEL = """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t1
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    GROUP BY e.user_id
+)
+SELECT 1 AS stage_no, 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM p
+"""
+
+
+@register("events_funnel", _ORACLE_EVENTS_FUNNEL, tags=("temporal", "funnel"))
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users who viewed, then clicked AFTER
+    the first view, then purchased AFTER that click — the classic
+    product-analytics sequence match, as three staged min-aggregations
+    (no per-user event sorting, no UDF).
+
+    Scale: each stage is one filtered aggregation joined to the
+    previous stage's (user_id, min_ts) — the join key is the user,
+    every stage's output is ≤ one row per user, and each stage's
+    input is pre-filtered to ONE event type before the shuffle. An
+    N-stage funnel is N cheap hash joins, not a per-user sort of the
+    full event history (which at 100 TB would shuffle everything).
+    """
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.col("n_users"),
+        )
+
+    return (
+        stage(v, 1, "view")
+        .unionByName(stage(c, 2, "view>click"))
+        .unionByName(stage(p, 3, "view>click>purchase"))
+    )
