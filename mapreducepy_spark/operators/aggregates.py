@@ -312,3 +312,32 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doc_ids"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+_ORACLE_AGG_MINMAX_BY = """
+SELECT event_type,
+       CAST(arg_min(event_id, ts) AS BIGINT) AS first_event_id,
+       CAST(arg_max(event_id, ts) AS BIGINT) AS last_event_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_minmax_by", _ORACLE_AGG_MINMAX_BY, tags=("agg", "argmax"))
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregates: the id of each type's earliest and
+    latest event in ONE aggregation pass — no self-join back to the
+    table, no window sort (the two classic slower formulations).
+
+    Determinism note: ``ts`` is unique in the fixtures (verified at
+    every SF), so the argmax is well-defined; with a tie-prone value
+    column you must break ties explicitly (window + row_number)
+    because engines disagree on arbitrary-tie argmax.
+    """
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.min_by("event_id", "ts").alias("first_event_id"),
+        F.max_by("event_id", "ts").alias("last_event_id"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -260,3 +260,64 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
     )
+
+
+_RANGE_US = 2_000_000  # |Δts| ≤ 2 s, in microseconds
+
+_ORACLE_JOIN_RANGE_BINNED = f"""
+SELECT a.event_id AS event_a,
+       b.event_id AS event_b,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS delta_us
+FROM events a
+JOIN events b
+  ON a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {_RANGE_US}
+"""
+
+
+@register("join_range_binned", _ORACLE_JOIN_RANGE_BINNED, tags=("join", "range"))
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range self-join (no equi key): all event pairs within 2 s
+    of each other — executed as a BINNED equi-join, the standard
+    interval-join rewrite Spark has no native operator for.
+
+    Each row gets bin = ⌊t/Δ⌋; the probe side is exploded to
+    {bin−1, bin, bin+1}, the build side keeps its own bin, and the
+    join runs on bin equality with the exact |Δt| ≤ Δ predicate as a
+    post-filter. Every qualifying pair lands in exactly ONE (probe
+    replica, build) bin combination, so no dedup pass is needed.
+
+    Scale: a naive formulation is a broadcast-nested-loop over n²
+    pairs; the bin key turns it into a hash shuffle where each task
+    sees only ~3 bins' worth of rows. Cost is O(n·k) with k = bin
+    occupancy — tune Δ (or sub-bin) to bound k; skewed hot bins get
+    the same salting treatment as any hot hash key.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    bin_col = F.floor(F.col("us") / F.lit(_RANGE_US))
+    probe = e.select(
+        F.col("event_id").alias("event_a"),
+        F.col("us").alias("us_a"),
+        F.explode(
+            F.array(bin_col - 1, bin_col, bin_col + 1)
+        ).alias("bin"),
+    )
+    build = e.select(
+        F.col("event_id").alias("event_b"),
+        F.col("us").alias("us_b"),
+        bin_col.alias("bin"),
+    )
+    return (
+        probe.join(build, "bin")
+        .filter(
+            (F.col("event_a") < F.col("event_b"))
+            & (F.abs(F.col("us_b") - F.col("us_a")) <= _RANGE_US)
+        )
+        .select(
+            "event_a",
+            "event_b",
+            (F.col("us_b") - F.col("us_a")).alias("delta_us"),
+        )
+    )
