@@ -132,3 +132,12 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     plan = plan_text(salted)
     assert "Generate" in plan and "explode" in plan  # small side replicated per salt
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_binned_hash_join_not_nested_loop(spark, sf_dir):
+    """The pure-interval join must run on the bin equi-key (hash
+    join after an explode), never as BNL/cartesian over n² pairs."""
+    plan = plan_of(spark, "join_range_binned", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan and "explode" in plan  # probe-side bin fan-out
