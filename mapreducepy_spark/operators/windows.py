@@ -144,3 +144,31 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("wealth_quartile")
     )
+
+
+_ORACLE_WIN_DIST = """
+SELECT o_custkey, o_orderkey,
+       (floor((PERCENT_RANK() OVER w) * 1000000.0 + 0.5) / 1000000.0) AS pct_rank,
+       (floor((CUME_DIST() OVER w) * 1000000.0 + 0.5) / 1000000.0) AS cume,
+       NTILE(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
+@register("win_dist", _ORACLE_WIN_DIST, tags=("window",))
+def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W4 completion — distribution ranks (percent_rank,
+    cume_dist) alongside ntile, same one-shuffle window exec as
+    every other ``win_*`` (total order ⇒ deterministic)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        dround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        dround(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
