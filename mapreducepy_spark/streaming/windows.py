@@ -172,3 +172,39 @@ def run_available_now(
 def _has_aggregation(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().logical().toString()
     return "Aggregate" in plan
+
+
+def clicks_after_views(events: DataFrame, horizon: str = "10 minutes") -> DataFrame:
+    """Stream-stream interval join: each click joined to the same
+    user's views in the preceding ``horizon``. Both sides carry
+    watermarks, so the state store retains only events inside the
+    join horizon — the condition's time bound is what lets Spark
+    evict state (an unbounded stream-stream join would grow forever).
+
+    Batch twin: the same expression tree on a static frame (tested
+    equal in ``tests/test_streaming.py``).
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", horizon)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", horizon)
+    )
+    return clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") < F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select("c_user", "click_id", "click_ts", "view_id", "view_ts")

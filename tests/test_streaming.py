@@ -128,3 +128,16 @@ def test_stateful_running_totals_across_batches(spark, sf_dir, events_dir, tmp_p
     assert (merged["n_events_got"] == merged["n_events_want"]).all()
     # pandas sums pairwise, Spark's fold is sequential — tolerance, not hash
     assert (merged["total_value_got"] - merged["total_value_want"]).abs().max() < 1e-6
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
+    """Clicks⋈views within 10 minutes per user: the streaming
+    stream-stream join (stateful, watermark-evicted) must equal the
+    same join on the static frame."""
+    stream = sw.read_events_stream(spark, events_dir)
+    got = sw.run_available_now(
+        sw.clicks_after_views(stream), "t_ssjoin", spark
+    ).toPandas()
+    want = sw.clicks_after_views(_batch_events(spark, sf_dir)).toPandas()
+    assert len(got) > 0
+    assert canon_frame(got) == canon_frame(want)
