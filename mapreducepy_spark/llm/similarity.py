@@ -19,6 +19,14 @@ space is partitioned:
   Σ O(bucket²) work, never O(n²), and the only shuffle is on the
   bucket key.
 
+Distributed top-k-similarity background (PAPERS.md): partition-local
+candidate pruning before any global exchange is the common theme of
+REPOSE (ICDE 2021, local reference-point tries) and incremental
+top-k search (EDBT 2020) — here the prune is the sign-LSH bucket;
+swapping in learned/adaptive reference points (SIGMOD 2020,
+"Continuously Adaptive Similarity Search") changes only the bucket
+expression, not the join shape.
+
 **Bit-exactness discipline** (hash-parity critical): the GEMM
 accumulates dimension-by-dimension in index order —
 ``S += Q[:,d] ⊗ C[:,d]`` for d = 0..63 — so every double addition
