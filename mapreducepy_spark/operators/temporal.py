@@ -224,3 +224,59 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(c, 2, "view>click"))
         .unionByName(stage(p, 3, "view>click>purchase"))
     )
+
+
+_ORACLE_ROLLUP_MULTIRES = """
+SELECT res, bucket_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       (floor((SUM(value)) * 100.0 + 0.5) / 100.0) AS sum_value
+FROM (
+    SELECT 'minute' AS res, date_trunc('minute', ts) AS bucket_start, event_type, value FROM events
+    UNION ALL
+    SELECT 'hour', date_trunc('hour', ts), event_type, value FROM events
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts), event_type, value FROM events
+)
+GROUP BY res, bucket_start, event_type
+"""
+
+
+@register("rollup_multires", _ORACLE_ROLLUP_MULTIRES, tags=("temporal", "rollup"))
+def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute, hour, and
+    day aggregates of the event stream in ONE scan and ONE shuffle.
+
+    Each row is fanned out to its (resolution, truncated-bucket)
+    pairs with a single explode — not a UNION of three scans, which
+    would read and shuffle the table three times (the same
+    plan-subtree-recompute trap as LSH banding). Partial aggregation
+    still collapses each partition before the exchange, so shuffle
+    volume is O(buckets), not O(events × resolutions).
+
+    At 100 TB this is the continuous-aggregate maintenance job of a
+    timeseries store: run it per ingest window and MERGE into the
+    rollup table; query-time resolution picking is then a partition
+    filter on ``res``.
+    """
+    e = load(spark, sf_dir, "events")
+    fanout = F.array(
+        *[
+            F.struct(
+                F.lit(res).alias("res"),
+                F.date_trunc(res, F.col("ts")).alias("bucket_start"),
+            )
+            for res in ("minute", "hour", "day")
+        ]
+    )
+    return (
+        e.select("event_type", "value", F.explode(fanout).alias("rb"))
+        .groupBy(
+            F.col("rb.res").alias("res"),
+            F.col("rb.bucket_start").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -3,8 +3,11 @@
 from __future__ import annotations
 
 import pathlib
+import sys
 
-from mapreducepy_spark.registry import load_catalog
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from mapreducepy_spark.registry import load_catalog  # noqa: E402
 
 
 def main() -> None:
