@@ -321,3 +321,46 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("us_b") - F.col("us_a")).alias("delta_us"),
         )
     )
+
+
+_ORACLE_JOIN_FULL = """
+SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+       COALESCE(cn.n_customers, 0) AS n_customers,
+       COALESCE(sn.n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM customer GROUP BY c_nationkey) cn
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey) sn
+  ON cn.nationkey = sn.nationkey
+"""
+
+
+@register("join_full", _ORACLE_JOIN_FULL, tags=("join",))
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 completion — FULL OUTER join: the reconciliation shape
+    (every nation's customer and supplier counts, zero-filled on
+    whichever side is absent).
+
+    Scale: both inputs are pre-aggregated to one row per key before
+    the join, so the full-outer shuffle carries counts, not rows —
+    always aggregate-then-outer-join, never the reverse.
+    """
+    cn = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cn.join(sn, "nationkey", "full")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )

@@ -172,3 +172,39 @@ def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+_ORACLE_WIN_RANGE_FRAME = """
+SELECT event_id, user_id,
+       (floor((SUM(value) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+           RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+       )) * 100.0 + 0.5) / 100.0) AS trailing_10min_value
+FROM events
+"""
+
+
+@register("win_range_frame", _ORACLE_WIN_RANGE_FRAME, tags=("window", "range"))
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 completion — RANGE (value-based) frame: each event's
+    trailing-10-minute value sum per user. Unlike a ROWS frame the
+    bound is on the ORDER VALUE (µs epoch), so gaps and ties are
+    handled by time, not row position — and tie rows share a frame,
+    which keeps the result deterministic without a row tie-break.
+
+    Scale: same single-shuffle WindowExec as every window; the frame
+    just changes the in-partition scan bounds.
+    """
+    from ..io import load as _load
+
+    e = _load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts").asc())
+        .rangeBetween(-600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        dround(F.sum("value").over(w), 2).alias("trailing_10min_value"),
+    )
