@@ -384,3 +384,131 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _query_side(spark, emb).mapInPandas(
         near_pairs, "vec_a bigint, vec_b bigint, cos_sim double"
     )
+
+
+# --- IVF-style ANN -------------------------------------------------
+# Coarse quantizer = _N_CELLS centroids; every vector is assigned to
+# its nearest centroid, search happens within the cell (nprobe=1).
+# Centroid "training" is deterministic for oracle parity: the
+# _N_CELLS lowest-id vectors, unit-normalized. Production would run
+# a few Lloyd iterations (mapInPandas assign + groupBy mean per
+# round — same dataflow as dedup_clusters' loop) and probe several
+# cells; neither changes the join shape below.
+
+_N_CELLS = 16
+
+_ORACLE_SIM_ANN_IVF = f"""
+WITH {_DUCK_NORMED_CTE},
+cent AS (
+    SELECT unit AS cunit,
+           ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell
+    FROM normed
+    ORDER BY vec_id ASC
+    LIMIT {_N_CELLS}
+),
+assign AS (
+    SELECT n.vec_id, n.unit, c.cell,
+           ROW_NUMBER() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY {_DUCK_COS.format(a="n.unit", b="c.cunit")} DESC, c.cell ASC
+           ) AS rn
+    FROM normed n CROSS JOIN cent c
+),
+cells AS (
+    SELECT vec_id, unit, cell FROM assign WHERE rn = 1
+),
+pairs AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.cell AS cell,
+           {_DUCK_COS.format(a="a.unit", b="b.unit")} AS cos_sim
+    FROM cells a
+    JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cell, cos_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+           ) AS rn
+    FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(cell AS INT) AS cell,
+       (floor(cos_sim * 1000000.0 + 0.5) / 1000000.0) AS cos_sim
+FROM ranked
+WHERE rn = 1
+"""
+
+
+@register("sim_ann_ivf", _ORACLE_SIM_ANN_IVF, tags=("llm", "similarity", "ivf"))
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor: assign to the nearest
+    of {_N_CELLS} broadcast centroids (the coarse quantizer), then
+    exact top-1 within the cell — the trained-partitioning
+    counterpart to ``sim_ann_lsh``'s data-independent hashing.
+
+    Scale: the quantizer is tiny and broadcast (like any IVF/FAISS
+    deployment); assignment is a narrow map (GEMM vs 16 centroids,
+    no shuffle); the only shuffle is groupBy(cell) for the in-cell
+    search, Σ O(cell²) work. Recall tuning = more cells + probing
+    the top-p cells per query (union of p in-cell searches).
+    """
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") == _DIM)
+        .select("vec_id", "embedding")
+    )
+    cent_pdf = emb.orderBy(F.col("vec_id").asc()).limit(_N_CELLS).toPandas()
+    cent = _np_unit(np.stack(cent_pdf["embedding"].to_list()).astype(np.float64))
+    bc_cent = spark.sparkContext.broadcast(cent)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc_cent.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qu = _np_unit(np.stack(pdf["embedding"].to_list()).astype(np.float64))
+            sim = _np_cos(qu, c)
+            # argmax = first max ⇒ lowest cell id on ties (oracle order)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "embedding": pdf["embedding"],
+                    "cell": np.argmax(sim, axis=1).astype(np.int32),
+                }
+            )
+
+    assigned = _query_side(spark, emb).mapInPandas(
+        assign, "vec_id bigint, embedding array<float>, cell int"
+    )
+
+    def cell_top1(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "cell": pd.Series(dtype="int32"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        unit = _np_unit(np.stack(pdf["embedding"].to_list()).astype(np.float64))
+        sim = _np_cos(unit, unit)
+        np.fill_diagonal(sim, -np.inf)
+        out_n = np.empty(len(ids), np.int64)
+        out_c = np.empty(len(ids), np.float64)
+        for i in range(len(ids)):
+            order = np.lexsort((ids, -sim[i]))
+            j = order[0] if ids[order[0]] != ids[i] else order[1]
+            out_n[i] = ids[j]
+            out_c[i] = sim[i, j]
+        return pd.DataFrame(
+            {
+                "query_id": ids,
+                "neighbor_id": out_n,
+                "cell": np.full(len(ids), pdf["cell"].iloc[0], np.int32),
+                "cos_sim": _dround_np(out_c),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        cell_top1, "query_id bigint, neighbor_id bigint, cell int, cos_sim double"
+    )
