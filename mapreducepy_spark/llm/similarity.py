@@ -512,3 +512,62 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cell").applyInPandas(
         cell_top1, "query_id bigint, neighbor_id bigint, cell int, cos_sim double"
     )
+
+
+def kmeans_fit(
+    spark: SparkSession, emb: DataFrame, k: int = _N_CELLS, n_iters: int = 3
+) -> np.ndarray:
+    """Lloyd iterations for the IVF coarse quantizer (spherical
+    k-means: centroids re-unit-normalized each round, so assignment
+    stays a cosine GEMM).
+
+    Dataflow per round: broadcast centroids → narrow-map assignment
+    (GEMM vs k centroids, no shuffle) → one groupBy(cell) shuffle for
+    the per-cell mean → collect k×d to the driver. State on the
+    driver is k×d floats — the classic "small model, big data"
+    iteration; same shape at any corpus size.
+
+    Deterministic: init = lowest-id k vectors; argmax ties take the
+    lowest cell. Not oracle-checked (iterative training isn't a SQL
+    query) — `tests/test_parity.py::test_kmeans_objective_improves`
+    pins behavior instead.
+    """
+    pdf0 = emb.orderBy(F.col("vec_id").asc()).limit(k).toPandas()
+    cent = _np_unit(np.stack(pdf0["embedding"].to_list()).astype(np.float64))
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qu = _np_unit(
+                    np.stack(pdf["embedding"].to_list()).astype(np.float64)
+                )
+                cell = np.argmax(_np_cos(qu, c), axis=1).astype(np.int32)
+                out = pd.DataFrame(
+                    qu, columns=[f"d{i}" for i in range(qu.shape[1])]
+                )
+                out.insert(0, "cell", cell)
+                yield out
+
+        schema = "cell int, " + ", ".join(f"d{i} double" for i in range(_DIM))
+        sums = (
+            _query_side(spark, emb)
+            .mapInPandas(assign, schema)
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(f"d{i}").alias(f"d{i}") for i in range(_DIM)],
+            )
+            .toPandas()
+            .set_index("cell")
+            .sort_index()
+        )
+        new_cent = cent.copy()  # empty cells keep their old centroid
+        for cell, row in sums.iterrows():
+            mean = row[[f"d{i}" for i in range(_DIM)]].to_numpy(np.float64) / row["n"]
+            new_cent[int(cell)] = mean
+        cent = _np_unit(new_cent)
+    return cent

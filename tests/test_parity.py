@@ -67,3 +67,27 @@ def test_sampling_deterministic_per_seed(spark, sf_dir):
     # en downsampled to ~30%, zh kept whole
     assert strat["en"] < 0.6 * full["en"]
     assert strat["zh"] == full["zh"]
+
+
+def test_kmeans_objective_improves(spark, sf_dir):
+    """Lloyd iterations must not worsen the spherical k-means
+    objective (mean cosine of each vector to its centroid)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mapreducepy_spark.io import load
+    from mapreducepy_spark.llm.similarity import _np_cos, _np_unit, kmeans_fit
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf = emb.toPandas()
+    X = _np_unit(np.stack(pdf["embedding"].to_list()).astype(np.float64))
+
+    def objective(cent):
+        return float(np.mean(np.max(_np_cos(X, cent), axis=1)))
+
+    init = kmeans_fit(spark, emb, n_iters=0)
+    fitted = kmeans_fit(spark, emb, n_iters=3)
+    assert objective(fitted) >= objective(init)
+    # determinism: same call, same centroids
+    again = kmeans_fit(spark, emb, n_iters=3)
+    assert np.array_equal(fitted, again)
