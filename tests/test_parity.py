@@ -91,3 +91,38 @@ def test_kmeans_objective_improves(spark, sf_dir):
     # determinism: same call, same centroids
     again = kmeans_fit(spark, emb, n_iters=3)
     assert np.array_equal(fitted, again)
+
+
+def test_dedup_funnel_composes(spark, sf_dir):
+    """The dedup operators compose into the full pipeline: candidate
+    pairs → clusters → keeper selection by quality score. Every doc
+    in a cluster resolves to exactly one keeper, and keepers are
+    members of their own cluster."""
+    from pyspark.sql import functions as F
+
+    from mapreducepy_spark.llm.dedup import dedup_clusters
+    from mapreducepy_spark.llm.text import text_quality
+
+    clusters = dedup_clusters(spark, sf_dir)
+    quality = text_quality(spark, sf_dir).select("doc_id", "n_types")
+    keeper_w = clusters.join(quality, "doc_id")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_types").desc(), F.col("doc_id").asc()
+    )
+    keepers = (
+        keeper_w.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("keeper_id"))
+    )
+    resolved = clusters.join(keepers, "cluster_id")
+    n_docs = clusters.count()
+    assert resolved.count() == n_docs  # every doc got exactly one keeper
+    # keepers belong to the cluster they represent
+    k = keepers.join(
+        clusters,
+        (keepers.keeper_id == clusters.doc_id)
+        & (keepers.cluster_id == clusters.cluster_id),
+    )
+    assert k.count() == keepers.count()
