@@ -56,6 +56,11 @@ def get_spark(
         # with the UTC session timezone the values are identical and
         # the full timestamp function surface (unix_micros …) applies.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # dynamic partition overwrite: INSERT OVERWRITE / mode("overwrite")
+        # on a partitioned table replaces only the partitions present in
+        # the incoming data — the incremental-pipeline write pattern
+        # (static mode would wipe the whole table)
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

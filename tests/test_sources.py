@@ -63,3 +63,35 @@ def test_repartition_for_output_sizes_files(spark, sf_dir, tmp_path):
     fmt.write_table(sized, str(path))
     files = [p for p in path.glob("*.parquet")]
     assert len(files) == sized.rdd.getNumPartitions()
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(
+    spark, sf_dir, tmp_path
+):
+    """Incremental-pipeline write pattern: overwriting a partitioned
+    table with one partition's data must replace ONLY that partition
+    (dynamic partitionOverwriteMode), leaving the others intact."""
+    df = load(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_incremental")
+    fmt.write_table(df, path, partition_by=["order_year"])
+    before_other = (
+        fmt.read_table(spark, path).filter(F.col("order_year") != 1997).count()
+    )
+
+    # "re-ingest" 1997 with a modified value; other years must survive
+    repl = df.filter(F.col("order_year") == 1997).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 0 + 1.0
+    )
+    fmt.write_table(repl, path, partition_by=["order_year"])
+
+    back = fmt.read_table(spark, path)
+    assert back.filter(F.col("order_year") != 1997).count() == before_other
+    prices = (
+        back.filter(F.col("order_year") == 1997)
+        .select("o_totalprice")
+        .distinct()
+        .collect()
+    )
+    assert [r[0] for r in prices] == [1.0]
