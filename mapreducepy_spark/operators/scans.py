@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..registry import register
+from ..rounding import dround
 
 _ORACLE_SCAN_PROJECT = """
 SELECT o_orderkey, o_custkey, o_totalprice
@@ -82,3 +83,72 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("k_str").isNotNull())
     )
+
+
+_ORACLE_SCAN_PROFILE = """
+SELECT col, n_rows, n_nulls, n_distinct, min_val, max_val, avg_val
+FROM (
+    SELECT 'l_quantity' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val,
+           (floor((AVG(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS avg_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           MIN(l_extendedprice), MAX(l_extendedprice),
+           (floor((AVG(l_extendedprice)) * 10000.0 + 0.5) / 10000.0)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           MIN(l_discount), MAX(l_discount),
+           (floor((AVG(l_discount)) * 10000.0 + 0.5) / 10000.0)
+    FROM lineitem
+)
+"""
+
+
+@register("scan_profile", _ORACLE_SCAN_PROFILE, tags=("scan", "profile"))
+def scan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (rows / nulls / distincts / min / max / mean
+    per column) — the first job any ingestion pipeline runs on a new
+    dataset, and the statistics CBO-style optimizers feed on.
+
+    Scale: ALL columns profile in ONE aggregation over ONE scan (the
+    per-column stats ride the same HashAggregate); the per-column
+    rows are unpivoted from that single result — never one scan per
+    column. Exact distincts here for oracle parity; at 100 TB swap
+    in approx_count_distinct per column.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cols = ("l_quantity", "l_extendedprice", "l_discount")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            dround(F.avg(c), 4).alias(f"{c}__avg"),
+        ]
+    wide = li.agg(*aggs)
+    unpivoted = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+                F.col(f"{c}__avg").alias("avg_val"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(unpivoted).alias("p")).select("p.*")
