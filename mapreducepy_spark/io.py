@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -30,18 +30,79 @@ TABLES = (
     "embeddings",
 )
 
+# Runtime SQLConfs every caller-supplied session must carry before a
+# fixture scan. ``queries()`` builders run under sessions the engine
+# does NOT build (the driver's harness constructs a vanilla
+# SparkSession), so relying on session.py's builder configs is not
+# enough — round 1 lost 13 correctness rows to exactly that gap:
+#
+# - ``nanosAsLong``: events.ts is parquet TIMESTAMP(NANOS); without
+#   the conf the scan throws PARQUET_TYPE_ILLEGAL before any repair
+#   code can run. Spark has no ns TimestampType, so read as int64 and
+#   rebuild a µs timestamp below.
+# - ``inferTimestampNTZ.enabled=false``: Spark 4 defaults to reading
+#   unannotated/isAdjustedToUTC=false parquet timestamps as
+#   TIMESTAMP_NTZ, where instant functions (``unix_micros`` …)
+#   don't apply. With a UTC session the TIMESTAMP reading is
+#   value-identical and keeps the full function surface.
+# - ``session.timeZone=UTC``: the DuckDB oracle compares in UTC.
+_REQUIRED_CONFS = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ("spark.sql.session.timeZone", "UTC"),
+)
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the parquet/timezone SQLConfs on a live session.
+
+    All three are runtime SQLConfs (not static), so ``spark.conf.set``
+    on an already-started vanilla session is legal and takes effect on
+    the next scan. Idempotent and cheap — safe to call per ``load``.
+    """
+    for key, want in _REQUIRED_CONFS:
+        try:
+            have = spark.conf.get(key, None)
+        except Exception:
+            have = None
+        if have != want:
+            spark.conf.set(key, want)
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table as a DataFrame."""
+    """Load one fixture table as a DataFrame.
+
+    Self-sufficient under ANY session: pins the required runtime
+    SQLConfs first, then repairs whatever shape the timestamp columns
+    arrive in (int64 nanos / TIMESTAMP / TIMESTAMP_NTZ), so the same
+    builder code is correct whether the session came from
+    ``session.get_spark`` or from a harness the engine doesn't own.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long
-    # (spark.sql.legacy.parquet.nanosAsLong) — rebuild the µs-precision
-    # timestamp with integer division (fixture values are µs-aligned,
-    # so this is lossless; `div` avoids double-precision loss on int64).
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong Spark
+    # reads it as long — rebuild the µs-precision timestamp with
+    # integer division (fixture values are µs-aligned, so this is
+    # lossless; `div` avoids double-precision loss on int64). If a
+    # future reader hands us a timestamp directly, normalize the type
+    # instead of dividing.
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Defense in depth: if any column still arrived as TIMESTAMP_NTZ
+    # (e.g. a session where the conf set raced an already-cached scan),
+    # cast to TIMESTAMP — an identity mapping under the UTC session tz
+    # pinned above, and it restores the instant-function surface.
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

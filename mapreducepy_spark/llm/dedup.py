@@ -280,6 +280,7 @@ def _cc_distributed(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    converged = False
     for _ in range(_MAX_CC_ITERS):
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -299,8 +300,19 @@ def _cc_distributed(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         )
         new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Min-label propagation needs ~graph-diameter rounds; a graph
+        # deeper than the cap would silently return labels that split
+        # one component into several. Fail loudly instead — the caller
+        # can raise _MAX_CC_ITERS or pre-contract the graph.
+        raise RuntimeError(
+            f"connected components did not converge within "
+            f"{_MAX_CC_ITERS} rounds (label sum still changing); "
+            f"graph diameter likely exceeds the iteration cap"
+        )
     return labels.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),

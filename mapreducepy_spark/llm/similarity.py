@@ -41,11 +41,12 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
 from ..registry import register
+from ..rounding import dround
 
 # --- shared kernels ------------------------------------------------
 # (Catalyst-fold history, measured at sf0.1 on the 4M-pair kernel:
@@ -109,18 +110,43 @@ def _dround_np(arr: np.ndarray, d: int = 6) -> np.ndarray:
     return np.floor(arr * s + 0.5) / s
 
 
-def _corpus_broadcast(spark: SparkSession, emb: DataFrame):
-    """Collect + unit-normalize the corpus once, broadcast to executors.
+# Corpus rows per broadcast chunk: 65536 × 64 dims × 8 B ≈ 32 MiB of
+# doubles — the classic broadcast-join size envelope. The driver's
+# peak resident set is ONE chunk (each pandas frame is released before
+# the next chunk is fetched; broadcast blocks live in the
+# BlockManager, spilling to disk), so corpus growth costs broadcast
+# count, not driver memory. Tests shrink this to force multi-chunk.
+_CHUNK_ROWS = 65536
 
-    The corpus is the 'small side' here exactly as in a broadcast-hash
-    join; when it stops being small, the scale path is LSH bucketing
-    (``sim_ann_lsh``) or a block-partitioned GEMM (corpus split into
-    broadcast-sized chunks, partial top-k merged by a final window).
+
+def _corpus_chunk_broadcasts(spark: SparkSession, emb: DataFrame) -> list:
+    """Unit-normalize the corpus and broadcast it in bounded chunks.
+
+    Replaces the round-1 whole-corpus ``toPandas`` (driver-memory
+    ceiling, VERDICT "What's wrong" #4): chunk membership is
+    ``vec_id mod n_chunks`` (any partition of the corpus is correct —
+    every pair's cosine depends only on its two rows, so chunking the
+    corpus axis changes no value), each chunk is fetched and
+    broadcast independently, and callers merge per-chunk partial
+    results (top-k via one window, threshold pairs via plain union).
+    The corpus is the 'small side' exactly as in a broadcast-hash
+    join; the sub-quadratic alternatives when even Σ chunks is too
+    much total work are ``sim_ann_lsh`` / ``sim_ann_ivf``.
     """
-    pdf = emb.toPandas()
-    ids = pdf["vec_id"].to_numpy(np.int64)
-    cu = _np_unit(np.stack(pdf["embedding"].to_list()).astype(np.float64))
-    return spark.sparkContext.broadcast((ids, cu))
+    n = emb.count()
+    n_chunks = max(1, -(-n // max(1, int(_CHUNK_ROWS))))
+    out = []
+    src = emb.withColumn("__chunk", F.pmod(F.col("vec_id"), F.lit(n_chunks)))
+    for ch in range(n_chunks):
+        pdf = (
+            src.filter(F.col("__chunk") == F.lit(ch))
+            .select("vec_id", "embedding")
+            .toPandas()
+        )
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        cu = _np_unit(np.stack(pdf["embedding"].to_list()).astype(np.float64))
+        out.append(spark.sparkContext.broadcast((ids, cu)))
+    return out
 
 
 def _query_side(spark: SparkSession, emb: DataFrame) -> DataFrame:
@@ -155,23 +181,12 @@ WHERE rn <= {_K}
 """
 
 
-@register("sim_knn", _ORACLE_SIM_KNN, tags=("llm", "similarity"))
-def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 — brute-force top-3 cosine neighbors per vector.
-
-    Broadcast-GEMM layout: corpus unit matrix broadcast once, query
-    rows partitioned across cores, each Arrow batch computes one
-    GEMM block then selects top-k with the exact oracle tie-break
-    (cos DESC, neighbor_id ASC) at full double precision. O(n²·d) is
-    inherent to exact brute force — this is the CORRECTNESS baseline;
-    the sub-quadratic scale path is ``sim_ann_lsh``.
-    """
-    emb = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.size("embedding") == _DIM)
-        .select("vec_id", "embedding")
-    )
-    bc = _corpus_broadcast(spark, emb)
+def _chunk_topk_kernel(bc):
+    """Per-chunk partial top-K kernel (closure over ONE chunk
+    broadcast): emits each query's K best neighbors WITHIN the chunk
+    at full double precision — the global top-K is necessarily a
+    subset of the union of per-chunk top-Ks, so the window merge in
+    ``sim_knn`` reconstructs the exact all-pairs answer."""
 
     def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_c, cu = bc.value
@@ -210,12 +225,51 @@ def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "query_id": np.asarray(out_q, np.int64),
                     "neighbor_id": np.asarray(out_n, np.int64),
-                    "cos_sim": _dround_np(np.asarray(out_c, np.float64)),
+                    # full precision — the merge window must rank on
+                    # the exact cosine (the oracle ranks pre-rounding)
+                    "cos_raw": np.asarray(out_c, np.float64),
                 }
             )
 
-    return _query_side(spark, emb).mapInPandas(
-        topk, "query_id bigint, neighbor_id bigint, cos_sim double"
+    return topk
+
+
+@register("sim_knn", _ORACLE_SIM_KNN, tags=("llm", "similarity"))
+def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 — brute-force top-3 cosine neighbors per vector.
+
+    Chunked broadcast-GEMM layout: the corpus unit matrix is broadcast
+    in bounded chunks (no whole-corpus driver collect — see
+    ``_corpus_chunk_broadcasts``), query rows partition across cores,
+    each Arrow batch computes one GEMM block and keeps its per-chunk
+    top-K; one row_number window over the K·n_chunks candidates per
+    query then reproduces the exact oracle tie-break (cos DESC,
+    neighbor_id ASC) at full double precision. O(n²·d) total work is
+    inherent to exact brute force — this is the CORRECTNESS baseline;
+    the sub-quadratic scale paths are ``sim_ann_lsh`` / ``sim_ann_ivf``.
+    """
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") == _DIM)
+        .select("vec_id", "embedding")
+    )
+    q = _query_side(spark, emb)
+    schema = "query_id bigint, neighbor_id bigint, cos_raw double"
+    partial = None
+    for bc in _corpus_chunk_broadcasts(spark, emb):
+        part = q.mapInPandas(_chunk_topk_kernel(bc), schema)
+        partial = part if partial is None else partial.unionByName(part)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            dround("cos_raw", 6).alias("cos_sim"),
+        )
     )
 
 
@@ -350,8 +404,10 @@ WHERE cos_sim >= {_DUP_THRESHOLD}
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.9).
 
-    Broadcast-GEMM like ``sim_knn``; the threshold test runs at full
-    double precision (bit-identical to the oracle), rounding only the
+    Chunked broadcast-GEMM like ``sim_knn``; each chunk's pairs are
+    independent (the threshold is per-pair), so the merge is a plain
+    union — no window needed. The threshold test runs at full double
+    precision (bit-identical to the oracle), rounding only the
     reported value. Production plan at corpus scale: ``sim_ann_lsh``
     bucketing as a candidate pre-filter, then this exact check within
     buckets (identical kernel, equi-join added).
@@ -361,29 +417,37 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("embedding") == _DIM)
         .select("vec_id", "embedding")
     )
-    bc = _corpus_broadcast(spark, emb)
 
-    def near_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_c, cu = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q_ids = pdf["vec_id"].to_numpy(np.int64)
-            qu = _np_unit(np.stack(pdf["embedding"].to_list()).astype(np.float64))
-            sim = _np_cos(qu, cu)
-            mask = (sim >= _DUP_THRESHOLD) & (q_ids[:, None] < ids_c[None, :])
-            qi, cj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "vec_a": q_ids[qi],
-                    "vec_b": ids_c[cj],
-                    "cos_sim": _dround_np(sim[qi, cj]),
-                }
-            )
+    def _chunk_near_kernel(bc):
+        def near_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids_c, cu = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                q_ids = pdf["vec_id"].to_numpy(np.int64)
+                qu = _np_unit(
+                    np.stack(pdf["embedding"].to_list()).astype(np.float64)
+                )
+                sim = _np_cos(qu, cu)
+                mask = (sim >= _DUP_THRESHOLD) & (q_ids[:, None] < ids_c[None, :])
+                qi, cj = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {
+                        "vec_a": q_ids[qi],
+                        "vec_b": ids_c[cj],
+                        "cos_sim": _dround_np(sim[qi, cj]),
+                    }
+                )
 
-    return _query_side(spark, emb).mapInPandas(
-        near_pairs, "vec_a bigint, vec_b bigint, cos_sim double"
-    )
+        return near_pairs
+
+    q = _query_side(spark, emb)
+    schema = "vec_a bigint, vec_b bigint, cos_sim double"
+    out = None
+    for bc in _corpus_chunk_broadcasts(spark, emb):
+        part = q.mapInPandas(_chunk_near_kernel(bc), schema)
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 # --- IVF-style ANN -------------------------------------------------

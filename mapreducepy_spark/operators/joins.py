@@ -235,30 +235,62 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 — as-of join: for each event, the latest order of the same
     user at-or-before the event time.
 
-    Spark has no native ASOF JOIN (SURVEY.md §4.3 item 2); the
-    library formulation is equi-join on the entity key + range
-    predicate + ``row_number() == 1`` with fully deterministic
-    tie-breaks (orderdate DESC, orderkey DESC).
+    Spark has no native ASOF JOIN (SURVEY.md §4.3 item 2). Round 1
+    shipped equi-join + range predicate + ``row_number() == 1``,
+    whose join output is each event × the user's FULL at-or-before
+    order history — unbounded fan-out on long histories (VERDICT
+    round-1 item #6). This formulation removes the join entirely:
+    union events and orders into one per-user timeline, sort by time,
+    and carry the latest order forward with a running ``max`` of
+    ``struct(o_orderdate, o_orderkey)`` — the canonical distributed
+    as-of:
 
-    Scale: the join shuffles on user_id — fine when per-key match
-    counts are bounded. For unbounded history, pre-reduce the right
-    side per (key, time-bucket) or use a sort-merge within
-    repartitionByRange(key, ts); the window dedup stays the same.
+    - ONE shuffle (window partitionBy user_id) and O(1) state per
+      row; no join node, no per-event history fan-out;
+    - orders sort before events at equal timestamps
+      (``is_event`` asc), making the match inclusive (date ≤ ts);
+    - the struct running-max is latest-date-then-highest-key —
+      exactly the oracle's DESC/DESC tie-break;
+    - ``max`` ignores nulls, so event rows (null ord) never pollute
+      the carry, and users with no prior order yield nulls — the
+      LEFT-join semantics.
     """
     e = load(spark, sf_dir, "events")
     o = load(spark, sf_dir, "orders")
-    joined = e.join(
-        o,
-        (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts),
-        "left",
+    ev = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<o_orderdate:timestamp,o_orderkey:bigint>")
+        .alias("ord"),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    od = o.filter(F.col("o_orderdate").isNotNull()).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.struct("o_orderdate", "o_orderkey").alias("ord"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_event").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+        ev.unionByName(od)
+        .withColumn("best", F.max("ord").over(w))
+        .filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("best.o_orderkey").alias("o_orderkey"),
+            F.col("best.o_orderdate").alias("o_orderdate"),
+        )
     )
 
 

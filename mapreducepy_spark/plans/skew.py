@@ -23,6 +23,16 @@ from pyspark.sql import functions as F
 
 _SALT = "__salt"
 
+# Join modes where exploding the small side n_salts× cannot change the
+# result: every preserved row comes from the big side (or from a
+# matched pair, which exists for exactly one salt value per big row).
+# right/full (and right_semi/right_anti) would emit each UNMATCHED
+# small-side row once per salt value — n_salts duplicates vs the
+# unsalted join — so they are rejected, not silently wrong.
+_SALTABLE_HOW = frozenset({"inner", "left", "left_outer", "leftouter",
+                           "left_semi", "leftsemi", "left_anti", "leftanti",
+                           "semi", "anti", "cross"})
+
 
 def salted_join(
     big: DataFrame,
@@ -37,9 +47,19 @@ def salted_join(
 
     The salt is a deterministic per-row hash of the big side's whole
     row (NOT of the join key — same-key rows must scatter, which is
-    the entire point). Result equals the unsalted join exactly; the
-    salt columns never escape.
+    the entire point). For the supported ``how`` modes (big-side
+    preserving: inner / left / left_semi / left_anti) the result
+    equals the unsalted join exactly; the salt columns never escape.
+    right / full / right_semi / right_anti would duplicate unmatched
+    small-side rows once per salt and raise ``ValueError`` instead.
     """
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALTABLE_HOW}:
+        raise ValueError(
+            f"salted_join supports big-side-preserving modes only "
+            f"(inner/left/left_semi/left_anti/cross), not how={how!r}: "
+            f"the exploded small side would emit each unmatched small "
+            f"row {n_salts}x."
+        )
     big_s = big.withColumn(
         _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )

@@ -165,7 +165,15 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(120)
+    if not finished:
+        # On timeout the memory sink is only partially populated;
+        # surface that as a hard error rather than returning a frame
+        # that flakily mismatches downstream comparisons.
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {query_name!r} did not finish within 120s"
+        )
     return spark.sql(f"SELECT * FROM {query_name}")
 
 

@@ -92,7 +92,12 @@ def zscore_per_group(lineitem: DataFrame) -> DataFrame:
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         mu = pdf["l_extendedprice"].mean()
-        sd = pdf["l_extendedprice"].std(ddof=1) or 1.0
+        sd = pdf["l_extendedprice"].std(ddof=1)
+        # std(ddof=1) is NaN for single-row groups and NaN is truthy,
+        # so `or 1.0` would NOT apply — check explicitly to keep
+        # price_z finite (0.0) there.
+        if pd.isna(sd) or sd == 0:
+            sd = 1.0
         return pdf.assign(price_z=(pdf["l_extendedprice"] - mu) / sd)[
             ["l_returnflag", "l_orderkey", "l_linenumber", "price_z"]
         ]

@@ -1,0 +1,59 @@
+"""Chunked-broadcast exact kNN (VERDICT round-1 item #5).
+
+``sim_knn`` / ``dedup_embedding`` must not collect the whole corpus
+to the driver in one piece: the corpus is broadcast in bounded chunks
+and per-chunk partials are merged (row_number window for top-k, plain
+union for threshold pairs). These tests force the multi-chunk path by
+shrinking the chunk size and assert bit-identical results to the
+single-chunk run — chunking is a pure execution-layout change, never
+a semantics change.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from mapreducepy_spark.llm import similarity
+
+
+def _sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def test_corpus_chunking_is_bounded_and_covering(spark, sf_dir, monkeypatch):
+    """With a tiny chunk size the corpus must split into >1 broadcast,
+    each at most chunk_rows rows, together covering every vec_id
+    exactly once — i.e. driver peak memory is one chunk, not the
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from mapreducepy_spark.io import load
+
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == similarity._DIM
+    )
+    n = emb.count()
+    monkeypatch.setattr(similarity, "_CHUNK_ROWS", 7)
+    chunks = similarity._corpus_chunk_broadcasts(spark, emb)
+    assert len(chunks) == -(-n // 7)
+    assert len(chunks) > 1
+    seen: list[int] = []
+    for bc in chunks:
+        ids, cu = bc.value
+        # mod-sharding is balanced: no chunk exceeds ceil(n/n_chunks)
+        assert len(ids) <= -(-n // len(chunks))
+        assert cu.shape == (len(ids), similarity._DIM)
+        seen.extend(ids.tolist())
+    assert sorted(seen) == sorted(
+        r[0] for r in emb.select("vec_id").collect()
+    )
+
+
+@pytest.mark.parametrize("key", ["sim_knn", "dedup_embedding"])
+def test_chunked_equals_single_chunk(spark, sf_dir, monkeypatch, key):
+    builder = getattr(similarity, key)
+    single = _sorted(builder(spark, sf_dir).toPandas())
+    monkeypatch.setattr(similarity, "_CHUNK_ROWS", 7)
+    multi = _sorted(builder(spark, sf_dir).toPandas())
+    pd.testing.assert_frame_equal(single, multi)

@@ -134,6 +134,31 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_salted_join_rejects_small_side_preserving_modes(spark, sf_dir):
+    """right/full(/right_semi/right_anti) would emit each unmatched
+    small-side row once per salt — salted_join must refuse, not
+    silently duplicate."""
+    import pytest
+
+    from mapreducepy_spark.io import load
+    from mapreducepy_spark.plans import salted_join
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    for how in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(o, c, o.o_custkey == c.c_custkey, n_salts=4, how=how)
+
+
+def test_asof_join_is_union_timeline_not_join(spark, sf_dir):
+    """join_asof must run as the union-sort-carry timeline (one
+    window shuffle, O(1) state per row), never as an equi-join whose
+    output fans out each event times the user's full order history."""
+    plan = plan_of(spark, "join_asof", sf_dir)
+    assert "Join" not in plan  # no join node of any kind
+    assert "Window" in plan
+
+
 def test_range_join_is_binned_hash_join_not_nested_loop(spark, sf_dir):
     """The pure-interval join must run on the bin equi-key (hash
     join after an explode), never as BNL/cartesian over n² pairs."""

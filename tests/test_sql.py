@@ -24,3 +24,14 @@ def test_sql_twin_matches_dataframe_builder(name, spark, sf_dir):
 def test_non_portable_raises(spark, sf_dir):
     with pytest.raises(KeyError):
         engine_sql.run_sql(spark, sf_dir, "text_stats")
+
+
+def test_key_order_covers_registry_exactly():
+    """_KEY_ORDER is evidence policy (drives the driver's bounded
+    correctness run) — a registered key missing from it silently lands
+    at the tail, so keep the two sets identical and duplicate-free."""
+    from mapreducepy_spark import registry
+
+    assert len(registry._KEY_ORDER) == len(set(registry._KEY_ORDER))
+    assert set(registry._KEY_ORDER) == set(CATALOG)
+    assert list(CATALOG) == list(registry._KEY_ORDER)
