@@ -119,7 +119,9 @@ def _dround_np(arr: np.ndarray, d: int = 6) -> np.ndarray:
 _CHUNK_ROWS = 65536
 
 
-def _corpus_chunk_broadcasts(spark: SparkSession, emb: DataFrame) -> list:
+def _corpus_chunk_broadcasts(
+    spark: SparkSession, emb: DataFrame, n_hint: int | None = None
+) -> list:
     """Unit-normalize the corpus and broadcast it in bounded chunks.
 
     Replaces the round-1 whole-corpus ``toPandas`` (driver-memory
@@ -133,7 +135,12 @@ def _corpus_chunk_broadcasts(spark: SparkSession, emb: DataFrame) -> list:
     join; the sub-quadratic alternatives when even Σ chunks is too
     much total work are ``sim_ann_lsh`` / ``sim_ann_ivf``.
     """
-    n = emb.count()
+    # Row count only SIZES the chunks (any n_chunks is correct), so
+    # callers pass the UNFILTERED table count as n_hint: Spark answers
+    # that from parquet footer metadata — no data read, unlike a count
+    # through the dimension filter. Filters only shrink chunks below
+    # the bound.
+    n = emb.count() if n_hint is None else n_hint
     n_chunks = max(1, -(-n // max(1, int(_CHUNK_ROWS))))
     out = []
     src = emb.withColumn("__chunk", F.pmod(F.col("vec_id"), F.lit(n_chunks)))
@@ -248,15 +255,12 @@ def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherent to exact brute force — this is the CORRECTNESS baseline;
     the sub-quadratic scale paths are ``sim_ann_lsh`` / ``sim_ann_ivf``.
     """
-    emb = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.size("embedding") == _DIM)
-        .select("vec_id", "embedding")
-    )
+    raw = load(spark, sf_dir, "embeddings")
+    emb = raw.filter(F.size("embedding") == _DIM).select("vec_id", "embedding")
     q = _query_side(spark, emb)
     schema = "query_id bigint, neighbor_id bigint, cos_raw double"
     partial = None
-    for bc in _corpus_chunk_broadcasts(spark, emb):
+    for bc in _corpus_chunk_broadcasts(spark, emb, n_hint=raw.count()):
         part = q.mapInPandas(_chunk_topk_kernel(bc), schema)
         partial = part if partial is None else partial.unionByName(part)
     w = Window.partitionBy("query_id").orderBy(
@@ -412,11 +416,8 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing as a candidate pre-filter, then this exact check within
     buckets (identical kernel, equi-join added).
     """
-    emb = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.size("embedding") == _DIM)
-        .select("vec_id", "embedding")
-    )
+    raw = load(spark, sf_dir, "embeddings")
+    emb = raw.filter(F.size("embedding") == _DIM).select("vec_id", "embedding")
 
     def _chunk_near_kernel(bc):
         def near_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -444,7 +445,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_side(spark, emb)
     schema = "vec_a bigint, vec_b bigint, cos_sim double"
     out = None
-    for bc in _corpus_chunk_broadcasts(spark, emb):
+    for bc in _corpus_chunk_broadcasts(spark, emb, n_hint=raw.count()):
         part = q.mapInPandas(_chunk_near_kernel(bc), schema)
         out = part if out is None else out.unionByName(part)
     return out

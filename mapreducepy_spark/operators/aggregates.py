@@ -305,12 +305,20 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     ).filter(F.col("word") != "")
-    return words.groupBy("word").agg(
-        F.array_join(
-            F.transform(F.sort_array(F.collect_set("doc_id")), lambda x: x.cast("string")),
-            ",",
-        ).alias("doc_ids"),
-        F.countDistinct("doc_id").alias("n_docs"),
+    # n_docs derives from the collected set itself (size after
+    # dedup) — a countDistinct beside collect_set would plan a
+    # distinct-aggregate Expand, doubling the rows through the hash
+    # aggregate for a number the set already knows.
+    return (
+        words.groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("__docs"))
+        .select(
+            "word",
+            F.array_join(
+                F.transform("__docs", lambda x: x.cast("string")), ","
+            ).alias("doc_ids"),
+            F.size("__docs").cast("bigint").alias("n_docs"),
+        )
     )
 
 
