@@ -166,3 +166,26 @@ def test_range_join_is_binned_hash_join_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Generate" in plan and "explode" in plan  # probe-side bin fan-out
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_near", "dedup_ngram_jaccard", "dedup_simhash", "sim_ann_ivf"],
+)
+def test_dedup_family_never_goes_cartesian(spark, sf_dir, name):
+    """Every near-dup / ANN operator claims 'bucketed / inverted-index,
+    never all-pairs' — so no plan may contain a cartesian product or
+    an un-keyed nested-loop join."""
+    plan = plan_of(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sim_knn_chunk_merge_is_window_topk(spark, sf_dir):
+    """The chunked brute-force kNN merges per-chunk partials with a
+    row_number window — no join, no cartesian, no global sort of the
+    candidate set."""
+    plan = plan_of(spark, "sim_knn", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "row_number" in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
