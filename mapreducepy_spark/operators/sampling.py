@@ -1,19 +1,31 @@
 """Sampling operators (training-data pipeline surface).
 
-Sampling is inherently engine-specific RNG, so these are rows-only
-checks (no DuckDB oracle can reproduce Spark's Bernoulli draws) —
-but they are DETERMINISTIC for a fixed seed and partitioning, which
-the tests pin down: same seed ⇒ same sample, different seed ⇒
-(overwhelmingly likely) different sample.
+Two families:
+
+- **RNG sampling** (``sample_fraction`` / ``sample_stratified``):
+  Spark's native ``sample``/``sampleBy``. Engine-specific Bernoulli
+  draws, so rows-only checks (no DuckDB oracle can reproduce them) —
+  but DETERMINISTIC for a fixed seed and partitioning, which the
+  tests pin down.
+- **Hash-bucket sampling** (``sample_hash_fraction`` /
+  ``sample_hash_stratified``): keep a row iff the first hex byte of
+  ``md5(key)`` falls under a threshold. Fully deterministic and
+  ENGINE-INDEPENDENT (md5 of the same string is the same string
+  everywhere), so these carry exact DuckDB oracles — and, unlike
+  RNG samples, re-running the pipeline (or running it on a different
+  engine / partitioning) selects the SAME rows, which is what a
+  reproducible training-data pipeline actually wants. The keyed-hash
+  trick is also what makes the sample stable under re-partitioning
+  — Spark's ``sample`` is NOT (it draws per partition in row order).
 
 Scale notes:
 
-- ``sample`` is a narrow map — no shuffle, each partition draws
+- both families are narrow maps — no shuffle, each partition decides
   independently; at 100 TB it is the cheap first stage of any
   eval-split or pilot-statistics job.
-- ``sampleBy`` (stratified) is the production tool for rebalancing a
+- stratified variants are the production tool for rebalancing a
   skewed corpus (e.g. per-language quotas in a multilingual crawl):
-  per-stratum Bernoulli rates, still zero shuffles.
+  per-stratum rates, still zero shuffles.
 """
 
 from __future__ import annotations
@@ -47,3 +59,88 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"en": 0.3, "de": 0.8, "fr": 0.8, "es": 0.8, "zh": 1.0}
     kept = docs.sampleBy("lang", fractions, seed=_SEED)
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# --- hash-bucket (engine-independent, oracle-checked) --------------
+
+# ~10.2% keep rate: first two md5 hex chars < '1a' ⇒ 26 of 256
+# byte values survive. Lexicographic compare of lowercase hex equals
+# numeric compare of the byte — both engines agree exactly.
+_FRACTION_CUT = "1a"
+
+_ORACLE_SAMPLE_HASH = f"""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE substring(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR),
+                                   CAST(l_linenumber AS VARCHAR))), 1, 2)
+      < '{_FRACTION_CUT}'
+"""
+
+
+@register("sample_hash_fraction", _ORACLE_SAMPLE_HASH, tags=("sampling",))
+def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% DETERMINISTIC sample of lineitem by keyed md5 bucket —
+    the reproducible-pipeline alternative to ``sample_fraction``:
+    identical row selection on any engine, partitioning, or re-run.
+
+    Scale: narrow map, zero shuffle, codegen'd md5 per row; the
+    predicate never references RNG state, so it pushes through any
+    deterministic rewrite and the sample composes with incremental
+    reruns (a row's fate never changes as data grows around it).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    h2 = F.substring(F.md5(key.cast("binary")), 1, 2)
+    return li.filter(h2 < _FRACTION_CUT).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# Per-language keep thresholds on the first md5 byte of doc_id:
+# en 77/256 ≈ 0.301, de/fr/es 204/256 ≈ 0.797, zh keep-all.
+_STRATA_CUTS = {"en": "4d", "de": "cc", "fr": "cc", "es": "cc"}
+
+_ORACLE_SAMPLE_HASH_STRAT = """
+WITH k AS (
+    SELECT lang,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+    FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM k
+WHERE CASE WHEN lang = 'zh' THEN TRUE
+           WHEN lang = 'en' THEN h2 < '4d'
+           WHEN lang IN ('de', 'fr', 'es') THEN h2 < 'cc'
+           ELSE FALSE END
+GROUP BY lang
+"""
+
+
+@register(
+    "sample_hash_stratified", _ORACLE_SAMPLE_HASH_STRAT, tags=("sampling", "llm")
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sample by keyed md5 bucket — deterministic,
+    engine-independent corpus rebalancing (downsample over-represented
+    languages, keep the rest), reported as per-language kept-counts.
+
+    Scale: same zero-shuffle narrow map as ``sample_hash_fraction``
+    plus one combiner-friendly groupBy for the report; quotas change
+    by editing a threshold byte, and membership is stable across
+    reruns — a document, once in the training set, stays in it.
+    """
+    docs = load(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    keep = F.when(F.col("lang") == "zh", F.lit(True))
+    for lang, cut in _STRATA_CUTS.items():
+        keep = keep.when(F.col("lang") == lang, h2 < cut)
+    keep = keep.otherwise(F.lit(False))
+    return (
+        docs.filter(keep)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )

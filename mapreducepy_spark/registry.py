@@ -78,6 +78,8 @@ _KEY_ORDER = (
     "filter_pred", "project_expr", "distinct_rows",
     "fn_date", "fn_conditional", "fn_json", "fn_levenshtein",
     "fn_string", "fn_math", "fn_array",
+    # new in round 2 (hash-checked deterministic sampling)
+    "sample_hash_fraction", "sample_hash_stratified",
     # LLM data-pipeline family (untested in round 1)
     "dedup_exact", "dedup_near", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_clusters", "dedup_embedding",
