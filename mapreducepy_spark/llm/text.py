@@ -75,17 +75,20 @@ CROSS JOIN n
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 — TF-IDF per (document, term): tf × ln(N/df).
 
-    Scale: two aggregations sharing the token explode + one join on
-    word. The document-frequency table is vocabulary-sized →
-    broadcast to the tf side (no shuffle of the big side). N is a
-    scalar cross join (1 row, broadcast-trivial).
+    Scale: ONE token explode. The tf table already holds one row per
+    (doc, word), so document frequency is a plain count over tf —
+    deriving df from tf instead of a second explode+countDistinct
+    halves the tokenization work and shrinks the df aggregation's
+    input from all tokens to distinct (doc, word) pairs. The
+    vocabulary-sized df table broadcasts to the tf side (no shuffle
+    of the big side); N is a scalar cross join (1 row).
     """
     docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     return (
         tf.join(F.broadcast(df), "word")
