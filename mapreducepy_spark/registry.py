@@ -78,8 +78,10 @@ _KEY_ORDER = (
     "filter_pred", "project_expr", "distinct_rows",
     "fn_date", "fn_conditional", "fn_json", "fn_levenshtein",
     "fn_string", "fn_math", "fn_array",
-    # new in round 2 (hash-checked deterministic sampling)
+    # new in round 2 (hash-checked deterministic sampling; df-capped
+    # skew-bounded jaccard)
     "sample_hash_fraction", "sample_hash_stratified",
+    "dedup_jaccard_capped",
     # LLM data-pipeline family (untested in round 1)
     "dedup_exact", "dedup_near", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_clusters", "dedup_embedding",

@@ -170,7 +170,13 @@ def test_range_join_is_binned_hash_join_not_nested_loop(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_near", "dedup_ngram_jaccard", "dedup_simhash", "sim_ann_ivf"],
+    [
+        "dedup_near",
+        "dedup_ngram_jaccard",
+        "dedup_jaccard_capped",
+        "dedup_simhash",
+        "sim_ann_ivf",
+    ],
 )
 def test_dedup_family_never_goes_cartesian(spark, sf_dir, name):
     """Every near-dup / ANN operator claims 'bucketed / inverted-index,
