@@ -549,3 +549,96 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
     )
     return _jaccard_pairs(sh0.join(rare, "shingle").select("doc_id", "shingle"))
+
+
+# --- canonical-record selection ------------------------------------
+
+_ORACLE_DEDUP_KEEP_FIRST = """
+SELECT doc_id, lang, n_chars
+FROM (
+    SELECT doc_id, lang, n_chars,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+)
+WHERE rn = 1
+"""
+
+
+@register("dedup_keep_first", _ORACLE_DEDUP_KEEP_FIRST, tags=("llm", "dedup"))
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-record selection: emit the SURVIVING ROWS of exact
+    dedup (lowest doc_id per distinct text), not just the digest
+    census ``dedup_exact`` reports. This is the operator a pipeline
+    actually materializes — the deduplicated corpus itself.
+
+    Scale: one window shuffle keyed on the 16-byte digest (documents
+    never ride the shuffle as the key); ``row_number`` keeps O(1)
+    state per group. At 100 TB prefer the equivalent
+    ``groupBy(digest).agg(min_by(struct(...)))`` form if group-by
+    partial aggregation beats the sort — both are one shuffle on the
+    same key; row_number is used here because min-of-struct ordering
+    is engine-specific while "lowest doc_id" is not.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_spread(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# --- benchmark decontamination -------------------------------------
+
+# The "held-out eval set": documents whose keyed md5 bucket falls
+# under ~5% (first hex byte < '0d' = 13/256). Deterministic and
+# engine-independent, same trick as operators/sampling.py.
+_EVAL_CUT = "0d"
+
+_ORACLE_TEXT_DECONTAMINATE = f"""
+WITH tagged AS (
+    SELECT doc_id, lang, text,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_EVAL_CUT}' AS is_eval
+    FROM documents
+)
+SELECT t.doc_id, t.lang
+FROM tagged t
+WHERE NOT t.is_eval
+  AND NOT EXISTS (
+      SELECT 1 FROM tagged e
+      WHERE e.is_eval AND md5(e.text) = md5(t.text)
+  )
+"""
+
+
+@register(
+    "text_decontaminate", _ORACLE_TEXT_DECONTAMINATE,
+    tags=("llm", "dedup", "decontamination"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop every training document whose
+    content fingerprint appears in the held-out eval split (here a
+    deterministic 5% md5-bucket of doc_ids standing in for a real
+    benchmark). The kept rows are the safe-to-train-on corpus.
+
+    Scale: the blocklist is (n_eval distinct digests) — megabytes even
+    when the corpus is 100 TB — so it BROADCASTS and the anti-join is
+    a narrow map over the training side: zero shuffle of the corpus.
+    This is the shape that matters; a shuffled anti-join on the full
+    corpus would move 100 TB to remove 5% of it. Fingerprint here is
+    whole-text md5; swap in n-gram shingle digests (dedup_ngram_*)
+    for fuzzy decontamination without changing the join shape.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    tagged = docs.withColumn("is_eval", h2 < _EVAL_CUT).withColumn(
+        "text_hash", F.md5("text")
+    )
+    block = tagged.filter("is_eval").select("text_hash").distinct()
+    return (
+        tagged.filter(~F.col("is_eval"))
+        .join(F.broadcast(block), "text_hash", "left_anti")
+        .select("doc_id", "lang")
+    )

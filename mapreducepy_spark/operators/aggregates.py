@@ -349,3 +349,103 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_id", "ts").alias("last_event_id"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --- exact discrete quantiles --------------------------------------
+
+# Discrete (type-1) quantile: the element at row_number ceil(p·n) of
+# the value-sorted group. Row numbers among equal values are
+# engine-arbitrary, but the VALUE at any rank is not, and only the
+# value is emitted — so the result is exact on both engines with no
+# float interpolation to disagree about. ceil(p·n) itself is an
+# IEEE-double multiply + ceil, identical everywhere.
+_ORACLE_AGG_QUANTILE_DISC = """
+WITH ranked AS (
+    SELECT l_returnflag, l_extendedprice,
+           row_number() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice) AS rn,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+)
+SELECT l_returnflag,
+       MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                THEN l_extendedprice END) AS p50_price,
+       MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                THEN l_extendedprice END) AS p95_price,
+       CAST(MAX(n) AS BIGINT) AS n_rows
+FROM ranked
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_quantile_disc", _ORACLE_AGG_QUANTILE_DISC, tags=("agg", "quantile"))
+def agg_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete per-group quantiles (p50/p95) as a rank pick:
+    sort each group once, keep the values at ranks ceil(p·n). No
+    interpolation ⇒ the emitted numbers are actual data values,
+    bit-identical across engines (continuous-quantile interpolation
+    formulas are not portable).
+
+    Scale: ONE shuffle on the group key, then a per-group sort —
+    exactly what any exact quantile costs. At 100 TB with many groups
+    this parallelizes per group; for global quantiles or looser
+    accuracy switch to ``approx_percentile`` (t-digest, one combiner
+    pass, no sort) — same query shape, approximate answer.
+    """
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    pick = lambda p: F.max(  # noqa: E731 — local rank-pick helper
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+            F.col("l_extendedprice"),
+        )
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        pick(0.50).alias("p50_price"),
+        pick(0.95).alias("p95_price"),
+        F.max("n").alias("n_rows"),
+    )
+
+
+# --- fixed-width histogram ------------------------------------------
+
+_HIST_WIDTH = 20000.0
+
+_ORACLE_AGG_HISTOGRAM = f"""
+SELECT CAST(floor(o_totalprice / {_HIST_WIDTH}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("agg_histogram", _ORACLE_AGG_HISTOGRAM, tags=("agg", "profile"))
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bin = floor(x/width),
+    per-bin count and observed [lo, hi]. The data-profiling companion
+    to ``scan_profile`` — distribution shape in one pass.
+
+    Scale: floor-divide is a codegen'd narrow map; the groupBy
+    partial-aggregates map-side, so the shuffle carries one row per
+    (partition, bin) — bins are bounded (price range / width), making
+    this O(bins) network traffic no matter how many input rows.
+    """
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    return (
+        o.withColumn("bin", F.floor(F.col("o_totalprice") / _HIST_WIDTH))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .select("bin", "n", "lo", "hi")
+    )

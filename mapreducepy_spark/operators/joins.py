@@ -396,3 +396,40 @@ def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
         )
     )
+
+
+# --- salted join (skew mitigation), oracle-proven -------------------
+
+_ORACLE_JOIN_SKEW_SALTED = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       (floor((SUM(l.l_extendedprice)) * 100.0 + 0.5) / 100.0) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("join_skew_salted", _ORACLE_JOIN_SKEW_SALTED, tags=("join", "skew"))
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``plans.skew.salted_join`` utility as a driver-checked
+    query: lineitem (big, salted 8 ways) ⋈ orders (exploded 8×),
+    aggregated per priority. The oracle is the PLAIN join — the gate
+    proves salting is result-invariant, not just unit-tested so.
+
+    Scale: this is the explicit fallback for a hot join key that
+    AQE's skew splitter can't fix (shuffled-hash build-side
+    replication, or aggregation skew). One hot orderkey's rows
+    scatter over 8 tasks at the cost of an 8× replicated small side
+    — the right trade exactly when one side is orders of magnitude
+    smaller, which is the skew scenario.
+    """
+    from ..plans.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(li, o, li["l_orderkey"] == o["o_orderkey"], n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dround(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
