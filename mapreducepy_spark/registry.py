@@ -57,54 +57,64 @@ _MODULES = (
 )
 
 # Explicit catalog order. The driver evaluates ``queries()`` front to
-# back under a bounded budget (round 1 stopped at exactly 50 of 68
-# keys, starving the whole llm.* family of correctness rows —
-# VERDICT.md "What's wrong" #3), so ordering is evidence policy, not
-# cosmetics:
+# back under a bounded budget (rounds 1 AND 2 both stopped at exactly
+# the first 50 catalog keys — VERDICT.md r2 "Next round" #1), so
+# ordering is evidence policy, not cosmetics. Round-3 policy:
 #
-# - every key that round 1 left failing or untested sits inside the
-#   first 40 positions;
-# - the LLM-pipeline family (the engine's north star) runs right
-#   after the cheap scan/filter/function smoke keys;
-# - the tail holds only keys with green round-1 rows, so whatever the
-#   budget cuts is already-proven ground.
+# - the 5 keys that landed outside the window in round 2 (added
+#   without a _KEY_ORDER entry) come FIRST — they have zero driver
+#   rows so far;
+# - then the 18 keys whose only green rows date from round 1 (round
+#   2's window displaced them) — refresh their evidence;
+# - then every operator newly added or code-touched in round 3
+#   (touched code must be re-proven, not rest on old rows);
+# - the remainder of the first 50 re-confirms round-2-green keys,
+#   preferring the LLM-pipeline family (the north star);
+# - the tail holds only keys with green round-2 rows plus the three
+#   rows-only-by-design keys, so whatever the budget cuts is
+#   already-proven ground.
 #
-# ``load_catalog`` reorders the registry to this sequence; a key
-# registered but missing here lands at the end (alphabetically), and
-# tests/test_sql.py pins the two lists equal so drift is loud.
+# ``load_catalog`` reorders the registry to this sequence and RAISES
+# if any registered key is missing from it (round-2 postmortem: five
+# keys silently fell to the alphabetical tail, outside any evidence
+# window); tests/test_sql.py additionally pins the two lists equal.
 _KEY_ORDER = (
-    # cheap smoke + round-1 fixes
-    "scan_project", "scan_count", "json_extract", "scan_profile",
-    "filter_pred", "project_expr", "distinct_rows",
-    "fn_date", "fn_conditional", "fn_json", "fn_levenshtein",
-    "fn_string", "fn_math", "fn_array",
-    # new in round 2 (hash-checked deterministic sampling; df-capped
-    # skew-bounded jaccard)
-    "sample_hash_fraction", "sample_hash_stratified",
-    "dedup_jaccard_capped",
-    # LLM data-pipeline family (untested in round 1)
-    "dedup_exact", "dedup_near", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_clusters", "dedup_embedding",
-    "sim_knn", "sim_ann_lsh", "sim_ann_ivf",
-    "text_stats", "text_tfidf", "text_quality",
-    "text_langid", "text_tokens", "text_fingerprint",
-    "multimodal_cols",
-    # events-table keys (nanos failures in round 1)
-    "win_tumbling", "win_sliding", "win_session",
-    "events_funnel", "rollup_multires",
-    "join_asof", "join_range_binned",
-    "agg_minmax_by", "win_lead_lag", "win_range_frame",
-    # round-1 green core
-    "join_inner", "join_theta_range",
-    "agg_group", "agg_count_distinct", "agg_having",
-    "win_rank", "win_running", "topk_per_group",
-    "agg_approx_distinct", "sample_stratified", "sample_fraction",
-    # round-1 green tail
+    # never driver-checked (added late in round 2 without an order
+    # entry — the round-3 priority)
+    "agg_histogram", "agg_quantile_disc", "dedup_keep_first",
+    "join_skew_salted", "text_decontaminate",
+    # round-1-only evidence, displaced by round 2's window
     "join_left", "join_multi", "join_semi", "join_anti", "join_full",
     "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_pivot",
     "agg_stats", "agg_collect",
-    "win_ntile", "win_dist", "sort_limit",
+    "win_ntile", "win_dist", "sort_limit", "topk_per_group",
     "set_union", "set_intersect", "set_except",
+    # new in round 3
+    # (inserted here as they are registered, inside the window)
+    # code touched in round 3 — re-prove
+    "dedup_jaccard_capped", "sim_knn", "dedup_embedding",
+    # round-2-green re-confirmation (LLM family first)
+    "dedup_exact", "dedup_near", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_clusters", "sim_ann_lsh", "sim_ann_ivf",
+    "text_stats", "text_tfidf", "multimodal_cols",
+    "join_asof", "fn_string", "scan_project", "win_session",
+    # ---- position 50 boundary falls in the block above once the
+    # round-3 keys land; everything below rests on green round-2 rows
+    "scan_count", "json_extract", "scan_profile",
+    "filter_pred", "project_expr", "distinct_rows",
+    "fn_date", "fn_conditional", "fn_json", "fn_levenshtein",
+    "fn_math", "fn_array",
+    "sample_hash_fraction", "sample_hash_stratified",
+    "text_quality", "text_langid", "text_tokens", "text_fingerprint",
+    "win_tumbling", "win_sliding",
+    "events_funnel", "rollup_multires",
+    "join_range_binned",
+    "agg_minmax_by", "win_lead_lag", "win_range_frame",
+    "join_inner", "join_theta_range",
+    "agg_group", "agg_count_distinct", "agg_having",
+    "win_rank", "win_running",
+    # rows-only by design (approximation / RNG — no oracle possible)
+    "agg_approx_distinct", "sample_stratified", "sample_fraction",
 )
 
 
@@ -124,11 +134,25 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
 
 def load_catalog() -> dict[str, Query]:
     """Import all operator modules (idempotent) and return the catalog
-    in ``_KEY_ORDER`` (unlisted keys appended alphabetically)."""
+    in exactly ``_KEY_ORDER``.
+
+    Fails LOUD on drift: a registered key absent from ``_KEY_ORDER``
+    (or vice versa) raises instead of being silently appended at the
+    tail. Round-2 postmortem: the silent-append fallback let five new
+    operators land at catalog positions 72–76, outside the driver's
+    bounded 50-key correctness window, so they shipped with zero
+    oracle evidence (VERDICT.md r2, "What's wrong" #1/#2).
+    """
     for mod in _MODULES:
         importlib.import_module(mod)
-    ordered = {k: REGISTRY[k] for k in _KEY_ORDER if k in REGISTRY}
-    for k in sorted(REGISTRY):
-        if k not in ordered:
-            ordered[k] = REGISTRY[k]
-    return ordered
+    missing = [k for k in REGISTRY if k not in set(_KEY_ORDER)]
+    phantom = [k for k in _KEY_ORDER if k not in REGISTRY]
+    if missing or phantom:
+        raise RuntimeError(
+            "registry/_KEY_ORDER drift — evidence policy violated: "
+            f"registered but unordered={sorted(missing)!r}, "
+            f"ordered but unregistered={sorted(phantom)!r}. "
+            "Add every new queries() key to registry._KEY_ORDER inside "
+            "the driver's 50-key window."
+        )
+    return {k: REGISTRY[k] for k in _KEY_ORDER}

@@ -35,3 +35,27 @@ def test_key_order_covers_registry_exactly():
     assert len(registry._KEY_ORDER) == len(set(registry._KEY_ORDER))
     assert set(registry._KEY_ORDER) == set(CATALOG)
     assert list(CATALOG) == list(registry._KEY_ORDER)
+
+
+def test_load_catalog_raises_on_unordered_key(monkeypatch):
+    """load_catalog must fail LOUD when a registered key is missing
+    from _KEY_ORDER (round-2 postmortem: silent alphabetical-tail
+    fallback shipped five operators with zero oracle evidence)."""
+    from mapreducepy_spark import registry
+
+    ghost = registry.Query(name="zz_ghost", builder=lambda s, d: None, oracle=None)
+    monkeypatch.setitem(registry.REGISTRY, "zz_ghost", ghost)
+    with pytest.raises(RuntimeError, match="zz_ghost"):
+        registry.load_catalog()
+
+
+def test_load_catalog_raises_on_phantom_key(monkeypatch):
+    """...and equally when _KEY_ORDER names a key nobody registered
+    (typo guard for the rotation itself)."""
+    from mapreducepy_spark import registry
+
+    monkeypatch.setattr(
+        registry, "_KEY_ORDER", registry._KEY_ORDER + ("zz_phantom",)
+    )
+    with pytest.raises(RuntimeError, match="zz_phantom"):
+        registry.load_catalog()
