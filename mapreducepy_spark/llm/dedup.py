@@ -439,11 +439,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropping shingles with document-frequency above a cap (the same
     pairs surface via their rarer shingles). Used as the verifier
     behind ``dedup_near``'s candidates.
+
+    The index is ``localCheckpoint``-ed: it feeds three plan subtrees
+    (sizes + both join sides), and materializing it once replaces two
+    extra corpus explode passes with block reads — same rationale as
+    ``dedup_jaccard_capped``.
     """
     docs = load_spread(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
-    ).distinct()
+    ).distinct().localCheckpoint()
     return _jaccard_pairs(sh)
 
 
@@ -537,11 +542,19 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the same join; everything downstream now has a hard
     per-key fan-out bound, which is what makes the plan safe on a
     power-law shingle distribution.
+
+    The exploded+distinct index is ``localCheckpoint``-ed before use:
+    it feeds FOUR plan subtrees (the df aggregation, sizes, and both
+    sides of the pair join), and without materialization Catalyst
+    re-executes the full corpus explode per subtree — at 100 TB that
+    is three wasted corpus passes (round-2 bench: 2.56 s vs the
+    uncapped operator's 1.97 s, from exactly this recompute —
+    VERDICT.md r2 "What's wrong" #3).
     """
     docs = load_spread(spark, sf_dir, "documents")
     sh0 = docs.select(
         "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
-    ).distinct()
+    ).distinct().localCheckpoint()
     rare = (
         sh0.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
