@@ -143,17 +143,52 @@ def _corpus_chunk_broadcasts(
     n = emb.count() if n_hint is None else n_hint
     n_chunks = max(1, -(-n // max(1, int(_CHUNK_ROWS))))
     out = []
-    src = emb.withColumn("__chunk", F.pmod(F.col("vec_id"), F.lit(n_chunks)))
+    # Shard on a HASH of the id, not the id itself: pmod(vec_id, n)
+    # only respects the _CHUNK_ROWS bound when ids are uniform modulo
+    # n_chunks (even-only ids with an even chunk count would double a
+    # chunk); xxhash64 makes the split distribution-independent.
+    src = emb.withColumn(
+        "__chunk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_chunks))
+    )
     for ch in range(n_chunks):
         pdf = (
             src.filter(F.col("__chunk") == F.lit(ch))
             .select("vec_id", "embedding")
             .toPandas()
         )
+        if len(pdf) == 0:  # residue class emptied by the dim filter
+            continue
         ids = pdf["vec_id"].to_numpy(np.int64)
         cu = _np_unit(np.stack(pdf["embedding"].to_list()).astype(np.float64))
         out.append(spark.sparkContext.broadcast((ids, cu)))
     return out
+
+
+# Union-plan depth bound for the chunk merge: every _CHECKPOINT_EVERY
+# chunk branches the accumulated union is localCheckpoint-ed, so the
+# logical plan never grows past ~32 leaves regardless of corpus size
+# (a 1B-vector corpus is ~15k chunks — a 15k-leaf union tree would
+# DoS the optimizer long before the executors see work).
+_CHECKPOINT_EVERY = 32
+
+
+def _union_chunk_results(
+    spark: SparkSession, q: DataFrame, kernel_factory, schema: str, chunks
+) -> DataFrame | None:
+    """Apply one ``mapInPandas`` branch per corpus-chunk broadcast and
+    union the partials, checkpointing every ``_CHECKPOINT_EVERY``
+    branches to bound plan depth. Returns ``None`` for an empty chunk
+    list (caller supplies the empty frame)."""
+    partial = None
+    pending = 0
+    for bc in chunks:
+        part = q.mapInPandas(kernel_factory(bc), schema)
+        partial = part if partial is None else partial.unionByName(part)
+        pending += 1
+        if pending >= _CHECKPOINT_EVERY:
+            partial = partial.localCheckpoint()
+            pending = 0
+    return partial
 
 
 def _query_side(spark: SparkSession, emb: DataFrame) -> DataFrame:
@@ -252,17 +287,28 @@ def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-K; one row_number window over the K·n_chunks candidates per
     query then reproduces the exact oracle tie-break (cos DESC,
     neighbor_id ASC) at full double precision. O(n²·d) total work is
-    inherent to exact brute force — this is the CORRECTNESS baseline;
-    the sub-quadratic scale paths are ``sim_ann_lsh`` / ``sim_ann_ivf``.
+    inherent to exact brute force — this is the CORRECTNESS baseline.
+
+    Applicability boundary: the chunk loop fetches and broadcasts
+    serially on the driver, so wall-clock grows with chunk count even
+    though plan depth is bounded (checkpoint every 32 branches). Use
+    it while the corpus fits a few hundred broadcast chunks (tens of
+    GB); past that, exact brute force wants a corpus×query block-grid
+    GEMM, and the right engine answer is the registered sub-quadratic
+    paths ``sim_ann_lsh`` / ``sim_ann_ivf`` (same kernel, bucketed).
     """
     raw = load(spark, sf_dir, "embeddings")
     emb = raw.filter(F.size("embedding") == _DIM).select("vec_id", "embedding")
     q = _query_side(spark, emb)
     schema = "query_id bigint, neighbor_id bigint, cos_raw double"
-    partial = None
-    for bc in _corpus_chunk_broadcasts(spark, emb, n_hint=raw.count()):
-        part = q.mapInPandas(_chunk_topk_kernel(bc), schema)
-        partial = part if partial is None else partial.unionByName(part)
+    partial = _union_chunk_results(
+        spark, q, _chunk_topk_kernel, schema,
+        _corpus_chunk_broadcasts(spark, emb, n_hint=raw.count()),
+    )
+    if partial is None:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cos_sim double"
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
     )
@@ -444,11 +490,11 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = _query_side(spark, emb)
     schema = "vec_a bigint, vec_b bigint, cos_sim double"
-    out = None
-    for bc in _corpus_chunk_broadcasts(spark, emb, n_hint=raw.count()):
-        part = q.mapInPandas(_chunk_near_kernel(bc), schema)
-        out = part if out is None else out.unionByName(part)
-    return out
+    out = _union_chunk_results(
+        spark, q, _chunk_near_kernel, schema,
+        _corpus_chunk_broadcasts(spark, emb, n_hint=raw.count()),
+    )
+    return out if out is not None else spark.createDataFrame([], schema)
 
 
 # --- IVF-style ANN -------------------------------------------------

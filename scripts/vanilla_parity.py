@@ -55,23 +55,27 @@ def main() -> int:
     catalog = load_catalog()
     names = [n for n in catalog if only is None or n in only]
     failures: dict[str, str] = {}
-    for name in names:
-        q = catalog[name]
-        try:
-            spark_pd = q.builder(spark, sf_dir).toPandas()
-            if q.oracle is None:
-                assert len(spark_pd) > 0, "rows-only query returned no rows"
-            else:
-                duck_pd = con.execute(q.oracle).fetchdf()
-                assert_frames_match(spark_pd, duck_pd, name)
-        except Exception:
-            failures[name] = traceback.format_exc(limit=3)
-    print(
-        json.dumps(
-            {"ok": not failures, "n": len(names), "failures": failures}
+    try:
+        for name in names:
+            q = catalog[name]
+            try:
+                spark_pd = q.builder(spark, sf_dir).toPandas()
+                if q.oracle is None:
+                    assert len(spark_pd) > 0, "rows-only query returned no rows"
+                else:
+                    duck_pd = con.execute(q.oracle).fetchdf()
+                    assert_frames_match(spark_pd, duck_pd, name)
+            except Exception:
+                failures[name] = traceback.format_exc(limit=3)
+        print(
+            json.dumps(
+                {"ok": not failures, "n": len(names), "failures": failures}
+            )
         )
-    )
-    spark.stop()
+    finally:
+        # without this an unexpected error between session creation and
+        # the end of main leaks the subprocess JVM (ADVICE r2)
+        spark.stop()
     return 0 if not failures else 1
 
 
