@@ -122,17 +122,25 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _candidate_pairs(spark, sf_dir)
 
 
-def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _candidate_pairs(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
     """MinHash-LSH candidate pairs (doc_a < doc_b), shared by
-    ``dedup_near`` and ``dedup_clusters``."""
-    docs = load_spread(spark, sf_dir, "documents")
-    # no .distinct() before the min-aggregation: min() is duplicate-
-    # insensitive, so deduplicating (doc_id, h) first would only add
-    # a full shuffle of the exploded shingle set for the same result
-    # (the oracle's DISTINCT is likewise semantically inert there)
-    sh = docs.select("doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")).select(
-        "doc_id", F.md5("shingle").alias("h")
-    )
+    ``dedup_near``, ``dedup_clusters`` and ``dedup_near_verified``
+    (which passes its already-materialized (doc_id, shingle) index as
+    ``shingles`` so the corpus is exploded once, not twice — min() is
+    duplicate-insensitive, so the index's distinct() changes nothing)."""
+    if shingles is not None:
+        sh = shingles.select("doc_id", F.md5("shingle").alias("h"))
+    else:
+        docs = load_spread(spark, sf_dir, "documents")
+        # no .distinct() before the min-aggregation: min() is duplicate-
+        # insensitive, so deduplicating (doc_id, h) first would only add
+        # a full shuffle of the exploded shingle set for the same result
+        # (the oracle's DISTINCT is likewise semantically inert there)
+        sh = docs.select(
+            "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
+        ).select("doc_id", F.md5("shingle").alias("h"))
     mh = sh.groupBy("doc_id").agg(
         *[F.min(F.expr(_rot("h", i))).alias(f"mh{i}") for i in range(_N_HASHES)]
     )
@@ -654,4 +662,92 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged.filter(~F.col("is_eval"))
         .join(F.broadcast(block), "text_hash", "left_anti")
         .select("doc_id", "lang")
+    )
+
+
+# --- LSH candidates -> exact verification (the production funnel) --
+
+_ORACLE_DEDUP_NEAR_VERIFIED = f"""
+WITH {_duck_lsh_ctes()},
+shset AS (
+    SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS shingle
+    FROM documents
+),
+sizes AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+    FROM shset GROUP BY doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM cand_pairs c
+    JOIN shset a ON a.doc_id = c.doc_a
+    JOIN shset b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       (floor((CAST(i.n_common AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - i.n_common)) * 1000000.0 + 0.5)
+            / 1000000.0) AS jaccard,
+       CAST(i.n_common AS DOUBLE)
+           / (sa.n_shingles + sb.n_shingles - i.n_common)
+           >= {_JACCARD_THRESHOLD} AS is_dup
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+"""
+
+
+@register(
+    "dedup_near_verified", _ORACLE_DEDUP_NEAR_VERIFIED,
+    tags=("llm", "dedup", "lsh"),
+)
+def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production near-dup funnel as ONE operator: MinHash-LSH
+    candidate generation (``dedup_near``) followed by exact shingle-set
+    Jaccard verification of ONLY those candidates — every pair comes
+    back with its true Jaccard and an ``is_dup`` verdict at the 0.5
+    threshold (false positives of the banding survive with
+    is_dup=false; this is the precision/recall ledger a pipeline
+    monitors).
+
+    Scale: this is why the funnel exists — the exact verification's
+    pair space is the LSH candidate set (0.015% of all pairs on the
+    fixtures), not the inverted-index pair space, so the expensive
+    exact step touches only what the cheap probabilistic step
+    surfaced. The shingle index is computed once and localCheckpoint-ed
+    (it feeds sizes and both intersection probes); the intersection is
+    a candidate⋈shingle equi-join, shuffling on doc_id.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
+    ).distinct().localCheckpoint()
+    cand = _candidate_pairs(spark, sf_dir, shingles=sh)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            dround(jac, 6).alias("jaccard"),
+            (jac >= _JACCARD_THRESHOLD).alias("is_dup"),
+        )
     )

@@ -682,3 +682,64 @@ def kmeans_fit(
             new_cent[int(cell)] = mean
         cent = _np_unit(new_cent)
     return cent
+
+
+# --- embedding-norm distribution (ingestion health check) ----------
+
+_ORACLE_EMBED_NORM_BINS = f"""
+WITH n AS (
+    SELECT vec_id,
+           (floor(sqrt({_DUCK_NORM_SQ}) * 1000000.0 + 0.5) / 1000000.0) AS nrm,
+           (floor(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                  * 1000000.0 + 0.5) / 1000000.0) AS maxcomp
+    FROM embeddings
+)
+SELECT CAST(floor(nrm * 1000.0) AS BIGINT) AS norm_mbin,
+       CAST(floor(maxcomp * 100.0) AS BIGINT) AS maxcomp_cbin,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       (floor(AVG(maxcomp) * 1000000.0 + 0.5) / 1000000.0) AS avg_maxcomp
+FROM n
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "embed_norm_bins", _ORACLE_EMBED_NORM_BINS, tags=("llm", "similarity", "profile")
+)
+def embed_norm_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column profile: L2-norm milli-bin × max-|component|
+    centi-bin histogram — the ingestion health check run before any
+    similarity work. A norm-collapse or un-normalized batch shows up
+    as outlier norm bins (the fixtures are exactly unit-normalized,
+    so every row lands in norm bin 1000 — that IS the invariant being
+    checked); the max-component axis catches peaked/degenerate vectors
+    (a one-hot-ish embedding has maxcomp near 1, a healthy dense one
+    near 1/sqrt(dim)).
+
+    Scale: a pure narrow map — norm is a JVM-side ``aggregate`` fold
+    over the 64 dims (dimension-ordered, bit-identical to the oracle's
+    ``list_sum`` fold, same discipline as the GEMM kernels), maxcomp
+    an order-independent ``array_max`` — followed by one tiny hash
+    aggregate on the bin keys. No UDF, no shuffle of vectors.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    norm_sq = F.aggregate(
+        "embedding",
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    maxcomp = dround(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))), 6
+    )
+    nrm = dround(F.sqrt(norm_sq), 6)
+    return (
+        emb.select(nrm.alias("nrm"), maxcomp.alias("maxcomp"))
+        .groupBy(
+            F.floor(F.col("nrm") * 1000.0).cast("bigint").alias("norm_mbin"),
+            F.floor(F.col("maxcomp") * 100.0).cast("bigint").alias("maxcomp_cbin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            dround(F.avg("maxcomp"), 6).alias("avg_maxcomp"),
+        )
+    )

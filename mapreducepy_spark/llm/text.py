@@ -316,3 +316,184 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(
         F.substring(F.min(F.md5("shingle")), 1, 16).alias("fingerprint")
     )
+
+
+# --- sequence packing (training-batch preparation) -----------------
+
+_PACK_BUDGET = 512
+
+_ORACLE_TEXT_PACK = f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor((SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+FROM d
+"""
+
+
+@register("text_pack_sequences", _ORACLE_TEXT_PACK, tags=("llm", "text", "packing"))
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: concatenate documents in doc_id
+    order within each language stream and chunk every 512
+    tokens — ``pack_id`` is the chunk a document's first token falls
+    in. This is the concat-and-chunk packing every autoregressive
+    pretraining pipeline runs between cleaning and batching (straddling
+    documents span two packs, exactly as the training chunker splits
+    them).
+
+    Scale: token counting is a narrow map (no explode — ``size`` on
+    the split array); the only shuffle is the window partition on the
+    stream key. At 100 TB the stream key is (lang, shard) so no single
+    partition serializes the cumulative sum; pack_ids then offset by a
+    per-shard base computed from shard token totals (two-pass prefix
+    sum — same one-window shape, run twice over metadata, not data).
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(start / float(_PACK_BUDGET)).cast("bigint").alias("pack_id"),
+    )
+
+
+# --- n-gram language-model counts ----------------------------------
+
+_TOP_BIGRAMS = 100
+
+_ORACLE_TEXT_BIGRAMS = f"""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+pairs AS (
+    SELECT t[i] || ' ' || t[i + 1] AS bigram
+    FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 2
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM pairs
+GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram ASC
+LIMIT {_TOP_BIGRAMS}
+"""
+
+
+@register("text_bigrams", _ORACLE_TEXT_BIGRAMS, tags=("llm", "text"))
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k bigram counts — the order-2 building block of
+    n-gram language models and of contamination n-gram overlap checks.
+
+    The bigram array is built with ONE pass over the token array
+    (zip of the array with its own tail via an indexed ``transform``),
+    then explode + groupBy + global top-k. Scale: shuffle carries the
+    bigram vocabulary after map-side partial aggregation, and the
+    final top-k is Spark's TakeOrdered (per-partition heaps, never a
+    global sort of the vocabulary).
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    # transform over the all-but-last slice; lambda index i is 0-based,
+    # array subscript is 0-based -> toks[i+1] is each token's successor
+    bigrams = F.expr(
+        "transform(slice(__toks, 1, size(__toks) - 1), "
+        "(x, i) -> concat(x, ' ', __toks[i + 1]))"
+    )
+    return (
+        docs.select(toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
+        .limit(_TOP_BIGRAMS)
+    )
+
+
+# --- composite quality filtering -----------------------------------
+# Thresholds sit inside the fixture signal ranges (n_tokens 10–99,
+# TTR 0.28–1.0, avg token length 3.7–5.3 measured at sf0.01) so the
+# filter demonstrably KEEPS and DROPS rows at every SF — an
+# all-pass or all-drop oracle match would prove nothing.
+
+_QF_MIN_TOKENS = 20
+_QF_MIN_TTR = 0.30
+_QF_MAX_AVG_LEN = 5.2
+
+_ORACLE_TEXT_QUALITY_FILTER = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT word) AS DOUBLE) / COUNT(*) AS ttr,
+           AVG(CAST(length(word) AS DOUBLE)) AS avg_len
+    FROM toks WHERE word <> ''
+    GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, d.source, p.n_tokens,
+       (floor(p.ttr * 1000000.0 + 0.5) / 1000000.0) AS type_token_ratio
+FROM documents d
+JOIN per_doc p ON d.doc_id = p.doc_id
+WHERE p.n_tokens >= {_QF_MIN_TOKENS}
+  AND p.ttr >= {_QF_MIN_TTR}
+  AND p.avg_len <= {_QF_MAX_AVG_LEN}
+"""
+
+
+@register(
+    "text_quality_filter", _ORACLE_TEXT_QUALITY_FILTER,
+    tags=("llm", "text", "quality"),
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style composite quality gate: emit the SURVIVING corpus rows
+    (min token count, min type-token ratio, max mean token length) —
+    the materialized output of a cleaning pipeline, where
+    ``text_quality`` reports the raw signals.
+
+    Scale: one explode + one groupBy(doc_id) computes every signal in
+    a single aggregation pass; the predicate is applied post-agg so
+    adding signals never adds passes. The corpus rows rejoin by
+    doc_id. Threshold tuning is a driver-side constant change — the
+    plan shape is invariant.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    per_doc = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.countDistinct("word").cast("double") / F.count(F.lit(1))).alias("ttr"),
+        F.avg(F.length("word")).alias("avg_len"),
+    )
+    kept = per_doc.filter(
+        (F.col("n_tokens") >= _QF_MIN_TOKENS)
+        & (F.col("ttr") >= _QF_MIN_TTR)
+        & (F.col("avg_len") <= _QF_MAX_AVG_LEN)
+    )
+    return docs.join(kept, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        dround("ttr", 6).alias("type_token_ratio"),
+    )

@@ -449,3 +449,95 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bin", "n", "lo", "hi")
     )
+
+
+# --- weighted average ----------------------------------------------
+
+_ORACLE_AGG_WEIGHTED_AVG = """
+SELECT l_returnflag,
+       (floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty,
+       (floor((SUM(l_extendedprice * l_quantity) / SUM(l_quantity))
+              * 1000000.0 + 0.5) / 1000000.0) AS wavg_price,
+       (floor((SUM(l_discount * l_quantity) / SUM(l_quantity))
+              * 1000000.0 + 0.5) / 1000000.0) AS wavg_discount
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_weighted_avg", _ORACLE_AGG_WEIGHTED_AVG, tags=("agg",))
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted averages per return flag — the aggregation
+    SQL's plain AVG cannot express (weights live in a second column).
+
+    Scale: a single hash aggregate; each weighted average is two
+    partial-aggregable SUMs and one post-agg division, so map-side
+    combine applies exactly as for plain sums — no second pass, no
+    window.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        dround(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity"),
+            6,
+        ).alias("wavg_price"),
+        dround(
+            F.sum(F.col("l_discount") * F.col("l_quantity")) / F.sum("l_quantity"),
+            6,
+        ).alias("wavg_discount"),
+    )
+
+
+# --- per-group mode (most frequent value) --------------------------
+
+_ORACLE_AGG_MODE = """
+WITH counts AS (
+    SELECT n.n_name, c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, c.c_mktsegment
+),
+ranked AS (
+    SELECT n_name, c_mktsegment, n_customers,
+           ROW_NUMBER() OVER (
+               PARTITION BY n_name
+               ORDER BY n_customers DESC, c_mktsegment ASC
+           ) AS rn
+    FROM counts
+)
+SELECT n_name, c_mktsegment AS mode_mktsegment, n_customers
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("agg_mode", _ORACLE_AGG_MODE, tags=("agg",))
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation modal market segment (most frequent value, ties
+    broken by segment name so the answer is engine-independent —
+    Spark's built-in ``mode()`` is explicitly non-deterministic on
+    ties, which would break hash parity).
+
+    Scale: count-then-rank: one hash aggregate down to
+    |groups × distinct values| rows, then a window over that tiny
+    table. The event stream is never windowed directly — the
+    aggregate does the heavy lifting, the window only picks winners.
+    """
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    counts = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("n_customers").desc(), F.col("c_mktsegment").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("n_name", F.col("c_mktsegment").alias("mode_mktsegment"), "n_customers")
+    )

@@ -280,3 +280,163 @@ def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+# --- cohort retention ----------------------------------------------
+
+_ORACLE_EVENTS_RETENTION = """
+WITH firsts AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_date,
+           date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_offset
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_date AS VARCHAR) AS cohort_date,
+       CAST(day_offset AS INT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity
+GROUP BY cohort_date, day_offset
+"""
+
+
+@register("events_retention", _ORACLE_EVENTS_RETENTION, tags=("temporal", "cohort"))
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen date, and
+    for each (cohort, day-offset) cell the count of users active that
+    many days after joining — the standard product-analytics rollup a
+    pipeline materializes from the event stream.
+
+    Scale: the cohort table is one row per user (megabytes at any
+    event volume) so it BROADCASTS; the big side then needs one
+    groupBy for the distinct-activity set and one for the matrix —
+    both keyed on (user, offset)/(cohort, offset), both combiner-
+    friendly. The event stream itself is never shuffled by a
+    high-cardinality key.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    activity = (
+        e.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.datediff("d", "cohort_date").cast("int").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_date", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        # DATE-typed outputs canonicalize differently across pandas
+        # bridges -> serialize as ISO string on both sides (same
+        # convention as fn_date).
+        .select(
+            F.col("cohort_date").cast("string").alias("cohort_date"),
+            "day_offset",
+            "n_users",
+        )
+    )
+
+
+# --- event-type transition counts (behavioral paths) ---------------
+
+_ORACLE_EVENTS_PATHS = """
+WITH ordered AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ) AS next_type
+    FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM ordered
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+@register("events_paths", _ORACLE_EVENTS_PATHS, tags=("temporal", "sequence"))
+def events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts (the first-order Markov chain of
+    user behavior): for each consecutive pair of events per user, count
+    (from_type -> to_type). Feeds funnel diagnostics and
+    next-action models.
+
+    Scale: one window shuffle on user_id (deterministic ordering by
+    ts + event_id tie-break), then a 25-row aggregate — partial
+    aggregation collapses each partition to the transition-matrix
+    size before the final shuffle.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        e.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+# --- gaps-and-islands: activity streaks ----------------------------
+
+_ORACLE_WIN_STREAK = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+grp AS (
+    SELECT user_id, d,
+           d - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY d ASC
+           ) AS INTEGER) AS anchor
+    FROM days
+),
+runs AS (
+    SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM grp GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+       CAST(SUM(run_len) AS BIGINT) AS n_active_days
+FROM runs
+GROUP BY user_id
+"""
+
+
+@register("win_streak", _ORACLE_WIN_STREAK, tags=("temporal", "window"))
+def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands idiom: consecutive dates share the constant
+    anchor ``date - row_number`` (each gap shifts the anchor), so a
+    streak is a (user, anchor) group.
+
+    Scale: distinct (user, day) first — that collapses the event
+    stream to at most users × days rows before any window; then one
+    window and two small aggregates, all partitioned on user_id. No
+    self-join formulation (the naive gaps-and-islands join is
+    quadratic in days-per-user).
+    """
+    e = load(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy(F.col("d").asc())
+    grp = days.select(
+        "user_id",
+        F.date_sub("d", F.row_number().over(w)).alias("anchor"),
+    )
+    runs = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.sum("run_len").alias("n_active_days"),
+    )

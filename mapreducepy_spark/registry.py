@@ -90,7 +90,10 @@ _KEY_ORDER = (
     "win_ntile", "win_dist", "sort_limit", "topk_per_group",
     "set_union", "set_intersect", "set_except",
     # new in round 3
-    # (inserted here as they are registered, inside the window)
+    "text_pack_sequences", "text_bigrams", "text_quality_filter",
+    "dedup_near_verified", "embed_norm_bins",
+    "events_retention", "events_paths", "win_streak",
+    "agg_weighted_avg", "agg_mode",
     # code touched in round 3 — re-prove
     "dedup_jaccard_capped", "sim_knn", "dedup_embedding",
     # round-2-green re-confirmation (LLM family first)
