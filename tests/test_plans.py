@@ -195,3 +195,45 @@ def test_sim_knn_chunk_merge_is_window_topk(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "row_number" in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+@pytest.mark.parametrize("name", ["events_retention", "agg_mode"])
+def test_round3_small_side_broadcasts(spark, sf_dir, name):
+    """The cohort table (one row per user) / the nation dim must reach
+    the big side as a broadcast, never a sort-merge shuffle."""
+    plan = plan_of(spark, name, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_pack_sequences",
+        "text_bigrams",
+        "text_quality_filter",
+        "dedup_near_verified",
+        "embed_norm_bins",
+        "events_retention",
+        "events_paths",
+        "win_streak",
+        "agg_weighted_avg",
+        "agg_mode",
+    ],
+)
+def test_round3_operators_stay_jvm_side(spark, sf_dir, name):
+    """None of the round-3 operators may fall back to row-at-a-time
+    Python evaluation or an unkeyed pair join — everything is built-in
+    expressions (codegen) over keyed shuffles."""
+    plan = plan_of(spark, name, sf_dir)
+    assert "BatchEvalPython" not in plan  # no per-row Python UDF
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_has_no_explode(spark, sf_dir):
+    """Token counting in the packer must be a narrow map (size of the
+    split array), never an explode + count — at 100 TB the explode
+    would be the whole corpus token stream."""
+    plan = plan_of(spark, "text_pack_sequences", sf_dir)
+    assert "Generate" not in plan
