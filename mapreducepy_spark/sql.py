@@ -28,10 +28,15 @@ PORTABLE = (
     "agg_cube",
     "agg_group",
     "agg_grouping_sets",
+    "agg_histogram",
+    "agg_mode",
     "agg_pivot",
     "agg_rollup",
+    "agg_weighted_avg",
     "dedup_exact",
+    "dedup_keep_first",
     "distinct_rows",
+    "events_paths",
     "filter_pred",
     "fn_levenshtein",
     "join_anti",
