@@ -751,3 +751,78 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             (jac >= _JACCARD_THRESHOLD).alias("is_dup"),
         )
     )
+
+
+# --- n-gram contamination RATE (the metric behind the binary gate) --
+
+_ORACLE_TEXT_CONTAMINATION = f"""
+WITH tagged AS (
+    SELECT doc_id, text,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_EVAL_CUT}' AS is_eval
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, is_eval, unnest({DUCK_SHINGLES}) AS shingle
+    FROM tagged
+),
+eval_sh AS (
+    SELECT DISTINCT shingle FROM sh WHERE is_eval
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(e.shingle) AS BIGINT) AS n_contaminated,
+       (floor((CAST(COUNT(e.shingle) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5)
+            / 1000000.0) AS contamination_rate
+FROM sh s
+LEFT JOIN eval_sh e ON s.shingle = e.shingle
+WHERE NOT s.is_eval
+GROUP BY s.doc_id
+"""
+
+
+@register(
+    "text_contamination_ngram", _ORACLE_TEXT_CONTAMINATION,
+    tags=("llm", "dedup", "decontamination"),
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram contamination RATE against the held-out
+    eval split: the fraction of a training document's distinct 3-word
+    shingles that also occur anywhere in the eval set — the standard
+    n-gram-overlap decontamination metric (the graded sibling of
+    ``text_decontaminate``'s binary whole-text gate; pipelines drop or
+    down-weight docs above a rate threshold).
+
+    Scale: the eval shingle vocabulary is tiny relative to the corpus
+    (5% of docs, distinct shingles only) so it BROADCASTS, and the
+    contamination check is a broadcast left join over the training
+    shingle index — the corpus shuffles once, on doc_id, for the
+    per-doc aggregate. Same blocklist-broadcast shape as
+    ``text_decontaminate``, with counts instead of existence.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    tagged = docs.withColumn("is_eval", h2 < _EVAL_CUT)
+    # The index is materialized ONCE: it feeds both the eval
+    # vocabulary and the training-side probe, and the shingle
+    # expression is the expensive part of the whole plan — recomputing
+    # it per consumer measured 1.8x slower. (Measured variants: a
+    # narrow per-doc array_distinct loses to the shuffled distinct
+    # here — array_distinct is per-row quadratic on ~100-shingle
+    # arrays while the shuffle gets map-side partial dedup.)
+    sh = tagged.select(
+        "doc_id", "is_eval", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
+    ).distinct().localCheckpoint()
+    eval_sh = sh.filter("is_eval").select("shingle").distinct()
+    e = eval_sh.withColumn("__hit", F.lit(1))
+    return (
+        sh.filter(~F.col("is_eval"))
+        .join(F.broadcast(e), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_contaminated"),
+            dround(
+                F.count("__hit").cast("double") / F.count(F.lit(1)), 6
+            ).alias("contamination_rate"),
+        )
+    )

@@ -144,3 +144,52 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+
+
+# --- deterministic train/val/test split ----------------------------
+# Cut points on the first md5 byte of doc_id: train < 'cc' (204/256
+# ~ 79.7%), val < 'e6' (230/256 ~ 89.8%), else test.
+
+_SPLIT_TRAIN_CUT = "cc"
+_SPLIT_VAL_CUT = "e6"
+
+_ORACLE_SAMPLE_SPLIT = f"""
+WITH k AS (
+    SELECT lang,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+    FROM documents
+)
+SELECT CASE WHEN h2 < '{_SPLIT_TRAIN_CUT}' THEN 'train'
+            WHEN h2 < '{_SPLIT_VAL_CUT}' THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM k
+GROUP BY 1, 2
+"""
+
+
+@register("sample_split", _ORACLE_SAMPLE_SPLIT, tags=("sampling", "llm"))
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by keyed md5
+    bucket, reported as per-(split, language) counts — the canonical
+    dataset-split operator. A document's split NEVER changes as the
+    corpus grows around it (the hash keys on doc_id alone), which is
+    what makes incremental re-runs and cross-team reproducibility
+    work; RNG splits guarantee neither.
+
+    Scale: narrow map (one md5 + two comparisons per row), zero
+    shuffle before the tiny (3 × n_langs)-row aggregate; the same
+    predicate applied as a filter materializes any one split with
+    full pushdown.
+    """
+    docs = load(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < _SPLIT_TRAIN_CUT, "train")
+        .when(h2 < _SPLIT_VAL_CUT, "val")
+        .otherwise("test")
+    )
+    return docs.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -94,6 +94,7 @@ _KEY_ORDER = (
     "dedup_near_verified", "embed_norm_bins",
     "events_retention", "events_paths", "win_streak",
     "agg_weighted_avg", "agg_mode",
+    "text_contamination_ngram", "sample_split",
     # code touched in round 3 — re-prove
     "dedup_jaccard_capped", "sim_knn", "dedup_embedding",
     # round-2-green re-confirmation (LLM family first)
