@@ -218,3 +218,66 @@ def sample_frames(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
 
     return payloads.mapInPandas(run, out_schema)
+
+
+def resize_images(
+    decoded: DataFrame, max_w: int = 224, max_h: int = 224
+) -> DataFrame:
+    """Resize plumbing: scale each decoded image's (width, height)
+    into the ``max_w × max_h`` box preserving aspect ratio, and scale
+    the feature vector by the same factor (the deterministic fake for
+    re-encoding at the new resolution — a real codec would resample
+    pixels; the Arrow-batch contract is identical).
+
+    Runs on the DECODED features table, not the payload table: resize
+    decisions need only metadata-sized rows, so the bytes stay out of
+    this stage entirely — at 100 TB the payload is fetched again (or
+    better, decoded once into a cache) only for rows whose target size
+    actually changed.
+    """
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("scale_num", IntegerType(), False),
+            StructField("scale_den", IntegerType(), False),
+            StructField("feature", ArrayType(DoubleType()), True),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, w, h, feat in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["feature"]
+            ):
+                w, h = int(w), int(h)
+                fl = [] if feat is None else [float(x) for x in feat]
+                if w <= 0 or h <= 0:
+                    rows.append((doc_id, 0, 0, 0, 1, fl))
+                    continue
+                # integer scale factor num/den: largest shrink that fits
+                # the box (never upscale) — exact, no float geometry
+                den = max(w, h)
+                num = min(den, min(max_w * den // w, max_h * den // h))
+                rows.append(
+                    (
+                        doc_id,
+                        w * num // den,
+                        h * num // den,
+                        num,
+                        den,
+                        [x * num / den for x in fl],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "scale_num", "scale_den", "feature",
+                ],
+            )
+
+    return decoded.mapInPandas(run, out_schema)

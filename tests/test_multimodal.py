@@ -57,3 +57,25 @@ def test_sample_frames_offsets(spark, sf_dir):
     for doc_id, n in sizes.items():
         got = (frames["doc_id"] == doc_id).sum()
         assert got == -(-n // 32)
+
+
+def test_resize_fits_box_and_preserves_aspect(spark, sf_dir):
+    """resize_images must never upscale, must fit the target box, and
+    must keep the aspect ratio within integer-arithmetic tolerance."""
+    from mapreducepy_spark.io import load
+    from mapreducepy_spark.llm import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents").limit(50)
+    decoded = mm.decode_images(mm.attach_payload(docs))
+    out = mm.resize_images(decoded, max_w=100, max_h=80).toPandas()
+    src = decoded.toPandas().set_index("doc_id")
+    assert len(out) == len(src)
+    for row in out.itertuples():
+        w0, h0 = int(src.loc[row.doc_id, "width"]), int(src.loc[row.doc_id, "height"])
+        assert 0 < row.width <= min(100, w0)
+        assert 0 < row.height <= min(80, h0)
+        # aspect preserved: floor(x * num/den) off by < 1 pixel-ratio
+        assert abs(row.width * h0 - row.height * w0) <= max(w0, h0)
+        # features scaled by exactly num/den
+        f0 = list(src.loc[row.doc_id, "feature"])
+        assert list(row.feature) == [x * row.scale_num / row.scale_den for x in f0]
