@@ -237,3 +237,42 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 10)
         .select("n_name", "r_name", dist.cast("int").alias("edit_dist"))
     )
+
+
+# Patterns kept to the RE2 ∩ java.util.regex common subset (character
+# classes, quantifiers, anchors, one capture group) — Spark compiles
+# Java regex, DuckDB compiles RE2; lookaround/backrefs would diverge.
+_ORACLE_FN_REGEX = """
+SELECT doc_id,
+       source,
+       CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) AS src_num,
+       CAST(regexp_matches(source, 'src1[0-9]$') AS INT) AS is_teen_src,
+       CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_vowel_runs,
+       regexp_replace(substr(text, 1, 40), '[aeiou]', '*', 'g') AS masked_prefix
+FROM documents
+"""
+
+
+@register("fn_regex", _ORACLE_FN_REGEX, tags=("functions", "regex"))
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — regular-expression family: capture-group extract, boolean
+    match, match-all count, and global replace (the scalar toolkit
+    behind log parsing and PII masking passes).
+
+    Scale: all four are narrow per-row projections inside one
+    whole-stage-codegen span — zero shuffle, and the regexes compile
+    once per task, not per row.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        F.regexp_extract("source", r"src([0-9]+)", 1).cast("int").alias("src_num"),
+        F.col("source").rlike(r"src1[0-9]$").cast("int").alias("is_teen_src"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[aeiou]+"), 0))
+        .cast("bigint")
+        .alias("n_vowel_runs"),
+        F.regexp_replace(F.substring("text", 1, 40), r"[aeiou]", "*").alias(
+            "masked_prefix"
+        ),
+    )

@@ -497,3 +497,163 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         dround("ttr", 6).alias("type_token_ratio"),
     )
+
+
+# --- intra-document repetition signals ------------------------------
+
+_ORACLE_TEXT_REPETITION = """
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, t,
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS b
+    FROM base
+    WHERE len(t) >= 2
+),
+scored AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           (floor((1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                  * 1000000.0 + 0.5) / 1000000.0) AS dup_word_ratio,
+           list_max(list_transform(list_distinct(b),
+                    x -> len(list_filter(b, y -> y = x)))) AS top_n,
+           len(b) AS n_bigrams,
+           b
+    FROM bg
+)
+SELECT doc_id, n_tokens, dup_word_ratio,
+       list_min(list_filter(list_distinct(b),
+                x -> len(list_filter(b, y -> y = x)) = top_n)) AS top_bigram,
+       (floor((CAST(top_n AS DOUBLE) / n_bigrams) * 1000000.0 + 0.5)
+        / 1000000.0) AS top_bigram_frac
+FROM scored
+"""
+
+
+@register("text_repetition", _ORACLE_TEXT_REPETITION, tags=("llm", "text", "quality"))
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate-word
+    ratio and most-frequent-bigram fraction — the filters that catch
+    boilerplate and keyboard-mash documents that length/stopword
+    gates miss.
+
+    Scale: ZERO shuffle — every signal is computed inside the row's
+    own token array with higher-order functions (transform / filter /
+    array_distinct), so the whole operator is one narrow
+    whole-stage-codegen projection; 100 TB just means more
+    partitions. The per-row cost is O(distinct_bigrams × n_bigrams),
+    bounded by document length, not corpus size. Tie-break: the
+    lexicographically smallest bigram among those at the max count,
+    identical on both engines.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    d = d.withColumn(
+        "b",
+        F.expr(
+            "transform(slice(t, 1, size(t) - 1), "
+            "(x, i) -> concat(x, ' ', t[i + 1]))"
+        ),
+    )
+    d = d.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        dround(
+            1.0 - F.size(F.array_distinct("t")).cast("double") / F.size("t"), 6
+        ).alias("dup_word_ratio"),
+        F.expr(
+            "array_max(transform(array_distinct(b), "
+            "x -> size(filter(b, y -> y = x))))"
+        ).alias("top_n"),
+        F.size("b").alias("n_bigrams"),
+        "b",
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "dup_word_ratio",
+        F.expr(
+            "array_min(filter(array_distinct(b), "
+            "x -> size(filter(b, y -> y = x)) = top_n))"
+        ).alias("top_bigram"),
+        dround(F.col("top_n").cast("double") / F.col("n_bigrams"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+# --- out-of-vocabulary rate vs the corpus top-K vocabulary ----------
+
+_OOV_VOCAB_K = 10
+
+_ORACLE_TEXT_OOV = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+nonempty AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+vocab AS (
+    SELECT word
+    FROM (
+        SELECT word, COUNT(*) AS n FROM nonempty GROUP BY word
+    )
+    ORDER BY n DESC, word ASC
+    LIMIT {_OOV_VOCAB_K}
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       (floor((SUM(CASE WHEN v.word IS NULL THEN 1.0 ELSE 0.0 END)
+               / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0) AS oov_rate
+FROM nonempty t
+LEFT JOIN vocab v ON t.word = v.word
+GROUP BY t.doc_id
+"""
+
+
+@register("text_oov_rate", _ORACLE_TEXT_OOV, tags=("llm", "text", "quality"))
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's top-K
+    vocabulary — the tokenizer-coverage proxy used to spot documents
+    a fixed vocab would shred into byte fallbacks.
+
+    Scale: the vocabulary is a TakeOrdered top-K (per-partition heaps
+    over the word counts, no global sort) and is K rows, so the
+    membership test is a BROADCAST left join — the token stream
+    shuffles once for the word count and once keyed by doc_id for the
+    per-doc rollup, both combiner-friendly. Deterministic tie-break
+    (count desc, word asc) pins the vocab across engines.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(_OOV_VOCAB_K)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            dround(
+                F.sum(
+                    F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0)
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

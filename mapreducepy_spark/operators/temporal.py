@@ -440,3 +440,122 @@ def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").alias("longest_streak"),
         F.sum("run_len").alias("n_active_days"),
     )
+
+
+# --- per-type z-score outliers --------------------------------------
+
+_ORACLE_EVENTS_ANOMALY = """
+WITH stats AS (
+    SELECT event_type,
+           AVG(value) AS mu,
+           stddev_samp(value) AS sd
+    FROM events
+    GROUP BY event_type
+)
+SELECT e.event_id,
+       e.event_type,
+       (floor(e.value * 100.0 + 0.5) / 100.0) AS value,
+       (floor(((e.value - s.mu) / s.sd) * 10000.0 + 0.5) / 10000.0) AS z
+FROM events e
+JOIN stats s ON e.event_type = s.event_type
+WHERE abs((floor(((e.value - s.mu) / s.sd) * 10000.0 + 0.5) / 10000.0)) > 2.0
+"""
+
+
+@register("events_anomaly", _ORACLE_EVENTS_ANOMALY, tags=("temporal", "quality"))
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier detection: events whose value sits
+    more than 2σ from their type's mean — the cheap statistical gate a
+    pipeline runs before alerting or discarding telemetry.
+
+    Scale: the stats table is one row per event type (bytes), so it
+    BROADCASTS back onto the stream; the only shuffle is the partial
+    aggregation of #types × #partitions rows. The event stream itself
+    is never shuffled — this is the same broadcast-stats shape as
+    ``events_retention``.
+
+    Hash parity: the 2σ membership test runs on the ROUNDED z on both
+    engines — the raw z differs in trailing ulps across engines
+    (parallel vs sequential float summation in avg/stddev), and a
+    knife-edge row flipping in or out of the filter would change the
+    row count, not just a cell. Rounding first collapses both engines
+    to the same 1e-4 grid before the comparison.
+    """
+    e = load(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = dround((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            dround("value", 2).alias("value"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 2.0)
+    )
+
+
+# --- rolling 7-day distinct users -----------------------------------
+
+_ORACLE_EVENTS_DAU_ROLLING = """
+WITH daily AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+dau AS (
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM daily GROUP BY d
+),
+wau AS (
+    SELECT dau.d, CAST(COUNT(DISTINCT daily.user_id) AS BIGINT) AS wau_7d
+    FROM dau
+    JOIN daily ON daily.d BETWEEN dau.d - 6 AND dau.d
+    GROUP BY dau.d
+)
+SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, wau.wau_7d
+FROM dau JOIN wau ON dau.d = wau.d
+"""
+
+
+@register("events_dau_rolling", _ORACLE_EVENTS_DAU_ROLLING, tags=("temporal",))
+def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users plus 7-day rolling distinct users (DAU/WAU)
+    — the canonical engagement rollup, and the one sliding-window
+    metric a plain window frame CANNOT express (COUNT(DISTINCT) over a
+    RANGE frame is unsupported in both engines).
+
+    Scale: the standard trick — dedup to (user, day) once, then each
+    row CONTRIBUTES itself to the ≤7 window-ends it can influence via
+    one ``explode(sequence(d, d+6))``. Shuffle volume is 7× the daily-
+    active table (users × days, tiny next to raw events), never a
+    self-join of the event stream against itself. The observed-days
+    filter is a broadcast semi-join on a ≤#days-row table.
+    """
+    e = load(spark, sf_dir, "events")
+    # daily feeds both the DAU agg and the contribution explode —
+    # materialize it once or each consumer re-scans + re-dedups the
+    # raw events (the multi-consumer recompute trap, dedup.py:554).
+    daily = (
+        e.select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    dau = daily.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    contrib = daily.select(
+        "user_id",
+        F.explode(F.sequence("d", F.date_add("d", 6))).alias("w"),
+    )
+    wau = (
+        contrib.join(
+            F.broadcast(dau.select(F.col("d").alias("w"))), "w", "left_semi"
+        )
+        .groupBy("w")
+        .agg(F.countDistinct("user_id").alias("wau_7d"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.w)
+        # DATE-typed outputs canonicalize differently across pandas
+        # bridges -> ISO string on both sides (events_retention rule).
+        .select(F.col("d").cast("string").alias("day"), "dau", "wau_7d")
+    )

@@ -95,9 +95,13 @@ _KEY_ORDER = (
     "events_retention", "events_paths", "win_streak",
     "agg_weighted_avg", "agg_mode",
     "text_contamination_ngram", "sample_split",
+    "text_repetition", "text_oov_rate", "events_anomaly",
+    "events_dau_rolling", "fn_regex",
     # code touched in round 3 — re-prove
     "dedup_jaccard_capped", "sim_knn", "dedup_embedding",
-    # round-2-green re-confirmation (LLM family first)
+    # round-2-green re-confirmation (LLM family first; the keys these
+    # five new operators displaced past position 50 rest on green
+    # round-2 rows)
     "dedup_exact", "dedup_near", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_clusters", "sim_ann_lsh", "sim_ann_ivf",
     "text_stats", "text_tfidf", "multimodal_cols",

@@ -237,3 +237,40 @@ def test_pack_sequences_has_no_explode(spark, sf_dir):
     would be the whole corpus token stream."""
     plan = plan_of(spark, "text_pack_sequences", sf_dir)
     assert "Generate" not in plan
+
+
+@pytest.mark.parametrize("name", ["text_repetition", "fn_regex"])
+def test_narrow_ops_have_no_keyed_exchange(spark, sf_dir, name):
+    """Both operators claim ZERO algorithmic shuffle (pure per-row
+    projection via higher-order array functions / regex scalars) — no
+    hash/range Exchange allowed. The round-robin Exchange from
+    ``load_spread`` (single-file fixture fan-out) is data
+    distribution, not algorithm, and is permitted."""
+    plan = plan_of(spark, name, sf_dir, mode="simple")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["text_oov_rate", "events_anomaly", "events_dau_rolling"]
+)
+def test_round3b_small_side_broadcasts(spark, sf_dir, name):
+    """The top-K vocab / per-type stats / observed-days table are all
+    tiny by construction — they must reach the big side as broadcasts,
+    never a sort-merge shuffle of the stream."""
+    plan = plan_of(spark, name, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dau_rolling_contribution_not_self_join(spark, sf_dir):
+    """The 7-day distinct-user count must come from the explode-
+    contribution pattern (Generate over sequence(d, d+6)), not an
+    events-by-events range self-join — the plan has a Generate and
+    its only joins are broadcasts."""
+    plan = plan_of(spark, "events_dau_rolling", sf_dir)
+    assert "Generate" in plan
+    assert "SortMergeJoin" not in plan
