@@ -122,14 +122,14 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _candidate_pairs(spark, sf_dir)
 
 
-def _candidate_pairs(
+def _minhash_table(
     spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs (doc_a < doc_b), shared by
-    ``dedup_near``, ``dedup_clusters`` and ``dedup_near_verified``
-    (which passes its already-materialized (doc_id, shingle) index as
-    ``shingles`` so the corpus is exploded once, not twice — min() is
-    duplicate-insensitive, so the index's distinct() changes nothing)."""
+    """One row per doc_id with the 8 minhash columns ``mh0..mh7``.
+    Callers with an already-materialized (doc_id, shingle) index pass
+    it as ``shingles`` so the corpus is exploded once, not twice —
+    min() is duplicate-insensitive, so the index's distinct() changes
+    nothing."""
     if shingles is not None:
         sh = shingles.select("doc_id", F.md5("shingle").alias("h"))
     else:
@@ -141,8 +141,25 @@ def _candidate_pairs(
         sh = docs.select(
             "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
         ).select("doc_id", F.md5("shingle").alias("h"))
-    mh = sh.groupBy("doc_id").agg(
+    return sh.groupBy("doc_id").agg(
         *[F.min(F.expr(_rot("h", i))).alias(f"mh{i}") for i in range(_N_HASHES)]
+    )
+
+
+def _candidate_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    shingles: DataFrame | None = None,
+    minhashes: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (doc_a < doc_b), shared by
+    ``dedup_near``, ``dedup_clusters``, ``dedup_near_verified`` and
+    ``dedup_minhash_est`` (the latter passes its already-materialized
+    signature table as ``minhashes``)."""
+    mh = (
+        minhashes
+        if minhashes is not None
+        else _minhash_table(spark, sf_dir, shingles)
     )
     # one explode, NOT a 4-way union of selects from mh: union branches
     # are separate plan subtrees, so Spark would recompute the whole
@@ -824,5 +841,59 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(
                 F.count("__hit").cast("double") / F.count(F.lit(1)), 6
             ).alias("contamination_rate"),
+        )
+    )
+
+
+# --- sketch-accuracy ledger: estimated Jaccard from the signatures --
+
+def _duck_minhash_est() -> str:
+    matches = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(_N_HASHES)
+    )
+    return f"""
+WITH {_duck_lsh_ctes()}
+SELECT c.doc_a, c.doc_b,
+       CAST(({matches}) AS BIGINT) AS n_matching_hashes,
+       (floor((CAST(({matches}) AS DOUBLE) / {_N_HASHES}) * 1000000.0 + 0.5)
+        / 1000000.0) AS est_jaccard
+FROM cand_pairs c
+JOIN mh a ON a.doc_id = c.doc_a
+JOIN mh b ON b.doc_id = c.doc_b
+"""
+
+
+@register("dedup_minhash_est", _duck_minhash_est(), tags=("llm", "dedup", "lsh"))
+def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-side Jaccard ESTIMATE for every LSH candidate pair: the
+    fraction of the 8 minhashes that agree — the number a pipeline
+    compares against ``dedup_near_verified``'s exact Jaccard to
+    monitor sketch accuracy and tune band/row counts before trusting
+    the sketch at full scale (where exact verification is sampled,
+    not exhaustive).
+
+    Scale: the signature table is ONE row per doc (8 fixed-width
+    columns) and is localCheckpoint-ed because it feeds both the band
+    join and the two signature probes — without it the corpus would
+    be re-shingled per consumer. The estimate join shuffles only
+    signatures keyed by doc_id; documents and shingles never ride it.
+    """
+    mh = _minhash_table(spark, sf_dir).localCheckpoint()
+    cand = _candidate_pairs(spark, sf_dir, minhashes=mh)
+    a = mh.alias("a")
+    b = mh.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(_N_HASHES)
+    )
+    return (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.cast("bigint").alias("n_matching_hashes"),
+            dround(matches.cast("double") / _N_HASHES, 6).alias("est_jaccard"),
         )
     )

@@ -622,38 +622,175 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary — the tokenizer-coverage proxy used to spot documents
     a fixed vocab would shred into byte fallbacks.
 
-    Scale: the vocabulary is a TakeOrdered top-K (per-partition heaps
-    over the word counts, no global sort) and is K rows, so the
-    membership test is a BROADCAST left join — the token stream
-    shuffles once for the word count and once keyed by doc_id for the
-    per-doc rollup, both combiner-friendly. Deterministic tie-break
-    (count desc, word asc) pins the vocab across engines.
+    Scale: the corpus is tokenized ONCE into the per-(doc, word)
+    count table — the same tf table tfidf builds — which is then
+    localCheckpoint-ed because it feeds two consumers (the vocabulary
+    aggregation and the per-doc rollup); without the materialization
+    each consumer re-explodes the whole corpus (the multi-consumer
+    recompute trap, dedup.py:554). The vocabulary is a TakeOrdered
+    top-K (per-partition heaps, no global sort) of the word sums and
+    is K rows, so the membership test is a BROADCAST left join over
+    the compact tf table, never the raw token stream. Deterministic
+    tie-break (count desc, word asc) pins the vocab across engines.
     """
     docs = load_spread(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
-    vocab = (
-        toks.groupBy("word")
+    tw = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    vocab = (
+        tw.groupBy("word")
+        .agg(F.sum("n").alias("n"))
         .orderBy(F.col("n").desc(), F.col("word").asc())
         .limit(_OOV_VOCAB_K)
         .select("word", F.lit(1).alias("in_vocab"))
     )
+    oov_n = F.sum(F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(0))
     return (
-        toks.join(F.broadcast(vocab), "word", "left")
+        tw.join(F.broadcast(vocab), "word", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_oov"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            oov_n.cast("bigint").alias("n_oov"),
+            dround(oov_n.cast("double") / F.sum("n"), 6).alias("oov_rate"),
+        )
+    )
+
+
+# --- TF-IDF keyword extraction --------------------------------------
+
+_KEYWORDS_PER_DOC = 3
+
+_ORACLE_TEXT_KEYWORDS = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks WHERE word <> '' GROUP BY doc_id, word
+),
+df AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.word,
+           (floor((tf.tf * ln(n.n_docs / df.df)) * 1000000.0 + 0.5)
+            / 1000000.0) AS tfidf
+    FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, word, tfidf,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, word ASC
+           ) AS INT) AS rank
+    FROM scored
+)
+SELECT doc_id, rank, word, tfidf
+FROM ranked WHERE rank <= {_KEYWORDS_PER_DOC}
+"""
+
+
+@register("text_keywords", _ORACLE_TEXT_KEYWORDS, tags=("llm", "text"))
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document — the cheap summarization /
+    routing signal a pipeline attaches to every document for topic
+    bucketing and inspection sampling.
+
+    Scale: same shape as ``text_tfidf`` (one tokenize, df derived
+    from tf, vocabulary-sized broadcast) plus a per-doc top-k window;
+    Catalyst rewrites the rank<=k filter into a WindowGroupLimit
+    (per-partition heaps), so no document's full term list is ever
+    sorted globally.
+
+    Hash parity: the window ORDERS BY THE ROUNDED tfidf. Ordering on
+    the raw double would let a 1-ulp libm difference (Java vs DuckDB
+    ``ln``) flip near-ties — e.g. ``2·ln(x)`` vs ``ln(x²)`` collide
+    to the same grid cell but not the same double — and pick a
+    different keyword on each engine; on the 1e-6 grid those near-
+    ties become exact ties, broken by ``word ASC`` identically.
+    """
+    from pyspark.sql.window import Window
+
+    scored = text_tfidf(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _KEYWORDS_PER_DOC)
+        .select("doc_id", "rank", "word", "tfidf")
+    )
+
+
+# --- unigram-LM cross-entropy (perplexity proxy) --------------------
+
+_ORACLE_TEXT_PERPLEXITY = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+tw AS (
+    SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks WHERE word <> '' GROUP BY doc_id, word
+),
+wc AS (SELECT word, CAST(SUM(n) AS BIGINT) AS cnt FROM tw GROUP BY word),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM wc)
+SELECT tw.doc_id,
+       CAST(SUM(tw.n) AS BIGINT) AS n_tokens,
+       (floor((-SUM(tw.n * ln(wc.cnt / tot.total)) / SUM(tw.n))
+              * 1000000.0 + 0.5) / 1000000.0) AS cross_entropy
+FROM tw JOIN wc ON tw.word = wc.word CROSS JOIN tot
+GROUP BY tw.doc_id
+"""
+
+
+@register(
+    "text_perplexity_proxy", _ORACLE_TEXT_PERPLEXITY,
+    tags=("llm", "text", "quality"),
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM cross-entropy (a perplexity proxy):
+    −Σ n_w·ln p(w) / Σ n_w with p estimated from the corpus itself —
+    the standard cheap fluency filter (CCNet-style) that flags
+    keyboard mash (high CE) and degenerate repetition (low CE)
+    without a neural LM.
+
+    Scale: ONE tokenize into the per-(doc, word) count table,
+    localCheckpoint-ed because it feeds both the vocabulary
+    aggregation and the per-doc probe (multi-consumer recompute trap,
+    dedup.py:554). The unigram table is vocabulary-sized so it
+    BROADCASTS; the only big shuffle is the per-doc rollup keyed on
+    doc_id. Same two-pass broadcast shape as ``text_oov_rate``.
+
+    Hash parity: p(w) = cnt/total is an exact-integer division (bit-
+    identical); ``ln`` may differ by 1 ulp across libms, which the
+    1e-6 rounding absorbs (error ≪ grid).
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    tw = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    wc = tw.groupBy("word").agg(F.sum("n").alias("cnt"))
+    tot = wc.agg(F.sum("cnt").cast("double").alias("total"))
+    return (
+        tw.join(F.broadcast(wc), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
             dround(
-                F.sum(
-                    F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0)
-                )
-                / F.count(F.lit(1)),
+                -F.sum(F.col("n") * F.log(F.col("cnt") / F.col("total")))
+                / F.sum("n"),
                 6,
-            ).alias("oov_rate"),
+            ).alias("cross_entropy"),
         )
     )

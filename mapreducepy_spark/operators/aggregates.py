@@ -541,3 +541,78 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("n_name", F.col("c_mktsegment").alias("mode_mktsegment"), "n_customers")
     )
+
+
+_ORACLE_AGG_PARETO = """
+WITH rev AS (
+    SELECT l_suppkey,
+           (floor((SUM(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5)
+            / 100.0) AS revenue
+    FROM lineitem
+    GROUP BY l_suppkey
+),
+c AS (
+    SELECT l_suppkey, revenue,
+           SUM(revenue) OVER (
+               ORDER BY revenue DESC, l_suppkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM rev
+),
+t AS (SELECT l_suppkey, revenue, cum, MAX(cum) OVER () AS total FROM c)
+SELECT l_suppkey, revenue,
+       (floor((revenue / total) * 1000000.0 + 0.5) / 1000000.0) AS rev_share,
+       (floor((cum / total) * 1000000.0 + 0.5) / 1000000.0) AS cum_share,
+       CAST((floor((cum / total) * 1000000.0 + 0.5) / 1000000.0) <= 0.8 AS INT)
+           AS in_top80
+FROM t
+"""
+
+
+@register("agg_pareto", _ORACLE_AGG_PARETO, tags=("agg", "analytics"))
+def agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) ledger per supplier: revenue,
+    share of total, cumulative share in descending-revenue order, and
+    the 80%-of-revenue membership flag — the skew profile that decides
+    where salting / bucketing effort goes.
+
+    Scale: the window runs over the AGGREGATED supplier table
+    (#suppliers rows, orders of magnitude below the fact table), so
+    the single-partition ordered window is bounded by dimension
+    cardinality, not data volume; at a cardinality where that breaks,
+    the cumulative sum becomes the classic two-pass partition-prefix
+    rollup. The fact-table side is one combiner-friendly groupBy.
+
+    Hash parity: per-supplier revenue is rounded FIRST; the running
+    sum then adds identical doubles in the identical (revenue desc,
+    suppkey asc) order on both engines, so every cumulative value is
+    bit-identical — and the grand total is taken as MAX(cum), never a
+    separate order-sensitive re-aggregation.
+    """
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+    order = [F.col("revenue").desc(), F.col("l_suppkey").asc()]
+    w_run = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    c = rev.withColumn("cum", F.sum("revenue").over(w_run)).withColumn(
+        "total", F.max("cum").over(w_all)
+    )
+    cum_share = dround(F.col("cum") / F.col("total"), 6)
+    return c.select(
+        "l_suppkey",
+        "revenue",
+        dround(F.col("revenue") / F.col("total"), 6).alias("rev_share"),
+        cum_share.alias("cum_share"),
+        (cum_share <= 0.8).cast("int").alias("in_top80"),
+    )

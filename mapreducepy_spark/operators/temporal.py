@@ -559,3 +559,66 @@ def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bridges -> ISO string on both sides (events_retention rule).
         .select(F.col("d").cast("string").alias("day"), "dau", "wau_7d")
     )
+
+
+# --- per-user lifecycle / dormancy ----------------------------------
+
+_ORACLE_EVENTS_LIFECYCLE = """
+WITH pu AS (
+    SELECT user_id,
+           MIN(CAST(ts AS DATE)) AS first_seen,
+           MAX(CAST(ts AS DATE)) AS last_seen,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days
+    FROM events
+    GROUP BY user_id
+),
+m AS (SELECT MAX(last_seen) AS global_max FROM pu)
+SELECT pu.user_id,
+       CAST(pu.first_seen AS VARCHAR) AS first_seen,
+       CAST(pu.last_seen AS VARCHAR) AS last_seen,
+       pu.n_events,
+       pu.n_active_days,
+       CAST(date_diff('day', pu.last_seen, m.global_max) AS INT)
+           AS days_inactive,
+       CAST(date_diff('day', pu.last_seen, m.global_max) >= 1 AS INT)
+           AS is_dormant
+FROM pu, m
+"""
+
+
+@register("events_user_lifecycle", _ORACLE_EVENTS_LIFECYCLE, tags=("temporal",))
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifecycle ledger: first/last activity, event and
+    active-day counts, days inactive vs the corpus horizon, and a
+    dormancy flag — the churn-analysis base table a pipeline
+    materializes from the raw stream.
+
+    Scale: one groupBy(user_id) with all-exact aggregates (dates and
+    counts — no float parity risk anywhere), then the 1-row global
+    horizon broadcast back via cross join; the event stream shuffles
+    once, keyed by user.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    pu = e.groupBy("user_id").agg(
+        F.min("d").alias("first_seen"),
+        F.max("d").alias("last_seen"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("d").cast("bigint").alias("n_active_days"),
+    )
+    m = pu.agg(F.max("last_seen").alias("global_max"))
+    inactive = F.datediff("global_max", "last_seen").cast("int")
+    return (
+        pu.crossJoin(F.broadcast(m))
+        .select(
+            "user_id",
+            F.col("first_seen").cast("string").alias("first_seen"),
+            F.col("last_seen").cast("string").alias("last_seen"),
+            "n_events",
+            "n_active_days",
+            inactive.alias("days_inactive"),
+            (inactive >= 1).cast("int").alias("is_dormant"),
+        )
+    )

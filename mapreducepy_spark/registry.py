@@ -97,11 +97,13 @@ _KEY_ORDER = (
     "text_contamination_ngram", "sample_split",
     "text_repetition", "text_oov_rate", "events_anomaly",
     "events_dau_rolling", "fn_regex",
+    "text_keywords", "text_perplexity_proxy", "dedup_minhash_est",
+    "agg_pareto", "events_user_lifecycle",
     # code touched in round 3 — re-prove
     "dedup_jaccard_capped", "sim_knn", "dedup_embedding",
-    # round-2-green re-confirmation (LLM family first; the keys these
-    # five new operators displaced past position 50 rest on green
-    # round-2 rows)
+    # round-2-green re-confirmation (22 new round-3 keys claimed most
+    # of this block's window slots; every key displaced past position
+    # 50 rests on a green round-2 row)
     "dedup_exact", "dedup_near", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_clusters", "sim_ann_lsh", "sim_ann_ivf",
     "text_stats", "text_tfidf", "multimodal_cols",

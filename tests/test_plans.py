@@ -274,3 +274,45 @@ def test_dau_rolling_contribution_not_self_join(spark, sf_dir):
     plan = plan_of(spark, "events_dau_rolling", sf_dir)
     assert "Generate" in plan
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_keywords",
+        "text_perplexity_proxy",
+        "dedup_minhash_est",
+        "agg_pareto",
+        "events_user_lifecycle",
+    ],
+)
+def test_round3c_operators_stay_jvm_side(spark, sf_dir, name):
+    """The late-round-3 batch: built-in expressions only, no per-row
+    Python, no unkeyed pair join."""
+    plan = plan_of(spark, name, sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_keywords_topk_is_window_group_limit(spark, sf_dir):
+    """rank<=3 over the per-doc window must execute as a
+    WindowGroupLimit (per-partition heaps), not a full sort of every
+    document's term list followed by a filter."""
+    plan = plan_of(spark, "text_keywords", sf_dir)
+    assert "WindowGroupLimit" in plan
+
+
+def test_perplexity_unigram_table_broadcasts(spark, sf_dir):
+    """The vocabulary-sized unigram table must reach the tf side as a
+    broadcast — the corpus-sized side never shuffles for the probe."""
+    plan = plan_of(spark, "text_perplexity_proxy", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pareto_windows_share_one_exchange(spark, sf_dir):
+    """Both window frames order identically, so the plan must sort the
+    supplier aggregate ONCE (a single rangepartitioning Exchange), not
+    once per frame."""
+    plan = plan_of(spark, "agg_pareto", sf_dir, mode="simple")
+    assert plan.count("Exchange rangepartitioning") <= 1
