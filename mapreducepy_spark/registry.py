@@ -99,13 +99,16 @@ _KEY_ORDER = (
     "events_dau_rolling", "fn_regex",
     "text_keywords", "text_perplexity_proxy", "dedup_minhash_est",
     "agg_pareto", "events_user_lifecycle",
-    # code touched in round 3 — re-prove
+    # code touched in round 3 — re-prove (dedup_near and
+    # dedup_clusters ride the _candidate_pairs/_minhash_table
+    # refactor that dedup_minhash_est introduced)
     "dedup_jaccard_capped", "sim_knn", "dedup_embedding",
+    "dedup_near", "dedup_clusters",
     # round-2-green re-confirmation (22 new round-3 keys claimed most
     # of this block's window slots; every key displaced past position
     # 50 rests on a green round-2 row)
-    "dedup_exact", "dedup_near", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_clusters", "sim_ann_lsh", "sim_ann_ivf",
+    "dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
+    "sim_ann_lsh", "sim_ann_ivf",
     "text_stats", "text_tfidf", "multimodal_cols",
     "join_asof", "fn_string", "scan_project", "win_session",
     # ---- position 50 boundary falls in the block above once the
