@@ -1,0 +1,77 @@
+"""Bucketed-table co-located joins (the pay-the-shuffle-once path):
+a join between two tables bucketed by the join key must plan with NO
+Exchange on either side — at 100 TB that is the difference between a
+partition-local merge and a full-cluster shuffle per join."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreducepy_spark.io import load
+from mapreducepy_spark.plans import plan_text, read_bucketed, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    write_bucketed(o, "orders_b", ["o_custkey"], 4)
+    write_bucketed(c, "customer_b", ["c_custkey"], 4)
+    yield ("orders_b", "customer_b")
+    for t in ("orders_b", "customer_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed_tables):
+    """Both sides bucketed by the join key into the same bucket count:
+    the join must consume the bucket layout directly — zero Exchange
+    nodes anywhere in the plan."""
+    ot, ct = bucketed_tables
+    o = read_bucketed(spark, ot)
+    c = read_bucketed(spark, ct)
+    # disable broadcast so the plan must choose a shuffle-family join
+    # — that is the strategy whose Exchange the bucketing elides
+    with _no_broadcast(spark):
+        j = o.join(c, o.o_custkey == c.c_custkey)
+        plan = plan_text(j, "simple")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() > 0
+
+
+def test_bucketed_groupby_skips_shuffle(spark, sf_dir, bucketed_tables):
+    """An aggregation keyed on the bucket column reuses the bucket
+    layout: no Exchange between scan and final aggregate."""
+    ot, _ = bucketed_tables
+    o = read_bucketed(spark, ot)
+    agg = o.groupBy("o_custkey").count()
+    plan = plan_text(agg, "simple")
+    assert "Exchange" not in plan
+
+
+def test_unbucketed_join_does_shuffle(spark, sf_dir):
+    """Control: the same join over the raw parquet (no bucket
+    metadata) must plan Exchanges — proving the elision above comes
+    from the bucketing, not from the fixtures being small."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    with _no_broadcast(spark):
+        j = o.join(c, o.o_custkey == c.c_custkey)
+        plan = plan_text(j, "simple")
+        assert "Exchange" in plan
+
+
+class _no_broadcast:
+    """Temporarily disable broadcast joins (restores on exit)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.prev)
+        return False
