@@ -559,6 +559,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(x, i) -> concat(x, ' ', t[i + 1]))"
         ),
     )
+    # the O(distinct × n) per-bigram count scan runs ONCE into a
+    # (n, bg) struct array; both the max count and its argmin-bigram
+    # derive from that array (struct ordering: n first, then bg — so
+    # filtering to n = top_n makes array_min the lexicographic min).
     d = d.select(
         "doc_id",
         F.size("t").cast("bigint").alias("n_tokens"),
@@ -566,20 +570,21 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.size(F.array_distinct("t")).cast("double") / F.size("t"), 6
         ).alias("dup_word_ratio"),
         F.expr(
-            "array_max(transform(array_distinct(b), "
-            "x -> size(filter(b, y -> y = x))))"
-        ).alias("top_n"),
+            "transform(array_distinct(b), "
+            "x -> struct(size(filter(b, y -> y = x)) AS n, x AS bg))"
+        ).alias("cnts"),
         F.size("b").alias("n_bigrams"),
-        "b",
+    )
+    d = d.withColumn(
+        "top_n", F.expr("array_max(transform(cnts, c -> c.n))")
     )
     return d.select(
         "doc_id",
         "n_tokens",
         "dup_word_ratio",
-        F.expr(
-            "array_min(filter(array_distinct(b), "
-            "x -> size(filter(b, y -> y = x)) = top_n))"
-        ).alias("top_bigram"),
+        F.expr("array_min(filter(cnts, c -> c.n = top_n)).bg").alias(
+            "top_bigram"
+        ),
         dround(F.col("top_n").cast("double") / F.col("n_bigrams"), 6).alias(
             "top_bigram_frac"
         ),
@@ -587,6 +592,22 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- out-of-vocabulary rate vs the corpus top-K vocabulary ----------
+
+def _term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized per-(doc, word) count table — ONE tokenize pass,
+    ``localCheckpoint``-ed because every caller (``text_oov_rate``,
+    ``text_perplexity_proxy``) feeds it to two-plus consumers; lazy
+    reuse would re-explode the corpus per consumer (the
+    multi-consumer recompute trap, dedup.py:554)."""
+    docs = load_spread(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+
 
 _OOV_VOCAB_K = 10
 
@@ -633,14 +654,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the compact tf table, never the raw token stream. Deterministic
     tie-break (count desc, word asc) pins the vocab across engines.
     """
-    docs = load_spread(spark, sf_dir, "documents")
-    tw = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
-    )
+    tw = _term_counts(spark, sf_dir)
     vocab = (
         tw.groupBy("word")
         .agg(F.sum("n").alias("n"))
@@ -771,14 +785,7 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical); ``ln`` may differ by 1 ulp across libms, which the
     1e-6 rounding absorbs (error ≪ grid).
     """
-    docs = load_spread(spark, sf_dir, "documents")
-    tw = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
-    )
+    tw = _term_counts(spark, sf_dir)
     wc = tw.groupBy("word").agg(F.sum("n").alias("cnt"))
     tot = wc.agg(F.sum("cnt").cast("double").alias("total"))
     return (

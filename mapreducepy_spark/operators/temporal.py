@@ -485,7 +485,17 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = e.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
     )
-    z = dround((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    # a constant-valued type has sd = 0: under ANSI mode the raw
+    # division would throw DIVIDE_BY_ZERO and kill the job, while
+    # DuckDB yields NULL for 0/0 and drops the rows at the filter —
+    # the explicit guard gives NULL z, which the |z|>2 filter drops
+    # on both engines identically (no outliers in a constant group).
+    z = dround(
+        F.when(
+            F.col("sd") != 0.0, (F.col("value") - F.col("mu")) / F.col("sd")
+        ),
+        4,
+    )
     return (
         e.join(F.broadcast(stats), "event_type")
         .select(

@@ -104,15 +104,15 @@ _KEY_ORDER = (
     # refactor that dedup_minhash_est introduced)
     "dedup_jaccard_capped", "sim_knn", "dedup_embedding",
     "dedup_near", "dedup_clusters",
-    # round-2-green re-confirmation (22 new round-3 keys claimed most
-    # of this block's window slots; every key displaced past position
-    # 50 rests on a green round-2 row)
+    # ---- position 50 = dedup_clusters: the window ends exactly at
+    # the touched-code block above (5 never-checked + 18 r1-stale +
+    # 22 new + 5 touched = 50, zero pure-reconfirm slots this round).
+    # Everything below is OUTSIDE the driver window and rests on a
+    # green round-2 row (LLM family listed first).
     "dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
     "sim_ann_lsh", "sim_ann_ivf",
     "text_stats", "text_tfidf", "multimodal_cols",
     "join_asof", "fn_string", "scan_project", "win_session",
-    # ---- position 50 boundary falls in the block above once the
-    # round-3 keys land; everything below rests on green round-2 rows
     "scan_count", "json_extract", "scan_profile",
     "filter_pred", "project_expr", "distinct_rows",
     "fn_date", "fn_conditional", "fn_json", "fn_levenshtein",

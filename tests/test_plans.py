@@ -311,8 +311,9 @@ def test_perplexity_unigram_table_broadcasts(spark, sf_dir):
 
 
 def test_pareto_windows_share_one_exchange(spark, sf_dir):
-    """Both window frames order identically, so the plan must sort the
-    supplier aggregate ONCE (a single rangepartitioning Exchange), not
-    once per frame."""
+    """Both window frames order identically, so the plan must collect
+    the supplier aggregate into the ordered window partition ONCE
+    (one SinglePartition Exchange, one Sort), not once per frame."""
     plan = plan_of(spark, "agg_pareto", sf_dir, mode="simple")
-    assert plan.count("Exchange rangepartitioning") <= 1
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("Sort ") <= 1
