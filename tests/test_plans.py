@@ -317,3 +317,14 @@ def test_pareto_windows_share_one_exchange(spark, sf_dir):
     plan = plan_of(spark, "agg_pareto", sf_dir, mode="simple")
     assert plan.count("Exchange SinglePartition") == 1
     assert plan.count("Sort ") <= 1
+
+
+def test_tfidf_tokenizes_once_via_exchange_reuse(spark, sf_dir):
+    """tf feeds both the df aggregation and the probe join; Catalyst
+    must serve the second consumer from a ReusedExchange, not a second
+    tokenize of the corpus. (The multi-consumer recompute trap does
+    NOT bite here because both subtrees share the identical tf
+    aggregation — this test pins that it stays that way.)"""
+    df = CATALOG["text_tfidf"].builder(spark, sf_dir)
+    df.collect()
+    assert "ReusedExchange" in executed_plan(df)
