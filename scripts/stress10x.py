@@ -1,0 +1,110 @@
+"""10× scale stress: materialize 10× copies of the sf0.1 documents /
+events fixtures (id-shifted, so dedup density rises 10×) as real
+parquet, run the heaviest operators, and report wall-clock + key
+plan properties. The point is trend evidence for the 100 TB design
+claims: linear-or-better runtime growth and NO plan degradation
+(same broadcasts, same bucketed joins, no cartesian fallback).
+
+Usage: python scripts/stress10x.py [sf_dir] [out_dir]
+Prints one JSON line per operator and a trailing summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mapreducepy_spark.io import load, load_spread
+from mapreducepy_spark.registry import load_catalog
+from mapreducepy_spark.session import get_spark
+
+COPIES = 10
+# the heaviest shingle/index operators plus narrow-map controls
+OPS = (
+    "dedup_near",
+    "dedup_near_verified",
+    "text_contamination_ngram",
+    "text_repetition",
+    "text_oov_rate",
+    "events_dau_rolling",
+    "events_anomaly",
+)
+
+
+def materialize(spark, sf_dir: str, out_dir: str) -> None:
+    docs = load_spread(spark, sf_dir, "documents")
+    # crossJoin against a literal copy index replicates WITHOUT
+    # reading the source 10 times
+    copies = spark.range(COPIES).select(F.col("id").alias("__copy"))
+    big_docs = (
+        docs.crossJoin(F.broadcast(copies))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000) * F.col("__copy"))
+        .drop("__copy")
+    )
+    big_docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    ev = load(spark, sf_dir, "events")
+    big_ev = (
+        ev.crossJoin(F.broadcast(copies))
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000) * F.col("__copy"))
+        .withColumn("user_id", F.col("user_id") + F.lit(1_000_000) * F.col("__copy"))
+        .drop("__copy")
+    )
+    big_ev.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="stress10x_")
+    spark = get_spark(app_name="stress10x")
+    catalog = load_catalog()
+
+    t0 = time.time()
+    materialize(spark, sf_dir, out_dir)
+    print(json.dumps({"step": "materialize", "sec": round(time.time() - t0, 2)}))
+
+    results = {}
+    for name in OPS:
+        q = catalog[name]
+        # baseline at sf0.1, then 10×; count() forces full execution
+        tb = time.time()
+        n_base = q.builder(spark, sf_dir).count()
+        base_s = time.time() - tb
+        tx = time.time()
+        n_big = q.builder(spark, out_dir).count()
+        big_s = time.time() - tx
+        results[name] = {
+            "base_rows": n_base,
+            "base_sec": round(base_s, 2),
+            "x10_rows": n_big,
+            "x10_sec": round(big_s, 2),
+            "growth": round(big_s / base_s, 1) if base_s > 0 else None,
+        }
+        print(json.dumps({name: results[name]}))
+
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    k: f"{v['x10_sec']}s @10x ({v['growth']}x time)"
+                    for k, v in results.items()
+                }
+            }
+        )
+    )
+    if out_dir.startswith(tempfile.gettempdir()):
+        shutil.rmtree(out_dir, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
