@@ -122,10 +122,31 @@ GROUP BY user_id, session_seq
 """
 
 
+def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with their 30-minute-gap session id attached: gap-flag
+    via lag, session id via running sum — the shared sessionization
+    both ``win_session`` and ``events_session_stats`` aggregate over.
+
+    Both windows partition by user_id, so Spark plans ONE shuffle and
+    reuses the partitioning for the second window and any downstream
+    user-keyed groupBy."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(gap_us.isNull() | (gap_us > _SESSION_GAP_US), 1).otherwise(0),
+    )
+    return flagged.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
 @register("win_session", _ORACLE_WIN_SESSION, tags=("temporal", "session"))
 def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 — session windows (30-minute inactivity gap) per user,
-    batch formulation: gap-flag via lag, session id via running sum.
+    batch formulation via the shared ``_sessionized`` helper.
 
     Streaming twin: ``session_window('ts', '30 minutes')`` in
     ``streaming/windows.py`` — same session boundaries.
@@ -134,17 +155,7 @@ def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id → one shuffle total (Spark reuses the partitioning
     across the window and groupBy stages).
     """
-    e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    flagged = e.withColumn(
-        "new_sess",
-        F.when(gap_us.isNull() | (gap_us > _SESSION_GAP_US), 1).otherwise(0),
-    )
-    sess = flagged.withColumn(
-        "session_seq",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = _sessionized(spark, sf_dir)
     return sess.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
