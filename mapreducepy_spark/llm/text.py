@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_spread
 from ..registry import register
-from ..rounding import dround
+from ..rounding import dround, dround_sql
 from . import DUCK_SHINGLES, SPARK_SHINGLES
 
 _ORACLE_TEXT_STATS = """
@@ -799,5 +799,104 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("n"),
                 6,
             ).alias("cross_entropy"),
+        )
+    )
+
+
+# --- char-bigram LM score -------------------------------------------
+
+_ORACLE_TEXT_CHARLM = f"""
+WITH bg AS (
+    SELECT doc_id,
+           unnest([substring(text, i, 2) for i in range(1, length(text))])
+               AS bg
+    FROM documents WHERE length(text) >= 2
+),
+tb AS (
+    SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg GROUP BY doc_id, bg
+),
+m2 AS (SELECT bg, CAST(SUM(n) AS BIGINT) AS c2 FROM tb GROUP BY bg),
+m1 AS (
+    SELECT substring(bg, 1, 1) AS c, CAST(SUM(c2) AS BIGINT) AS c1
+    FROM m2 GROUP BY 1
+),
+model AS (
+    SELECT m2.bg, m2.c2, m1.c1
+    FROM m2 JOIN m1 ON substring(m2.bg, 1, 1) = m1.c
+)
+SELECT tb.doc_id,
+       CAST(SUM(tb.n) AS BIGINT) AS n_bigrams,
+       {dround_sql(
+           '-SUM(tb.n * ln(model.c2 / CAST(model.c1 AS DOUBLE)))'
+           ' / SUM(tb.n)',
+           6,
+       )} AS char_lm_ce
+FROM tb JOIN model ON tb.bg = model.bg
+GROUP BY tb.doc_id
+"""
+
+
+@register("text_charlm", _ORACLE_TEXT_CHARLM, tags=("llm", "text", "quality"))
+def text_charlm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CONDITIONAL char-bigram LM cross-entropy:
+    −Σ n_bg·ln p(c₂|c₁) / Σ n_bg with p(c₂|c₁) = cnt(c₁c₂)/cnt(c₁·)
+    estimated from the corpus — the tokenizer-free fluency score that
+    catches what the word-level ``text_perplexity_proxy`` cannot:
+    keyboard mash and encoding mojibake are made of REAL-looking
+    "words" boundaries-wise but improbable character transitions.
+
+    Scale: ONE explode pass over the corpus into the per-(doc,
+    bigram) count table, localCheckpoint-ed because it feeds two
+    consumers (the corpus model aggregation and the per-doc probe —
+    the multi-consumer recompute trap, dedup.py:554). The bigram and
+    prefix models are charset²- and charset-sized, so both the model
+    join and the prefix join BROADCAST; the only big shuffle keys on
+    doc_id. Per-row cost is linear in text length with no Python in
+    the loop (`transform` + `substring` are codegen'd).
+
+    Hash parity: p = c2/c1 is exact-integer division (bit-identical);
+    the ln ulp and the unordered Σ are absorbed by the 1e-6 grid
+    (text_perplexity_proxy precedent). Docs shorter than 2 chars are
+    excluded identically on both sides (Spark's sequence(1, 0) would
+    count DOWN — the guard is semantic, not cosmetic).
+    """
+    docs = load_spread(spark, sf_dir, "documents").filter(
+        F.length("text") >= 2
+    )
+    tb = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text)-1),"
+                    " i -> substring(text, i, 2))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    m2 = tb.groupBy("bg").agg(F.sum("n").cast("bigint").alias("c2"))
+    m1 = m2.groupBy(F.substring("bg", 1, 1).alias("c")).agg(
+        F.sum("c2").cast("bigint").alias("c1")
+    )
+    model = m2.join(
+        F.broadcast(m1), F.substring(m2.bg, 1, 1) == m1.c
+    ).select("bg", "c2", "c1")
+    return (
+        tb.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            dround(
+                -F.sum(
+                    F.col("n")
+                    * F.log(F.col("c2") / F.col("c1").cast("double"))
+                )
+                / F.sum("n"),
+                6,
+            ).alias("char_lm_ce"),
         )
     )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..io import load, load_spread
 from ..registry import register
-from ..rounding import dround
+from ..rounding import dround, dround_sql
 
 _ORACLE_AGG_GROUP = """
 SELECT l_returnflag,
@@ -615,4 +615,99 @@ def agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("revenue") / F.col("total"), 6).alias("rev_share"),
         cum_share.alias("cum_share"),
         (cum_share <= 0.8).cast("int").alias("in_top80"),
+    )
+
+
+# --- Gini concentration coefficient ---------------------------------
+
+_ORACLE_AGG_GINI = f"""
+WITH rev AS (
+    SELECT l_suppkey,
+           (floor((SUM(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0)
+               AS revenue
+    FROM lineitem GROUP BY l_suppkey
+),
+r AS (
+    SELECT n.n_name, rev.l_suppkey, rev.revenue,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY n.n_name
+               ORDER BY rev.revenue ASC, rev.l_suppkey ASC
+           ) AS BIGINT) AS rk
+    FROM rev
+    JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       {dround_sql('SUM(revenue)', 2)} AS total_revenue,
+       {dround_sql(
+           '(2.0 * SUM(rk * revenue))'
+           ' / (CAST(COUNT(*) AS DOUBLE) * SUM(revenue))'
+           ' - (CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))',
+           6,
+       )} AS gini
+FROM r
+GROUP BY n_name
+"""
+
+
+@register("agg_gini", _ORACLE_AGG_GINI, tags=("agg", "skew"))
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of supplier revenue — the
+    inequality summary that pairs with ``agg_pareto``'s cumulative
+    ledger: pareto answers "which rows hold 80% of the mass", gini
+    compresses the whole concentration curve into one number per
+    group (0 = uniform, →1 = winner-take-all), the skew metric that
+    decides where salting / bucketing effort goes.
+
+    Uses the rank formulation G = 2·Σ i·xᵢ / (n·Σ xᵢ) − (n+1)/n over
+    ascending-sorted values — one window + one aggregate, no O(n²)
+    pairwise |xᵢ−xⱼ| sum.
+
+    Scale: revenue is the same combiner-friendly fact-table groupBy
+    as agg_pareto; supplier and nation are dimension broadcasts; the
+    rank window partitions BY NATION over the aggregated supplier
+    table (#suppliers rows), so the ordered window is bounded by
+    dimension cardinality, never data volume.
+
+    Hash parity: per-supplier revenue is rounded FIRST (the
+    agg_pareto rule); rank·revenue products are exact doubles; the
+    final expression keeps the identical operation shape on both
+    engines and rounds to 1e-6. (n+1)/n is cast to double explicitly
+    — Spark and DuckDB `/` both promote integers to double, but the
+    cast pins it.
+    """
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r = (
+        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(
+                Window.partitionBy("n_name").orderBy(
+                    F.col("revenue").asc(), F.col("l_suppkey").asc()
+                )
+            )
+            .cast("bigint"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return r.groupBy("n_name").agg(
+        n.cast("bigint").alias("n_suppliers"),
+        dround(F.sum("revenue"), 2).alias("total_revenue"),
+        dround(
+            (2.0 * F.sum(F.col("rk") * F.col("revenue")))
+            / (n.cast("double") * F.sum("revenue"))
+            - ((n + 1).cast("double") / n.cast("double")),
+            6,
+        ).alias("gini"),
     )

@@ -18,7 +18,7 @@ from pyspark.sql.window import Window
 
 from ..io import load
 from ..registry import register
-from ..rounding import dround
+from ..rounding import dround, dround_sql
 
 _ORACLE_WIN_TUMBLING = """
 SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
@@ -642,4 +642,163 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             inactive.alias("days_inactive"),
             (inactive >= 1).cast("int").alias("is_dormant"),
         )
+    )
+
+
+# --- per-user behavioral entropy ------------------------------------
+
+_ORACLE_EVENTS_ENTROPY = f"""
+WITH ct AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id, event_type
+),
+tot AS (
+    SELECT user_id, event_type, n,
+           SUM(n) OVER (PARTITION BY user_id) AS total
+    FROM ct
+)
+SELECT user_id,
+       CAST(MAX(total) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       {dround_sql('-SUM((n / CAST(total AS DOUBLE)) * ln(n / CAST(total AS DOUBLE)))', 6)}
+           AS entropy,
+       CASE WHEN COUNT(*) > 1 THEN
+           {dround_sql('-SUM((n / CAST(total AS DOUBLE)) * ln(n / CAST(total AS DOUBLE))) / ln(CAST(COUNT(*) AS DOUBLE))', 6)}
+       ELSE 0.0 END AS norm_entropy
+FROM tot
+GROUP BY user_id
+"""
+
+
+@register("events_entropy", _ORACLE_EVENTS_ENTROPY, tags=("temporal",))
+def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution (plus
+    the ln(k)-normalized variant) — the behavioral-diversity score
+    that separates single-action bots (entropy 0) from organic users,
+    and a standard feature for engagement segmentation.
+
+    Scale: the raw stream is collapsed map-side by the (user, type)
+    partial aggregate BEFORE its shuffle, so the first exchange
+    carries combiner-compressed counts, and every later stage (the
+    user total window, the entropy rollup) operates on the ct table —
+    #users × #types rows, orders of magnitude below the event count.
+    Deliberately NOT forced to one shuffle: repartitioning by user_id
+    first would make the single exchange carry raw, un-combined
+    events — strictly worse at 100 TB than two exchanges of
+    aggregated rows (pinned in tests/test_plans.py).
+
+    Hash parity: p = n/total is exact-integer division (bit-
+    identical); the ln ulp and the unordered Σ p·ln p are absorbed by
+    the 1e-6 grid (the text_perplexity_proxy precedent). The
+    normalized variant guards k=1 with an exact CASE — ln(1)=0 would
+    be a DIVIDE_BY_ZERO under ANSI mode (the events_anomaly rule).
+    """
+    e = load(spark, sf_dir, "events").select("user_id", "event_type")
+    ct = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = ct.withColumn(
+        "total", F.sum("n").over(Window.partitionBy("user_id"))
+    )
+    p = F.col("n") / F.col("total").cast("double")
+    ent = -F.sum(p * F.log(p))
+    k = F.count(F.lit(1))
+    return tot.groupBy("user_id").agg(
+        F.max("total").cast("bigint").alias("n_events"),
+        k.cast("bigint").alias("n_types"),
+        dround(ent, 6).alias("entropy"),
+        F.when(k > 1, dround(ent / F.log(k.cast("double")), 6))
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )
+
+
+# --- session-duration statistics ------------------------------------
+
+_ORACLE_EVENTS_SESSION_STATS = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('microsecond', LAG(ts) OVER w, ts) > {_SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM flagged
+), per_sess AS (
+    SELECT user_id, session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           date_diff('microsecond', MIN(ts), MAX(ts)) AS dur_us
+    FROM sess GROUP BY user_id, session_seq
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       {dround_sql('CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)', 6)}
+           AS avg_session_events,
+       {dround_sql('(CAST(SUM(dur_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1000000.0', 6)}
+           AS avg_session_sec,
+       {dround_sql('CAST(MAX(dur_us) AS DOUBLE) / 1000000.0', 6)}
+           AS max_session_sec,
+       {dround_sql('CAST(SUM(dur_us) AS DOUBLE) / 1000000.0', 6)}
+           AS total_active_sec
+FROM per_sess
+GROUP BY user_id
+"""
+
+
+@register(
+    "events_session_stats", _ORACLE_EVENTS_SESSION_STATS,
+    tags=("temporal", "session"),
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session-duration ledger over 30-minute-gap sessions:
+    session count, events per session, mean/max/total session length
+    — the engagement-depth rollup dashboards and cohort models read
+    instead of the raw session table.
+
+    Scale: rides the shared ``_sessionized`` helper; both its windows,
+    the per-session groupBy, and the per-user groupBy all key on
+    user_id, so the event stream shuffles ONCE and every later stage
+    reuses the partitioning.
+
+    Hash parity: durations are exact microsecond integers
+    (unix_micros diff), so every aggregate is an integer sum/max
+    divided ONCE as double in the identical formula shape on both
+    engines — no order-sensitive float accumulation anywhere; the
+    1e-6 rounding is belt-and-suspenders only.
+    """
+    per_sess = (
+        _sessionized(spark, sf_dir)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            ).alias("dur_us"),
+        )
+    )
+    n_sess = F.count(F.lit(1))
+    return per_sess.groupBy("user_id").agg(
+        n_sess.cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        dround(
+            F.sum("n_events").cast("double") / n_sess.cast("double"), 6
+        ).alias("avg_session_events"),
+        dround(
+            (F.sum("dur_us").cast("double") / n_sess.cast("double"))
+            / 1000000.0,
+            6,
+        ).alias("avg_session_sec"),
+        dround(F.max("dur_us").cast("double") / 1000000.0, 6).alias(
+            "max_session_sec"
+        ),
+        dround(F.sum("dur_us").cast("double") / 1000000.0, 6).alias(
+            "total_active_sec"
+        ),
     )

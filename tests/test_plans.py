@@ -328,3 +328,47 @@ def test_tfidf_tokenizes_once_via_exchange_reuse(spark, sf_dir):
     df = CATALOG["text_tfidf"].builder(spark, sf_dir)
     df.collect()
     assert "ReusedExchange" in executed_plan(df)
+
+
+def test_session_stats_shuffles_once_on_user(spark, sf_dir):
+    """events_session_stats claims ONE user-keyed shuffle: the
+    sessionize windows partition by user_id, and both later groupBys
+    key on user_id or a superset — hashpartitioning(user_id)
+    satisfies ClusteredDistribution(user_id, session_seq), so the
+    per-session aggregate reuses the partitioning too."""
+    plan = plan_of(spark, "events_session_stats", sf_dir, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_entropy_combines_before_every_exchange(spark, sf_dir):
+    """events_entropy deliberately takes TWO exchanges, and the first
+    must be fed by a partial (user, type) count — the raw stream is
+    combiner-compressed map-side before it ever rides the network;
+    everything after the first shuffle is ct-table-sized."""
+    plan = plan_of(spark, "events_entropy", sf_dir, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_gini_dimension_joins_broadcast(spark, sf_dir):
+    """supplier and nation are dimension tables — they must reach the
+    aggregated revenue side as broadcasts; the rank window partitions
+    by nation over the supplier-sized aggregate, never the fact
+    table."""
+    plan = plan_of(spark, "agg_gini", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_charlm_model_broadcasts(spark, sf_dir):
+    """The charset²-sized bigram model must reach the per-(doc,
+    bigram) probe side as a broadcast — the corpus-sized side never
+    shuffles for the probe; no Python anywhere."""
+    plan = plan_of(spark, "text_charlm", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
