@@ -897,3 +897,57 @@ def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(matches.cast("double") / _N_HASHES, 6).alias("est_jaccard"),
         )
     )
+
+
+# --- cross-source duplication matrix --------------------------------
+
+_ORACLE_DEDUP_CROSS_SOURCE = """
+WITH d AS (
+    SELECT DISTINCT md5(text) AS dig, source FROM documents
+)
+SELECT a.source AS source_a,
+       b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.dig = b.dig AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "dedup_cross_source", _ORACLE_DEDUP_CROSS_SOURCE,
+    tags=("llm", "dedup", "provenance"),
+)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every ordered source pair
+    (a < b), how many distinct document texts appear in BOTH — the
+    provenance overlap table that decides which ingest feeds are
+    mirrors of each other and which order to dedup them in (keep the
+    higher-quality source's copy).
+
+    Scale: the self-join keys on the 16-byte md5 digest of the
+    DISTINCT (digest, source) table — #distinct-texts × #sources
+    rows, documents never ride the shuffle. Per-digest fan-out is
+    bounded by #sources (vs. per-copy for a doc-level join), so a
+    text duplicated a million times across 5 sources contributes
+    C(5,2) pairs, not 10¹². (md5 for oracle parity; xxhash64 at
+    production scale — the dedup_exact rule.)
+    """
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .select(F.md5("text").alias("dig"), "source")
+        .distinct()
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.dig") == F.col("b.dig"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )

@@ -900,3 +900,180 @@ def text_charlm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("char_lm_ce"),
         )
     )
+
+
+# --- Zipf rank-frequency fit ----------------------------------------
+
+_ORACLE_TEXT_ZIPF = f"""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks WHERE word <> '' GROUP BY word
+),
+ranked AS (
+    SELECT cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT)
+               AS rank
+    FROM wc
+),
+xy AS (
+    SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+    FROM ranked
+),
+s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_types,
+       (SELECT CAST(SUM(cnt) AS BIGINT) FROM wc) AS n_tokens,
+       {dround_sql('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 6)}
+           AS zipf_slope,
+       {dround_sql('(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n', 6)}
+           AS zipf_intercept
+FROM s
+"""
+
+
+@register("text_zipf", _ORACLE_TEXT_ZIPF, tags=("llm", "text", "quality"))
+def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf fit: least-squares slope/intercept of ln(freq) vs
+    ln(rank) over the word frequency table — natural corpora sit near
+    slope −1, and a drifting slope is the classic corpus-health alarm
+    for boilerplate floods (too shallow) or synthetic/templated text
+    (too steep).
+
+    Scale: the fit runs over the VOCABULARY table (types, not
+    tokens), so the single-partition rank window and the final 1-row
+    aggregate are bounded by vocabulary size — millions of rows at
+    web scale, not the corpus' trillions of tokens; the corpus-sized
+    work is one combiner-friendly wordcount.
+
+    Hash parity: rank is deterministic (cnt desc, word asc); the
+    closed-form slope keeps the identical operation shape on both
+    engines, and the ln-ulp / unordered-Σ noise is absorbed by the
+    1e-6 grid (text_perplexity_proxy precedent — cancellation in
+    n·Σxy − Σx·Σy stays ≥6 orders above the ulp floor for any
+    realistic vocabulary).
+    """
+    from pyspark.sql.window import Window
+
+    tc = _term_counts(spark, sf_dir)
+    wc = tc.groupBy("word").agg(F.sum("n").cast("bigint").alias("cnt"))
+    ranked = wc.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("word").asc()))
+        .cast("bigint"),
+    )
+    xy = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+        "cnt",
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_types"),
+        "n_tokens",
+        dround(slope, 6).alias("zipf_slope"),
+        dround((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+# --- per-source length profile --------------------------------------
+
+_ORACLE_TEXT_LENGTH_PROFILE = f"""
+WITH ranked AS (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY n_chars)
+               AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM documents
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       {dround_sql('CAST(SUM(n_chars) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)', 6)}
+           AS avg_chars,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                     THEN n_chars END) AS BIGINT) AS p50_chars,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                     THEN n_chars END) AS BIGINT) AS p90_chars,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                     THEN n_chars END) AS BIGINT) AS p99_chars
+FROM ranked
+GROUP BY source
+"""
+
+
+@register(
+    "text_length_profile", _ORACLE_TEXT_LENGTH_PROFILE,
+    tags=("llm", "text", "quality"),
+)
+def text_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length profile: count, min/max/mean and
+    exact p50/p90/p99 of ``n_chars`` — the first QA table a pipeline
+    materializes per ingest source to catch truncation bugs (p99
+    collapse) and boilerplate floods (p50 spike) before they poison
+    training mixes.
+
+    Scale: one shuffle keyed by source; the rank window and rollup
+    both ride it (same-key reuse). Exact discrete quantiles via the
+    row_number-at-ceil(q·n) selection (the agg_quantile_disc
+    pattern) — a real corpus element, not an interpolation, so no
+    float averaging of neighbors. At extreme per-source cardinality
+    the same query swaps to approx_percentile (documented trade).
+
+    Hash parity: all quantiles are exact BIGINT selections; the only
+    float is avg = exact-int sum divided once, identical shape both
+    engines (events_session_stats rule).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_spread(spark, sf_dir, "documents").select("source", "n_chars")
+    wp = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(wp.orderBy("n_chars"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+
+    def _pick(q: float, name: str):
+        return F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                F.col("n_chars"),
+            )
+        ).cast("bigint").alias(name)
+
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        dround(
+            F.sum("n_chars").cast("double") / F.max("n").cast("double"), 6
+        ).alias("avg_chars"),
+        _pick(0.50, "p50_chars"),
+        _pick(0.90, "p90_chars"),
+        _pick(0.99, "p99_chars"),
+    )

@@ -87,12 +87,13 @@ _KEY_ORDER = (
     "join_left", "join_multi", "join_semi", "join_anti", "join_full",
     "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_pivot",
     "agg_stats", "agg_collect",
-    "win_ntile", "win_dist", "topk_per_group",
-    # new in round 4 (displacing sort_limit + the three set ops to
-    # the tail head — untouched code, r1-green evidence stands;
-    # unproven new keys outrank stale-but-proven ones)
+    # new in round 4 (displacing sort_limit, the three set ops,
+    # win_ntile/win_dist/topk_per_group to the tail head — untouched
+    # code, r1-green evidence stands; unproven new keys outrank
+    # stale-but-proven ones)
     "events_entropy", "events_session_stats", "agg_gini",
-    "text_charlm",
+    "text_charlm", "text_zipf", "text_length_profile",
+    "dedup_cross_source",
     # new in round 3
     "text_pack_sequences", "text_bigrams", "text_quality_filter",
     "dedup_near_verified", "embed_norm_bins",
@@ -115,6 +116,7 @@ _KEY_ORDER = (
     # green round-1/2 row (r1-stale keys displaced by round 4's new
     # operators first, then the LLM family).
     "sort_limit", "set_union", "set_intersect", "set_except",
+    "win_ntile", "win_dist", "topk_per_group",
     "dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
     "sim_ann_lsh", "sim_ann_ivf",
     "text_stats", "text_tfidf", "multimodal_cols",

@@ -372,3 +372,32 @@ def test_charlm_model_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_length_profile_shuffles_once_on_source(spark, sf_dir):
+    """text_length_profile claims ONE source-keyed shuffle shared by
+    the rank window and the rollup (the load_spread round-robin is
+    data distribution, not algorithm)."""
+    plan = plan_of(spark, "text_length_profile", sf_dir, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_zipf_combines_wordcount_before_shuffle(spark, sf_dir):
+    """The corpus-sized side of text_zipf is the wordcount, which
+    must collapse map-side (partial aggregation) before any exchange;
+    the fit itself runs over the vocabulary table."""
+    plan = plan_of(spark, "text_zipf", sf_dir, mode="simple")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cross_source_joins_on_digest_not_text(spark, sf_dir):
+    """The provenance self-join must key on the 16-byte digest with
+    the inequality as a post-filter — never a cartesian of the corpus
+    — and documents' text must not survive past the digest
+    projection."""
+    plan = plan_of(spark, "dedup_cross_source", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
