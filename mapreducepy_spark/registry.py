@@ -54,6 +54,7 @@ _MODULES = (
     "mapreducepy_spark.llm.similarity",
     "mapreducepy_spark.llm.text",
     "mapreducepy_spark.llm.multimodal",
+    "mapreducepy_spark.llm.pipeline",
 )
 
 # Explicit catalog order. The driver evaluates ``queries()`` front to
@@ -85,7 +86,7 @@ _KEY_ORDER = (
     "join_skew_salted", "text_decontaminate",
     # round-1-only evidence, displaced by round 2's window
     "join_left", "join_multi", "join_semi", "join_anti", "join_full",
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_pivot",
+    "agg_rollup", "agg_cube", "agg_grouping_sets",
     "agg_stats", "agg_collect",
     # new in round 4 (displacing sort_limit, the three set ops,
     # win_ntile/win_dist/topk_per_group to the tail head — untouched
@@ -93,7 +94,7 @@ _KEY_ORDER = (
     # stale-but-proven ones)
     "events_entropy", "events_session_stats", "agg_gini",
     "text_charlm", "text_zipf", "text_length_profile",
-    "dedup_cross_source",
+    "dedup_cross_source", "pipeline_clean_corpus",
     # new in round 3
     "text_pack_sequences", "text_bigrams", "text_quality_filter",
     "dedup_near_verified", "embed_norm_bins",
@@ -116,7 +117,7 @@ _KEY_ORDER = (
     # green round-1/2 row (r1-stale keys displaced by round 4's new
     # operators first, then the LLM family).
     "sort_limit", "set_union", "set_intersect", "set_except",
-    "win_ntile", "win_dist", "topk_per_group",
+    "win_ntile", "win_dist", "topk_per_group", "agg_pivot",
     "dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
     "sim_ann_lsh", "sim_ann_ivf",
     "text_stats", "text_tfidf", "multimodal_cols",

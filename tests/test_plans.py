@@ -401,3 +401,16 @@ def test_cross_source_joins_on_digest_not_text(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pipeline_clean_corpus_fuses_stages(spark, sf_dir):
+    """The composed pipeline must run as one fused plan: the
+    decontamination blocklist reaches the corpus as a broadcast
+    anti-join, the dedup is a digest-keyed window (never a self
+    cartesian), and no stage drops to Python."""
+    plan = plan_of(spark, "pipeline_clean_corpus", sf_dir)
+    assert "BroadcastHashJoin" in plan          # anti-join blocklist
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
