@@ -1077,3 +1077,60 @@ def text_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pick(0.90, "p90_chars"),
         _pick(0.99, "p99_chars"),
     )
+
+
+# --- hapax legomena per source --------------------------------------
+
+_ORACLE_TEXT_HAPAX = f"""
+WITH toks AS (
+    SELECT d.source, unnest(string_split(d.text, ' ')) AS word
+    FROM documents d
+),
+sw AS (
+    SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks WHERE word <> ''
+    GROUP BY source, word
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       {dround_sql('CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)', 6)}
+           AS hapax_rate
+FROM sw
+GROUP BY source
+"""
+
+
+@register("text_hapax", _ORACLE_TEXT_HAPAX, tags=("llm", "text", "quality"))
+def text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax-legomena profile: vocabulary size, token
+    count, words occurring exactly once, and the hapax rate — the
+    lexical-diversity fingerprint that separates organic text
+    (hapax-rich) from templated/boilerplate feeds (hapax-starved)
+    and flags OCR noise floods (hapax-saturated).
+
+    Scale: one explode into a (source, word) partial count — the
+    combiner collapses each partition to its local vocabulary before
+    the shuffle — then a source-keyed rollup over the vocabulary
+    table. The token stream rides the network once, pre-aggregated.
+
+    Hash parity: all counts are exact integers; the rate is one
+    exact-int division rounded at 1e-6 (events_session_stats rule).
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    sw = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return sw.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        hapax.cast("bigint").alias("n_hapax"),
+        dround(
+            hapax.cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("hapax_rate"),
+    )

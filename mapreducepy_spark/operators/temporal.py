@@ -802,3 +802,74 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_active_sec"
         ),
     )
+
+
+# --- inter-arrival gap statistics -----------------------------------
+
+_ORACLE_EVENTS_INTER_ARRIVAL = f"""
+WITH gaps AS (
+    SELECT user_id,
+           date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       {dround_sql('CAST(MIN(gap_us) AS DOUBLE) / 1000000.0', 6)}
+           AS min_gap_sec,
+       {dround_sql('CAST(MAX(gap_us) AS DOUBLE) / 1000000.0', 6)}
+           AS max_gap_sec,
+       {dround_sql('(CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(gap_us) AS DOUBLE)) / 1000000.0', 6)}
+           AS avg_gap_sec
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register(
+    "events_inter_arrival", _ORACLE_EVENTS_INTER_ARRIVAL,
+    tags=("temporal",),
+)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics: count/min/max/mean of the
+    gap between consecutive events — the cadence profile that feeds
+    bot detection (impossibly regular gaps), engagement scoring, and
+    the empirical basis for choosing the session gap threshold that
+    ``_sessionized`` hard-codes.
+
+    Scale: lag window and rollup both key on user_id — ONE shuffle,
+    partitioning reused (the events_session_stats pattern); per-user
+    state is O(1).
+
+    Hash parity: gaps are exact microsecond integers; min/max/sum are
+    order-insensitive integer aggregates divided once as double in
+    the identical formula shape (events_session_stats rule). First
+    event per user has a NULL gap, excluded identically on both
+    sides.
+    """
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gaps = e.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    cnt = F.count("gap_us")
+    return gaps.groupBy("user_id").agg(
+        cnt.cast("bigint").alias("n_gaps"),
+        dround(F.min("gap_us").cast("double") / 1000000.0, 6).alias(
+            "min_gap_sec"
+        ),
+        dround(F.max("gap_us").cast("double") / 1000000.0, 6).alias(
+            "max_gap_sec"
+        ),
+        dround(
+            (F.sum("gap_us").cast("double") / cnt.cast("double"))
+            / 1000000.0,
+            6,
+        ).alias("avg_gap_sec"),
+    )

@@ -36,6 +36,13 @@ OPS = (
     "text_oov_rate",
     "events_dau_rolling",
     "events_anomaly",
+    # round 4: the composed pipeline + the char-level LM +
+    # session/entropy rollups + the provenance matrix
+    "pipeline_clean_corpus",
+    "text_charlm",
+    "events_session_stats",
+    "events_entropy",
+    "dedup_cross_source",
 )
 
 

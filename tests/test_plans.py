@@ -414,3 +414,19 @@ def test_pipeline_clean_corpus_fuses_stages(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_inter_arrival_shuffles_once_on_user(spark, sf_dir):
+    """events_inter_arrival: the lag window and the rollup both key
+    on user_id — one shuffle, partitioning reused."""
+    plan = plan_of(spark, "events_inter_arrival", sf_dir, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_hapax_combines_vocabulary_before_shuffle(spark, sf_dir):
+    """text_hapax: the token stream must collapse to per-partition
+    (source, word) counts map-side before riding the network."""
+    plan = plan_of(spark, "text_hapax", sf_dir, mode="simple")
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan
