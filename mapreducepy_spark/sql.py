@@ -26,6 +26,7 @@ from .registry import load_catalog
 PORTABLE = (
     "agg_count_distinct",
     "agg_cube",
+    "agg_gini",
     "agg_group",
     "agg_grouping_sets",
     "agg_histogram",
@@ -35,6 +36,7 @@ PORTABLE = (
     "agg_weighted_avg",
     "dedup_exact",
     "dedup_keep_first",
+    "dedup_cross_source",
     "distinct_rows",
     "events_paths",
     "filter_pred",
@@ -53,6 +55,7 @@ PORTABLE = (
     "set_intersect",
     "set_union",
     "sort_limit",
+    "text_length_profile",
     "topk_per_group",
     "win_ntile",
     "win_rank",
