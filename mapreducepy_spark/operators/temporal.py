@@ -873,3 +873,90 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_gap_sec"),
     )
+
+
+# --- last-touch attribution -----------------------------------------
+
+_ATTR_LOOKBACK_US = 12 * 3600 * 1_000_000  # 12-hour attribution window
+
+_ORACLE_EVENTS_ATTRIBUTION = f"""
+SELECT purchase_id, user_id, purchase_ts, view_id, view_ts, age_sec
+FROM (
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           v.event_id AS view_id, v.ts AS view_ts,
+           CAST(date_diff('microsecond', v.ts, p.ts) AS DOUBLE)
+               / 1000000.0 AS age_sec,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST
+           ) AS rn
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND date_diff('microsecond', v.ts, p.ts) <= {_ATTR_LOOKBACK_US}
+) t
+WHERE rn = 1
+"""
+
+
+@register(
+    "events_attribution", _ORACLE_EVENTS_ATTRIBUTION,
+    tags=("temporal", "asof"),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase joined to the user's
+    most recent view within a 12-hour lookback — the as-of-join-with-
+    tolerance every marketing/conversion pipeline runs, and the
+    tolerance-bounded variant of ``join_asof``'s semantics.
+
+    Same join-free union-timeline design as ``join_asof`` (which the
+    round-1 VERDICT forced after the naive equi-join fanned out per
+    event × full history): ONE pass over events, a per-user running
+    ``max(struct(ts, event_id))`` carry over view rows only, then the
+    lookback applied as a POST-FILTER on the carried value — a stale
+    carry nulls out rather than reaching back unboundedly, so state
+    stays O(1) per row and no join node exists in the plan
+    (plan-asserted).
+
+    Hash parity: the carry's struct max is (latest ts, then largest
+    event_id) — exactly the oracle's DESC/DESC tie-break; views
+    sort before purchases at equal timestamps (is_view desc) to make
+    the match inclusive; age_sec is an exact µs integer divided once.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    is_view = (F.col("event_type") == "view").cast("int")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(), is_view.desc(), F.col("event_id").asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = e.withColumn(
+        "last_view",
+        F.max(
+            F.when(
+                F.col("event_type") == "view",
+                F.struct(F.col("ts").alias("v_ts"),
+                         F.col("event_id").alias("v_id")),
+            )
+        ).over(w),
+    )
+    age_us = F.unix_micros("ts") - F.unix_micros("last_view.v_ts")
+    fresh = F.col("last_view").isNotNull() & (age_us <= _ATTR_LOOKBACK_US)
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(fresh, F.col("last_view.v_id")).alias("view_id"),
+            F.when(fresh, F.col("last_view.v_ts")).alias("view_ts"),
+            F.when(fresh, age_us.cast("double") / 1000000.0).alias(
+                "age_sec"
+            ),
+        )
+    )

@@ -86,7 +86,6 @@ _KEY_ORDER = (
     "join_skew_salted", "text_decontaminate",
     # round-1-only evidence, displaced by round 2's window
     "join_left", "join_multi", "join_semi", "join_anti", "join_full",
-    "agg_rollup",
     "agg_stats", "agg_collect",
     # new in round 4 (displacing sort_limit, the three set ops,
     # win_ntile/win_dist/topk_per_group to the tail head — untouched
@@ -95,7 +94,7 @@ _KEY_ORDER = (
     "events_entropy", "events_session_stats", "agg_gini",
     "text_charlm", "text_zipf", "text_length_profile",
     "dedup_cross_source", "pipeline_clean_corpus",
-    "events_inter_arrival", "text_hapax",
+    "events_inter_arrival", "text_hapax", "events_attribution",
     # new in round 3
     "text_pack_sequences", "text_bigrams", "text_quality_filter",
     "dedup_near_verified", "embed_norm_bins",
@@ -119,7 +118,7 @@ _KEY_ORDER = (
     # operators first, then the LLM family).
     "sort_limit", "set_union", "set_intersect", "set_except",
     "win_ntile", "win_dist", "topk_per_group", "agg_pivot",
-    "agg_cube", "agg_grouping_sets",
+    "agg_cube", "agg_grouping_sets", "agg_rollup",
     "dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
     "sim_ann_lsh", "sim_ann_ivf",
     "text_stats", "text_tfidf", "multimodal_cols",

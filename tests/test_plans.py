@@ -430,3 +430,13 @@ def test_hapax_combines_vocabulary_before_shuffle(spark, sf_dir):
     plan = plan_of(spark, "text_hapax", sf_dir, mode="simple")
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_attribution_is_union_timeline_not_join(spark, sf_dir):
+    """events_attribution must run as the join-free carry timeline
+    (the join_asof rule): no join node of any kind, one user-keyed
+    window."""
+    plan = plan_of(spark, "events_attribution", sf_dir)
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan
