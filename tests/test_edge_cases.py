@@ -105,3 +105,90 @@ def test_text_repetition_matches_python_reference(spark, tmp_path):
         assert row.dup_word_ratio == dup_ratio, (doc_id, text)
         assert row.top_bigram == top_bigram, (doc_id, text)
         assert row.top_bigram_frac == top_frac, (doc_id, text)
+
+
+def test_events_entropy_single_type_user_is_zero_not_crash(spark, tmp_path):
+    """A user with ONE event type has n_types=1 → ln(1)=0; the
+    normalized entropy must be the guarded exact 0.0, not an ANSI
+    DIVIDE_BY_ZERO, and raw entropy must be exactly 0.0 (p=1)."""
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 00:00:00", 7, "view", 1.0, "{}"),
+            (2, "2024-01-01 00:05:00", 7, "view", 1.0, "{}"),
+            (3, "2024-01-01 00:00:00", 8, "view", 1.0, "{}"),
+            (4, "2024-01-01 00:05:00", 8, "click", 1.0, "{}"),
+        ],
+    )
+    out = {
+        r["user_id"]: r
+        for r in CATALOG["events_entropy"].builder(spark, sf).collect()
+    }
+    assert out[7]["entropy"] == 0.0 and out[7]["norm_entropy"] == 0.0
+    assert out[7]["n_types"] == 1
+    # two equally likely types: entropy = ln(2), normalized = 1.0
+    assert out[8]["norm_entropy"] == 1.0
+
+
+def test_events_inter_arrival_single_event_user_dropped(spark, tmp_path):
+    """A user with one event has no gap (lag is NULL) — they must be
+    absent from the output, not emitted with NULL stats."""
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 00:00:00", 7, "view", 1.0, "{}"),
+            (2, "2024-01-01 00:00:10", 8, "view", 1.0, "{}"),
+            (3, "2024-01-01 00:01:10", 8, "view", 1.0, "{}"),
+        ],
+    )
+    rows = CATALOG["events_inter_arrival"].builder(spark, sf).collect()
+    assert [r["user_id"] for r in rows] == [8]
+    assert rows[0]["n_gaps"] == 1 and rows[0]["avg_gap_sec"] == 60.0
+
+
+def test_events_attribution_tolerance_boundary(spark, tmp_path):
+    """A view exactly AT the lookback bound attributes; one past it
+    does not; a purchase with no prior view yields NULLs (LEFT
+    semantics)."""
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    hours = pd.Timedelta(hours=1)
+    sf = _write_events(
+        tmp_path,
+        [
+            # user 1: view exactly 12h before purchase -> attributed
+            (10, base - 12 * hours, 1, "view", 1.0, "{}"),
+            (11, base, 1, "purchase", 9.0, "{}"),
+            # user 2: view 12h + 1s before purchase -> stale
+            (20, base - 12 * hours - pd.Timedelta(seconds=1), 2, "view", 1.0, "{}"),
+            (21, base, 2, "purchase", 9.0, "{}"),
+            # user 3: purchase with no view at all
+            (31, base, 3, "purchase", 9.0, "{}"),
+        ],
+    )
+    out = {
+        r["purchase_id"]: r
+        for r in CATALOG["events_attribution"].builder(spark, sf).collect()
+    }
+    assert out[11]["view_id"] == 10 and out[11]["age_sec"] == 43200.0
+    assert out[21]["view_id"] is None
+    assert out[31]["view_id"] is None and len(out) == 3
+
+
+def test_charlm_skips_sub_bigram_docs(spark, tmp_path):
+    """Docs shorter than 2 chars have no bigram — they must be
+    excluded on both engines (Spark's sequence(1, 0) counts DOWN, so
+    the length guard is semantic)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["ab", "x", ""],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [2, 1, 0],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    rows = CATALOG["text_charlm"].builder(spark, str(tmp_path)).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    # only one bigram 'ab': p(b|a)=1 -> cross-entropy exactly 0
+    assert rows[0]["char_lm_ce"] == 0.0
