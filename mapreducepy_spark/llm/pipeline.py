@@ -20,7 +20,12 @@ from ..io import load_spread
 from ..operators.sampling import _SPLIT_TRAIN_CUT, _SPLIT_VAL_CUT
 from ..registry import register
 from .dedup import _EVAL_CUT
-from .text import _QF_MAX_AVG_LEN, _QF_MIN_TOKENS, _QF_MIN_TTR
+from .text import (
+    _QF_MAX_AVG_LEN,
+    _QF_MIN_TOKENS,
+    _QF_MIN_TTR,
+    quality_kept_docs,
+)
 
 _ORACLE_PIPELINE_CLEAN = f"""
 WITH toks AS (
@@ -91,11 +96,15 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocklist, and ZERO intermediate materializations. Four staged
     jobs would each pay a full scan + shuffle + write cycle.
 
-    Scale: the quality explode+agg is the only corpus-sized shuffle
-    (keyed on doc_id); decontamination is a broadcast anti-join
-    (megabytes of eval digests vs 100 TB of corpus — the
-    text_decontaminate argument); the dedup window shuffles digests,
-    not documents; the split label is a zero-shuffle narrow map.
+    Scale: two corpus-sized shuffles, both keyed on doc_id — the
+    quality explode+agg and the raw-docs side of its rejoin (the
+    per_doc side arrives pre-partitioned from the aggregation; at
+    fixture scale AQE broadcasts it instead, but that is a
+    smallness accident, not the design). Decontamination is a
+    broadcast anti-join (megabytes of eval digests vs 100 TB of
+    corpus — the text_decontaminate argument); the dedup window
+    shuffles survivors keyed by digest; the split label is a
+    zero-shuffle narrow map.
 
     Hash parity: every stage is exact (integer thresholds, md5
     digests, row_number on the unique doc_id) except the ttr/avg_len
@@ -106,25 +115,8 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_spread(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
-    per_doc = words.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        (F.countDistinct("word").cast("double") / F.count(F.lit(1))).alias(
-            "ttr"
-        ),
-        F.avg(F.length("word")).alias("avg_len"),
-    )
     quality = (
-        docs.join(
-            per_doc.filter(
-                (F.col("n_tokens") >= _QF_MIN_TOKENS)
-                & (F.col("ttr") >= _QF_MIN_TTR)
-                & (F.col("avg_len") <= _QF_MAX_AVG_LEN)
-            ),
-            "doc_id",
-        )
+        docs.join(quality_kept_docs(docs), "doc_id")
         .withColumn(
             "h2", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
         )

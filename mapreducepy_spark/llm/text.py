@@ -460,6 +460,31 @@ WHERE p.n_tokens >= {_QF_MIN_TOKENS}
 """
 
 
+def quality_kept_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, ttr, avg_len) of the documents that survive
+    the C4-style quality gate — the ONE definition of the gate's
+    expression shape, shared by ``text_quality_filter`` and
+    ``pipeline_clean_corpus`` so the hash-parity-sensitive signal
+    expressions cannot drift between the standalone operator and the
+    composed pipeline (the ``_term_counts``/``_sessionized``
+    shared-stage rule)."""
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    per_doc = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.countDistinct("word").cast("double") / F.count(F.lit(1))).alias(
+            "ttr"
+        ),
+        F.avg(F.length("word")).alias("avg_len"),
+    )
+    return per_doc.filter(
+        (F.col("n_tokens") >= _QF_MIN_TOKENS)
+        & (F.col("ttr") >= _QF_MIN_TTR)
+        & (F.col("avg_len") <= _QF_MAX_AVG_LEN)
+    )
+
+
 @register(
     "text_quality_filter", _ORACLE_TEXT_QUALITY_FILTER,
     tags=("llm", "text", "quality"),
@@ -477,19 +502,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape is invariant.
     """
     docs = load_spread(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
-    per_doc = words.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        (F.countDistinct("word").cast("double") / F.count(F.lit(1))).alias("ttr"),
-        F.avg(F.length("word")).alias("avg_len"),
-    )
-    kept = per_doc.filter(
-        (F.col("n_tokens") >= _QF_MIN_TOKENS)
-        & (F.col("ttr") >= _QF_MIN_TTR)
-        & (F.col("avg_len") <= _QF_MAX_AVG_LEN)
-    )
+    kept = quality_kept_docs(docs)
     return docs.join(kept, "doc_id").select(
         "doc_id",
         "lang",

@@ -87,10 +87,11 @@ _KEY_ORDER = (
     # round-1-only evidence, displaced by round 2's window
     "join_left", "join_multi", "join_semi", "join_anti", "join_full",
     "agg_stats", "agg_collect",
-    # new in round 4 (displacing sort_limit, the three set ops,
-    # win_ntile/win_dist/topk_per_group to the tail head — untouched
-    # code, r1-green evidence stands; unproven new keys outrank
-    # stale-but-proven ones)
+    # new in round 4 (displacing 11 r1-stale keys to the tail head —
+    # sort_limit, set_union/intersect/except, win_ntile, win_dist,
+    # topk_per_group, agg_pivot, agg_cube, agg_grouping_sets,
+    # agg_rollup: untouched code, r1-green evidence stands; unproven
+    # new keys outrank stale-but-proven ones)
     "events_entropy", "events_session_stats", "agg_gini",
     "text_charlm", "text_zipf", "text_length_profile",
     "dedup_cross_source", "pipeline_clean_corpus",
@@ -111,8 +112,8 @@ _KEY_ORDER = (
     "dedup_jaccard_capped", "sim_knn", "dedup_embedding",
     "dedup_near", "dedup_clusters",
     # ---- position 50 = dedup_clusters: the window ends exactly at
-    # the touched-code block above (5 never-checked + 18 r1-stale +
-    # 22 new + 5 touched = 50, zero pure-reconfirm slots this round).
+    # the touched-code block above (5 never-checked + 7 r1-stale +
+    # 11 round-4 new + 22 round-3 new + 5 touched = 50).
     # Everything below is OUTSIDE the driver window and rests on a
     # green round-1/2 row (r1-stale keys displaced by round 4's new
     # operators first, then the LLM family).

@@ -396,11 +396,23 @@ def test_cross_source_joins_on_digest_not_text(spark, sf_dir):
     """The provenance self-join must key on the 16-byte digest with
     the inequality as a post-filter — never a cartesian of the corpus
     — and documents' text must not survive past the digest
-    projection."""
+    projection: no Exchange (shuffle) may carry the text column."""
+    import re
+
     plan = plan_of(spark, "dedup_cross_source", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+    # formatted-plan node blocks: every KEYED exchange's attribute
+    # lists must be digest/source only — text never rides an
+    # algorithmic shuffle. (load_spread's RoundRobin fixture fan-out
+    # is data distribution and sits below the digest projection —
+    # the test_narrow_ops_have_no_keyed_exchange rule.)
+    for block in re.split(r"\n\(\d+\) ", plan):
+        if block.startswith(("Exchange", "BroadcastExchange")) and (
+            "hashpartitioning" in block or "rangepartitioning" in block
+        ):
+            assert "text#" not in block, block
 
 
 def test_pipeline_clean_corpus_fuses_stages(spark, sf_dir):
