@@ -238,7 +238,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Non-SQL-expressible in one shot, but DuckDB's recursive CTE
     computes the identical fixpoint, so this stays hash-checkable.
     """
-    pairs = _candidate_pairs(spark, sf_dir).localCheckpoint()
+    return _connected_components(spark, _candidate_pairs(spark, sf_dir))
+
+
+def _connected_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Hybrid CC over a (doc_a, doc_b) edge list — driver union-find
+    under ``_DRIVER_CC_MAX_EDGES``, distributed min-label propagation
+    above; shared by ``dedup_clusters`` (LSH candidates) and
+    ``dedup_survivors_verified`` (exact-Jaccard-verified edges)."""
+    pairs = pairs.localCheckpoint()
     if pairs.count() <= _DRIVER_CC_MAX_EDGES:
         return _cc_driver(spark, pairs)
     return _cc_distributed(spark, pairs)
@@ -950,4 +958,87 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.source").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+
+
+# --- verified-cluster survivors (the funnel endgame) ----------------
+
+_ORACLE_DEDUP_SURVIVORS_VERIFIED = f"""
+WITH RECURSIVE {_duck_lsh_ctes()},
+shset AS (
+    SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS shingle
+    FROM documents
+),
+sizes AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+    FROM shset GROUP BY doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM cand_pairs c
+    JOIN shset a ON a.doc_id = c.doc_a
+    JOIN shset b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY c.doc_a, c.doc_b
+),
+vpairs AS (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE)
+          / (sa.n_shingles + sb.n_shingles - i.n_common)
+          >= {_JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM vpairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM vpairs
+),
+reach(doc_id, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst
+),
+drops AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+    ) WHERE cluster_id <> doc_id
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d.doc_id)
+"""
+
+
+@register(
+    "dedup_survivors_verified", _ORACLE_DEDUP_SURVIVORS_VERIFIED,
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_survivors_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup funnel's ENDGAME: LSH candidates → exact-Jaccard
+    verification → connected components over only the VERIFIED edges
+    → emit the surviving corpus (per cluster, the lowest doc_id
+    lives; every isolated document lives). This is the row set a
+    production dedup pass actually materializes — `dedup_clusters`
+    groups raw candidates (banding false positives glue clusters
+    together), this operator clusters only proven duplicates.
+
+    Scale: the verification funnel bounds the exact-Jaccard work to
+    the LSH candidate set (dedup_near_verified argument); the CC runs
+    over verified EDGES (strictly fewer than candidates — hybrid
+    driver/distributed, `_connected_components`); the final
+    materialization is a broadcast anti-join of the tiny drop list
+    against the corpus — 100 TB never shuffles to delete its
+    duplicates (the text_decontaminate shape).
+    """
+    verified = (
+        dedup_near_verified(spark, sf_dir)
+        .filter(F.col("is_dup"))
+        .select("doc_a", "doc_b")
+    )
+    cc = _connected_components(spark, verified)
+    drops = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    docs = load_spread(spark, sf_dir, "documents")
+    return docs.join(F.broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
     )

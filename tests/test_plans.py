@@ -452,3 +452,15 @@ def test_attribution_is_union_timeline_not_join(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_survivors_verified_drop_list_broadcasts(spark, sf_dir):
+    """The funnel endgame materializes survivors via a broadcast
+    anti-join of the tiny drop list — the corpus never shuffles to
+    delete its duplicates — and the pair space stays bucketed (no
+    cartesian anywhere in the funnel)."""
+    plan = plan_of(spark, "dedup_survivors_verified", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
