@@ -95,3 +95,21 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(
         .collect()
     )
     assert [r[0] for r in prices] == [1.0]
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC rides the same generic writer/reader (fmt='orc') — the
+    second columnar interchange format warehouses commonly demand."""
+    df = load(spark, sf_dir, "orders")
+    _roundtrip(spark, df, str(tmp_path / "o_orc"), "orc")
+
+
+def test_orc_pushdown_prunes(spark, sf_dir, tmp_path):
+    """ORC scans must push predicates like parquet does."""
+    df = load(spark, sf_dir, "orders")
+    fmt.write_table(df, str(tmp_path / "o_orc2"), fmt="orc")
+    back = fmt.read_table(spark, str(tmp_path / "o_orc2"), fmt="orc").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderstatus" in plan
