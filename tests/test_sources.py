@@ -113,3 +113,28 @@ def test_orc_pushdown_prunes(spark, sf_dir, tmp_path):
     )
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_orderstatus" in plan
+
+
+def test_pipeline_manifest_partitioned_by_split_prunes(spark, sf_dir, tmp_path):
+    """The flagship pipeline's manifest, materialized the way a
+    production run would write it — hive-partitioned by split — must
+    read back identical rows and prune to one split's directories
+    when filtered (training reads never scan val/test)."""
+    from mapreducepy_spark.registry import load_catalog
+
+    manifest = load_catalog()["pipeline_clean_corpus"].builder(spark, sf_dir)
+    path = str(tmp_path / "manifest")
+    fmt.write_table(manifest, path, partition_by=["split"])
+
+    back = fmt.read_table(spark, path)
+    assert back.count() == manifest.count()
+
+    train = back.filter(F.col("split") == "train")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        train.explain("formatted")
+    plan = buf.getvalue()
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines and "split" in pf_lines[0]
+    want = manifest.filter(F.col("split") == "train").count()
+    assert train.count() == want
