@@ -960,3 +960,132 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- session-level co-occurrence (market basket) --------------------
+
+_ORACLE_EVENTS_COOCCURRENCE = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('microsecond', LAG(ts) OVER w, ts) > {_SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+    SELECT user_id, event_type,
+           SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM flagged
+), st AS (
+    SELECT DISTINCT user_id, session_seq, event_type FROM sess
+), n AS (
+    SELECT CAST(COUNT(DISTINCT (user_id, session_seq)) AS BIGINT)
+        AS n_sessions
+    FROM st
+), singles AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sess
+    FROM st GROUP BY event_type
+), pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM st a
+    JOIN st b ON a.user_id = b.user_id
+             AND a.session_seq = b.session_seq
+             AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       sa.n_sess AS n_a, sb.n_sess AS n_b,
+       {dround_sql('CAST(p.n_both AS DOUBLE) / CAST(n.n_sessions AS DOUBLE)', 6)}
+           AS support,
+       {dround_sql('(CAST(p.n_both AS DOUBLE) * CAST(n.n_sessions AS DOUBLE)) / (CAST(sa.n_sess AS DOUBLE) * CAST(sb.n_sess AS DOUBLE))', 6)}
+           AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+CROSS JOIN n
+"""
+
+
+@register(
+    "events_cooccurrence", _ORACLE_EVENTS_COOCCURRENCE,
+    tags=("temporal", "session"),
+)
+def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level event-type co-occurrence with support and lift —
+    the market-basket table over behavioral sessions that surfaces
+    which actions travel together (lift ≫ 1) and which repel
+    (lift ≪ 1), feeding recommendation heuristics and funnel design.
+
+    Scale: the self-join keys on the SESSION (user_id, session_seq)
+    over the DISTINCT session-type table, so per-session fan-out is
+    C(#types-in-session, 2) — bounded by the event-type cardinality,
+    never by session length; a million-event bot session contributes
+    the same ≤C(k,2) pairs as a 10-event one. The type-count tables
+    are cardinality-sized and BROADCAST back onto the pairs.
+
+    Hash parity: all counts are exact integers; support and lift are
+    divided once as double in the identical formula shape
+    (events_session_stats rule).
+    """
+    st = (
+        _sessionized(spark, sf_dir)
+        .select("user_id", "session_seq", "event_type")
+        .distinct()
+    )
+    n = st.select("user_id", "session_seq").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    singles = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sess")
+    )
+    a = st.alias("a")
+    b = st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_seq") == F.col("b.session_seq"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    sa = singles.alias("sa")
+    sb = singles.alias("sb")
+    return (
+        pairs.join(
+            F.broadcast(sa), F.col("type_a") == F.col("sa.event_type")
+        )
+        .join(F.broadcast(sb), F.col("type_b") == F.col("sb.event_type"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.col("sa.n_sess").alias("n_a"),
+            F.col("sb.n_sess").alias("n_b"),
+            dround(
+                F.col("n_both").cast("double")
+                / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("support"),
+            dround(
+                (
+                    F.col("n_both").cast("double")
+                    * F.col("n_sessions").cast("double")
+                )
+                / (
+                    F.col("sa.n_sess").cast("double")
+                    * F.col("sb.n_sess").cast("double")
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )

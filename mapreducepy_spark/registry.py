@@ -85,18 +85,19 @@ _KEY_ORDER = (
     "agg_histogram", "agg_quantile_disc", "dedup_keep_first",
     "join_skew_salted", "text_decontaminate",
     # round-1-only evidence, displaced by round 2's window
-    "join_left", "join_multi", "join_semi", "join_anti", "join_full",
+    "join_left", "join_multi", "join_semi", "join_anti",
     "agg_collect",
-    # new in round 4 (displacing 12 r1-stale keys to the tail head —
+    # new in round 4 (displacing 13 r1-stale keys to the tail head —
     # sort_limit, set_union/intersect/except, win_ntile, win_dist,
     # topk_per_group, agg_pivot, agg_cube, agg_grouping_sets,
-    # agg_rollup, agg_stats: untouched code, r1-green evidence
-    # stands; unproven new keys outrank stale-but-proven ones)
+    # agg_rollup, agg_stats, join_full: untouched code, r1-green
+    # evidence stands; unproven new keys outrank stale-but-proven
+    # ones)
     "events_entropy", "events_session_stats", "agg_gini",
     "text_charlm", "text_zipf", "text_length_profile",
     "dedup_cross_source", "pipeline_clean_corpus",
     "events_inter_arrival", "text_hapax", "events_attribution",
-    "dedup_survivors_verified",
+    "dedup_survivors_verified", "events_cooccurrence",
     # new in round 3
     "text_pack_sequences", "text_bigrams", "text_quality_filter",
     "dedup_near_verified", "embed_norm_bins",
@@ -113,14 +114,15 @@ _KEY_ORDER = (
     "dedup_jaccard_capped", "sim_knn", "dedup_embedding",
     "dedup_near", "dedup_clusters",
     # ---- position 50 = dedup_clusters: the window ends exactly at
-    # the touched-code block above (5 never-checked + 6 r1-stale +
-    # 12 round-4 new + 22 round-3 new + 5 touched = 50).
+    # the touched-code block above (5 never-checked + 5 r1-stale +
+    # 13 round-4 new + 22 round-3 new + 5 touched = 50).
     # Everything below is OUTSIDE the driver window and rests on a
     # green round-1/2 row (r1-stale keys displaced by round 4's new
     # operators first, then the LLM family).
     "sort_limit", "set_union", "set_intersect", "set_except",
     "win_ntile", "win_dist", "topk_per_group", "agg_pivot",
     "agg_cube", "agg_grouping_sets", "agg_rollup", "agg_stats",
+    "join_full",
     "dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
     "sim_ann_lsh", "sim_ann_ivf",
     "text_stats", "text_tfidf", "multimodal_cols",

@@ -464,3 +464,13 @@ def test_survivors_verified_drop_list_broadcasts(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cooccurrence_singles_broadcast_onto_pairs(spark, sf_dir):
+    """events_cooccurrence: the type-count and total-session tables
+    are cardinality-sized — they must reach the pair table as
+    broadcasts; the only big joins key on the session."""
+    plan = plan_of(spark, "events_cooccurrence", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
