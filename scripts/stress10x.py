@@ -43,6 +43,8 @@ OPS = (
     "events_session_stats",
     "events_entropy",
     "dedup_cross_source",
+    "dedup_survivors_verified",
+    "events_cooccurrence",
 )
 
 

@@ -192,3 +192,47 @@ def test_charlm_skips_sub_bigram_docs(spark, tmp_path):
     assert [r["doc_id"] for r in rows] == [1]
     # only one bigram 'ab': p(b|a)=1 -> cross-entropy exactly 0
     assert rows[0]["char_lm_ce"] == 0.0
+
+
+def test_cooccurrence_repeated_types_count_once_per_session(spark, tmp_path):
+    """A session with the same type twice must contribute each pair
+    ONCE (distinct session-type table), and a single-type session
+    contributes no pair."""
+    sf = _write_events(
+        tmp_path,
+        [
+            # user 7, one session: view, view, click -> 1 (click,view) pair
+            (1, "2024-01-01 00:00:00", 7, "view", 1.0, "{}"),
+            (2, "2024-01-01 00:01:00", 7, "view", 1.0, "{}"),
+            (3, "2024-01-01 00:02:00", 7, "click", 1.0, "{}"),
+            # user 8, one session: only views -> no pair
+            (4, "2024-01-01 00:00:00", 8, "view", 1.0, "{}"),
+            (5, "2024-01-01 00:01:00", 8, "view", 1.0, "{}"),
+        ],
+    )
+    rows = CATALOG["events_cooccurrence"].builder(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["type_a"], r["type_b"], r["n_both"]) == ("click", "view", 1)
+    # 2 sessions total; click in 1, view in 2 -> lift = (1*2)/(1*2) = 1
+    assert r["support"] == 0.5 and r["lift"] == 1.0
+
+
+def test_survivors_keep_min_doc_and_isolated_docs(spark, tmp_path):
+    """Verified-duplicate texts collapse to the lowest doc_id; docs
+    with no verified duplicate all survive."""
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [dup, dup, "a completely different sentence here"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(dup), len(dup), 36],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    rows = CATALOG["dedup_survivors_verified"].builder(
+        spark, str(tmp_path)
+    ).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 3]
