@@ -236,3 +236,22 @@ def test_survivors_keep_min_doc_and_isolated_docs(spark, tmp_path):
         spark, str(tmp_path)
     ).collect()
     assert sorted(r["doc_id"] for r in rows) == [1, 3]
+
+
+def test_attribution_same_timestamp_view_is_inclusive(spark, tmp_path):
+    """A view at the exact purchase timestamp must attribute
+    (v.ts <= p.ts is inclusive; the carry sorts views before
+    purchases at equal ts), and with two views at the same ts the
+    larger event_id wins — the oracle's DESC/DESC tie-break."""
+    t = "2024-01-01 12:00:00"
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, t, 7, "view", 1.0, "{}"),
+            (2, t, 7, "view", 1.0, "{}"),
+            (3, t, 7, "purchase", 9.0, "{}"),
+        ],
+    )
+    rows = CATALOG["events_attribution"].builder(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0]["view_id"] == 2 and rows[0]["age_sec"] == 0.0
