@@ -963,6 +963,11 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- verified-cluster survivors (the funnel endgame) ----------------
 
+# Above this many drop rows the broadcast hint comes off and the
+# anti-join falls back to Spark's own strategy choice (~16 bytes/row
+# -> ~80 MB at the threshold, well under the broadcast hard limit).
+_BROADCAST_DROPS_MAX = 5_000_000
+
 _ORACLE_DEDUP_SURVIVORS_VERIFIED = f"""
 WITH RECURSIVE {_duck_lsh_ctes()},
 shset AS (
@@ -1038,7 +1043,16 @@ def dedup_survivors_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = _connected_components(spark, verified)
     drops = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    # size-guard the broadcast hint (the _DRIVER_CC_MAX_EDGES rule):
+    # the drop list is O(duplicate docs), which is usually tiny but
+    # NOT bounded — a 30%-duplicate corpus would blow the driver's
+    # broadcast limit, so past the threshold let Spark pick the
+    # anti-join strategy instead of forcing it through the driver.
+    # cc is already materialized (localCheckpoint/driver table), so
+    # the count is a cheap metadata-ish scan, not a recompute.
+    if drops.count() <= _BROADCAST_DROPS_MAX:
+        drops = F.broadcast(drops)
     docs = load_spread(spark, sf_dir, "documents")
-    return docs.join(F.broadcast(drops), "doc_id", "left_anti").select(
+    return docs.join(drops, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )

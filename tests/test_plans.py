@@ -403,14 +403,15 @@ def test_cross_source_joins_on_digest_not_text(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
-    # formatted-plan node blocks: every KEYED exchange's attribute
-    # lists must be digest/source only — text never rides an
-    # algorithmic shuffle. (load_spread's RoundRobin fixture fan-out
-    # is data distribution and sits below the digest projection —
+    # formatted-plan node blocks: no keyed exchange and no broadcast
+    # exchange may carry the text column — text never rides any
+    # algorithmic data movement. (load_spread's RoundRobin fixture
+    # fan-out is data distribution below the digest projection —
     # the test_narrow_ops_have_no_keyed_exchange rule.)
     for block in re.split(r"\n\(\d+\) ", plan):
-        if block.startswith(("Exchange", "BroadcastExchange")) and (
-            "hashpartitioning" in block or "rangepartitioning" in block
+        if block.startswith("BroadcastExchange") or (
+            block.startswith("Exchange")
+            and ("hashpartitioning" in block or "rangepartitioning" in block)
         ):
             assert "text#" not in block, block
 

@@ -106,12 +106,14 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
 
 def test_orc_pushdown_prunes(spark, sf_dir, tmp_path):
     """ORC scans must push predicates like parquet does."""
+    from mapreducepy_spark.plans import executed_plan
+
     df = load(spark, sf_dir, "orders")
     fmt.write_table(df, str(tmp_path / "o_orc2"), fmt="orc")
     back = fmt.read_table(spark, str(tmp_path / "o_orc2"), fmt="orc").filter(
         F.col("o_orderstatus") == "F"
     )
-    plan = back._jdf.queryExecution().executedPlan().toString()
+    plan = executed_plan(back)
     assert "PushedFilters" in plan and "o_orderstatus" in plan
 
 
