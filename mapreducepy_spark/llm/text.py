@@ -943,10 +943,12 @@ s AS (
 )
 SELECT CAST(n AS BIGINT) AS n_types,
        (SELECT CAST(SUM(cnt) AS BIGINT) FROM wc) AS n_tokens,
-       {dround_sql('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 6)}
-           AS zipf_slope,
-       {dround_sql('(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n', 6)}
-           AS zipf_intercept
+       CASE WHEN (n * sxx - sx * sx) <> 0 THEN
+           {dround_sql('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 6)}
+       END AS zipf_slope,
+       CASE WHEN (n * sxx - sx * sx) <> 0 THEN
+           {dround_sql('(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n', 6)}
+       END AS zipf_intercept
 FROM s
 """
 
@@ -995,8 +997,14 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum("cnt").cast("bigint").alias("n_tokens"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # a single-type vocabulary collapses the denominator to exactly
+    # 0 (every x = ln(1) = 0) — an ANSI DIVIDE_BY_ZERO without the
+    # guard (the events_anomaly rule); the fit is undefined there,
+    # so both engines emit NULL
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        denom != 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom,
     )
     return s.select(
         F.col("n").cast("bigint").alias("n_types"),

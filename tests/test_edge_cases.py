@@ -255,3 +255,25 @@ def test_attribution_same_timestamp_view_is_inclusive(spark, tmp_path):
     rows = CATALOG["events_attribution"].builder(spark, sf).collect()
     assert len(rows) == 1
     assert rows[0]["view_id"] == 2 and rows[0]["age_sec"] == 0.0
+
+
+def test_zipf_single_type_corpus_yields_null_fit(spark, tmp_path):
+    """A one-word vocabulary makes every ln(rank)=0, so the fit's
+    denominator is exactly 0 — an ANSI DIVIDE_BY_ZERO without the
+    guard. Both engines must emit NULL slope/intercept instead
+    (found by probing; the fixtures' vocabulary never shrinks to 1)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["word word word", "word"],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [14, 4],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    rows = CATALOG["text_zipf"].builder(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_types"] == 1 and r["n_tokens"] == 4
+    assert r["zipf_slope"] is None and r["zipf_intercept"] is None
