@@ -640,12 +640,14 @@ r AS (
 SELECT n_name,
        CAST(COUNT(*) AS BIGINT) AS n_suppliers,
        {dround_sql('SUM(revenue)', 2)} AS total_revenue,
-       {dround_sql(
-           '(2.0 * SUM(rk * revenue))'
-           ' / (CAST(COUNT(*) AS DOUBLE) * SUM(revenue))'
-           ' - (CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))',
-           6,
-       )} AS gini
+       CASE WHEN (CAST(COUNT(*) AS DOUBLE) * SUM(revenue)) <> 0 THEN
+           {dround_sql(
+               '(2.0 * SUM(rk * revenue))'
+               ' / (CAST(COUNT(*) AS DOUBLE) * SUM(revenue))'
+               ' - (CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))',
+               6,
+           )}
+       END AS gini
 FROM r
 GROUP BY n_name
 """
@@ -701,13 +703,19 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = F.count(F.lit(1))
+    # all-zero revenue in a group zeroes the denominator — ANSI
+    # DIVIDE_BY_ZERO without the guard (the text_zipf rule); the
+    # coefficient is undefined there, so both engines emit NULL
+    denom = n.cast("double") * F.sum("revenue")
     return r.groupBy("n_name").agg(
         n.cast("bigint").alias("n_suppliers"),
         dround(F.sum("revenue"), 2).alias("total_revenue"),
         dround(
-            (2.0 * F.sum(F.col("rk") * F.col("revenue")))
-            / (n.cast("double") * F.sum("revenue"))
-            - ((n + 1).cast("double") / n.cast("double")),
+            F.when(
+                denom != 0,
+                (2.0 * F.sum(F.col("rk") * F.col("revenue"))) / denom
+                - ((n + 1).cast("double") / n.cast("double")),
+            ),
             6,
         ).alias("gini"),
     )
