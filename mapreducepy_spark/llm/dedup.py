@@ -676,6 +676,13 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus would move 100 TB to remove 5% of it. Fingerprint here is
     whole-text md5; swap in n-gram shingle digests (dedup_ngram_*)
     for fuzzy decontamination without changing the join shape.
+
+    Size assumption made explicit (pipeline_clean_corpus inherits
+    it): "eval set" means a fixed held-out benchmark — its digest
+    count does NOT scale with the corpus; the fixture's 5% md5
+    bucket only stands in for one. A blocklist that genuinely grows
+    with the corpus needs the hint removed (AQE then sizes the join)
+    or the count guard used by dedup_survivors_verified.
     """
     docs = load_spread(spark, sf_dir, "documents")
     h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)

@@ -106,6 +106,17 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles survivors keyed by digest; the split label is a
     zero-shuffle narrow map.
 
+    Broadcast-size assumption (inherited from text_decontaminate,
+    deliberately NOT count-guarded): the blocklist is the held-out
+    BENCHMARK digest set, which in production is fixed-size
+    megabytes regardless of corpus size — the fixture's 5%-of-corpus
+    eval split is a stand-in proportion, not the scale model. A
+    count-based guard (the dedup_survivors_verified pattern) would
+    cost an eager corpus-scan job at build time and break this key's
+    zero-jobs-until-action fused-plan property. If a deployment's
+    blocklist genuinely grows with the corpus, drop the hint and let
+    AQE size the join against autoBroadcastJoinThreshold.
+
     Hash parity: every stage is exact (integer thresholds, md5
     digests, row_number on the unique doc_id) except the ttr/avg_len
     gate comparisons, which both engines evaluate on identically

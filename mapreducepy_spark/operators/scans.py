@@ -113,7 +113,9 @@ FROM (
 
 
 @register("scan_profile", _ORACLE_SCAN_PROFILE, tags=("scan", "profile"))
-def scan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scan_profile(
+    spark: SparkSession, sf_dir: str, *, exact: bool = True
+) -> DataFrame:
     """Column profiling (rows / nulls / distincts / min / max / mean
     per column) — the first job any ingestion pipeline runs on a new
     dataset, and the statistics CBO-style optimizers feed on.
@@ -121,17 +123,25 @@ def scan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ALL columns profile in ONE aggregation over ONE scan (the
     per-column stats ride the same HashAggregate); the per-column
     rows are unpivoted from that single result — never one scan per
-    column. Exact distincts here for oracle parity; at 100 TB swap
-    in approx_count_distinct per column.
+    column. ``exact`` selects the distinct-count strategy: the
+    registered oracle key keeps ``exact=True`` (DuckDB parity needs
+    the true value); the 100 TB path is ``exact=False`` —
+    ``approx_count_distinct`` (HyperLogLog++) keeps the per-column
+    distinct state at KB-sized sketches that merge map-side instead
+    of shuffling every distinct value (three exact distincts over a
+    100 TB table would each shuffle the full distinct domain).
+    tests/test_plans.py pins that the approx plan really swaps the
+    aggregate (no ``count(distinct``) and stays one-scan.
     """
     li = load(spark, sf_dir, "lineitem")
     cols = ("l_quantity", "l_extendedprice", "l_discount")
+    n_distinct = F.countDistinct if exact else F.approx_count_distinct
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
+            n_distinct(c).alias(f"{c}__distinct"),
             F.min(c).alias(f"{c}__min"),
             F.max(c).alias(f"{c}__max"),
             dround(F.avg(c), 4).alias(f"{c}__avg"),

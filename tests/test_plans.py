@@ -475,3 +475,25 @@ def test_cooccurrence_singles_broadcast_onto_pairs(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_scan_profile_approx_swaps_distinct_strategy(spark, sf_dir):
+    """scan_profile(exact=False) is the 100 TB path: every
+    count(distinct) becomes an approx_count_distinct HLL sketch that
+    merges map-side, and the plan stays ONE scan + one aggregate —
+    no Expand replication of the input for multi-distinct."""
+    from mapreducepy_spark.operators.scans import scan_profile
+
+    # the registered oracle key stays exact: multi-column exact
+    # distinct shows as an Expand (input replicated per distinct
+    # column) + double Exchange
+    exact = plan_of(spark, "scan_profile", sf_dir)
+    assert "Expand" in exact
+    assert "approx_count_distinct" not in exact
+    approx = plan_text(scan_profile(spark, sf_dir, exact=False), "formatted")
+    assert "approx_count_distinct" in approx
+    # the sketch path collapses to one scan + one partial/final
+    # aggregate pair: no Expand, a single Exchange
+    assert "Expand" not in approx
+    assert approx.count("(1) Scan parquet") == 1
+    assert approx.count("+- Exchange") == 1
