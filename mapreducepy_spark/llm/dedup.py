@@ -146,6 +146,29 @@ def _minhash_table(
     )
 
 
+def _band_table(mh: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) — one row per document per LSH band.
+
+    One explode, NOT a 4-way union of selects from ``mh``: union
+    branches are separate plan subtrees, so Spark would recompute the
+    whole shingle+minhash aggregation once per band (measured ~4x
+    cost). Shared by ``_candidate_pairs`` (the bucket join) and
+    ``lsh_band_stats`` (the tuning diagnostic over the same table).
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("sig"),
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    return mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
 def _candidate_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -161,21 +184,7 @@ def _candidate_pairs(
         if minhashes is not None
         else _minhash_table(spark, sf_dir, shingles)
     )
-    # one explode, NOT a 4-way union of selects from mh: union branches
-    # are separate plan subtrees, so Spark would recompute the whole
-    # shingle+minhash aggregation once per band (measured ~4x cost)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("sig"),
-            )
-            for b in range(_N_BANDS)
-        ]
-    )
-    bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    bands = _band_table(mh)
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (
@@ -910,6 +919,69 @@ def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             matches.cast("bigint").alias("n_matching_hashes"),
             dround(matches.cast("double") / _N_HASHES, 6).alias("est_jaccard"),
+        )
+    )
+
+
+# --- LSH tuning diagnostics: per-band bucket statistics -------------
+
+_ORACLE_LSH_BAND_STATS = f"""
+WITH {_duck_lsh_ctes()},
+bucket_sizes AS (
+    SELECT band, sig, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM bands
+    GROUP BY band, sig
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       CAST(MAX(cnt) AS BIGINT) AS max_bucket,
+       CAST(SUM(cnt * (cnt - 1)) AS BIGINT) // 2 AS n_cand_pairs
+FROM bucket_sizes
+GROUP BY band
+"""
+
+
+@register(
+    "lsh_band_stats", _ORACLE_LSH_BAND_STATS,
+    tags=("llm", "dedup", "lsh", "diagnostic"),
+)
+def lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket statistics: bucket count, documents, the
+    largest bucket, and the candidate-pair volume Σ C(size, 2) each
+    band will feed into the bucket join. This is the tuning gauge a
+    pipeline reads BEFORE running ``dedup_near`` at full scale: the
+    pair volume is exactly the join's output cardinality, and
+    ``max_bucket`` is the skew ceiling (one hot bucket of size s
+    costs s² pairs on a single key). Band/row counts get adjusted
+    until these numbers are affordable — measuring them costs two
+    aggregations; discovering them mid-join costs the cluster.
+
+    Scale: the corpus-sized work is the shared shingle→minhash
+    aggregation (``_minhash_table``); after ``_band_table`` the
+    groupBy(band, sig) shuffles one 32-byte row per doc per band with
+    map-side combine, and the final groupBy(band) sees only
+    aggregated bucket rows. All-integer arithmetic (pairs×2 then an
+    integer halving — n·(n−1) is always even) so the hash parity is
+    exact by construction.
+    """
+    buckets = _band_table(_minhash_table(spark, sf_dir)).groupBy(
+        "band", "sig"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("cnt").cast("bigint").alias("n_docs"),
+            F.max("cnt").cast("bigint").alias("max_bucket"),
+            F.sum(F.expr("cnt * (cnt - 1)")).cast("bigint").alias("pairs_x2"),
+        )
+        .select(
+            "band",
+            "n_buckets",
+            "n_docs",
+            "max_bucket",
+            F.expr("pairs_x2 DIV 2").alias("n_cand_pairs"),
         )
     )
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..io import load_spread
 from ..operators.sampling import _SPLIT_TRAIN_CUT, _SPLIT_VAL_CUT
 from ..registry import register
+from ..rounding import dround
 from .dedup import _EVAL_CUT
 from .text import (
     _QF_MAX_AVG_LEN,
@@ -159,4 +160,170 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return clean.select(
         "doc_id", "lang", "source", "n_tokens", split.alias("split")
+    )
+
+
+# --- data-mixture planning ------------------------------------------
+
+# Token budget for the planned mixture: half the corpus. A driver-side
+# constant — the plan shape is invariant under any budget.
+_MIX_BUDGET_DEN = 2
+
+_ORACLE_CORPUS_MIXTURE = f"""
+WITH toks AS (
+    SELECT source,
+           CAST(length(list_filter(string_split(text, ' '),
+                                   x -> x <> '')) AS BIGINT) AS n_toks
+    FROM documents
+),
+src AS (
+    SELECT source, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM toks GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_sources
+    FROM src
+),
+ranked AS (
+    SELECT s.source, s.n_tokens,
+           t.corpus_tokens // {_MIX_BUDGET_DEN} AS budget,
+           t.n_sources,
+           COALESCE(SUM(s.n_tokens) OVER (
+               ORDER BY s.n_tokens ASC, s.source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS taken_before,
+           ROW_NUMBER() OVER (
+               ORDER BY s.n_tokens ASC, s.source ASC
+           ) AS rnk
+    FROM src s CROSS JOIN tot t
+),
+shared AS (
+    SELECT *,
+           GREATEST(budget - taken_before, 0)
+               // (n_sources - rnk + 1) AS share
+    FROM ranked
+),
+leveled AS (
+    SELECT *,
+           n_tokens <= share AS is_full,
+           MAX(CASE WHEN n_tokens > share THEN share END)
+               OVER () AS level
+    FROM shared
+),
+planned AS (
+    SELECT source, n_tokens,
+           CAST(CASE WHEN is_full THEN n_tokens
+                     ELSE COALESCE(level, n_tokens) END AS BIGINT)
+               AS planned_tokens,
+           NOT is_full AS is_capped
+    FROM leveled
+)
+SELECT source, n_tokens, planned_tokens, is_capped,
+       CASE WHEN n_tokens = 0 THEN NULL
+            ELSE (floor((CAST(planned_tokens AS DOUBLE) / n_tokens)
+                        * 1000000.0 + 0.5) / 1000000.0)
+       END AS sample_fraction
+FROM planned
+"""
+
+
+@register(
+    "corpus_mixture_plan", _ORACLE_CORPUS_MIXTURE,
+    tags=("llm", "pipeline", "mixture"),
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planner: given a global token budget (here half
+    the corpus), allocate per-source token quotas by max-min fairness
+    (water-filling) and emit the per-source sampling fraction a
+    downstream ``sample_hash_fraction``-style selector would apply.
+    Small sources are taken whole; large sources are capped at a
+    common water level so no single crawl dominates the mixture —
+    the standard defense against one mega-source swamping training.
+
+    Algorithm, exactly specified in INTEGER arithmetic so both
+    engines agree bit-for-bit: sort sources by token count ascending
+    (ties by name); for source at rank r with ``taken_before`` tokens
+    already granted to smaller sources, its provisional equal share
+    is ``(budget - taken_before) DIV (n_sources - r + 1)``. A source
+    whose total fits inside its share is taken whole; the first one
+    that does not fixes the water level for every larger source
+    (shares are non-increasing past that point, so the level is the
+    MAX share among capped sources).
+
+    Scale: the corpus-sized work is one narrow token-count projection
+    (no explode) + one groupBy(source) with map-side combine.
+    Everything after operates on ONE ROW PER SOURCE: the totals frame
+    is a broadcast 1-row crossJoin (the events_cooccurrence idiom)
+    and the unpartitioned windows run over n_sources aggregated rows
+    — tens, not billions — so the single-partition window is by
+    construction not a bottleneck.
+
+    Hash parity: all-integer until the final quota/total division
+    (exact-int-divided-once, dround 1e-6); a zero-token source
+    yields NULL fraction on both engines (ANSI guard).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.expr("size(filter(split(text, ' '), x -> x != ''))")
+        .cast("bigint")
+        .alias("n_toks"),
+    )
+    src = toks.groupBy("source").agg(
+        F.sum("n_toks").cast("bigint").alias("n_tokens")
+    )
+    tot = src.agg(
+        F.sum("n_tokens").cast("bigint").alias("corpus_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    order = [F.col("n_tokens").asc(), F.col("source").asc()]
+    w_before = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_rank = Window.orderBy(*order)
+    w_all = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "budget", F.expr(f"corpus_tokens DIV {_MIX_BUDGET_DEN}")
+        )
+        .withColumn(
+            "taken_before",
+            F.coalesce(F.sum("n_tokens").over(w_before), F.lit(0)),
+        )
+        .withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .withColumn(
+            "share",
+            F.expr(
+                "GREATEST(budget - taken_before, 0L)"
+                " DIV (n_sources - rnk + 1)"
+            ),
+        )
+        .withColumn("is_full", F.col("n_tokens") <= F.col("share"))
+        .withColumn(
+            "level",
+            F.max(F.when(~F.col("is_full"), F.col("share"))).over(w_all),
+        )
+    )
+    planned = F.when(F.col("is_full"), F.col("n_tokens")).otherwise(
+        F.coalesce(F.col("level"), F.col("n_tokens"))
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        planned.cast("bigint").alias("planned_tokens"),
+        (~F.col("is_full")).alias("is_capped"),
+        F.when(
+            F.col("n_tokens") == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            dround(planned.cast("double") / F.col("n_tokens"), 6)
+        )
+        .alias("sample_fraction"),
     )

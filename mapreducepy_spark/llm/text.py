@@ -1155,3 +1155,74 @@ def text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
             hapax.cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("hapax_rate"),
     )
+
+
+# --- per-source corpus card -----------------------------------------
+
+_ORACLE_DOCS_SOURCE_PROFILE = """
+WITH per AS (
+    SELECT source, lang, n_chars,
+           CAST(length(list_filter(string_split(text, ' '),
+                                   x -> x <> '')) AS BIGINT) AS n_toks,
+           md5(text) AS digest
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       (floor((CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5)
+           / 10000.0) AS avg_chars,
+       CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_unique,
+       (floor((1.0 - CAST(COUNT(DISTINCT digest) AS DOUBLE) / COUNT(*))
+              * 1000000.0 + 0.5) / 1000000.0) AS dup_rate
+FROM per
+GROUP BY source
+"""
+
+
+@register(
+    "docs_source_profile", _ORACLE_DOCS_SOURCE_PROFILE,
+    tags=("llm", "text", "provenance"),
+)
+def docs_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus card: document/language/token counts, mean
+    document length, and the within-source exact-duplicate rate —
+    the provenance health table a pipeline publishes per crawl/dump
+    (the quality companion to ``dedup_cross_source``'s BETWEEN-source
+    overlap matrix). A source whose dup_rate spikes or whose token
+    mass collapses is quarantined before it pollutes the mixture.
+
+    Scale: ZERO explodes — the per-doc token count is a narrow
+    ``size(filter(split(...)))`` higher-order-function projection
+    (the text_repetition idiom), so the only shuffle is the
+    groupBy(source) over (source, lang, digest, two ints) rows with
+    map-side combine; text itself never rides the exchange. The two
+    distinct-aggregates ride the same Expand pass, grouped by source.
+
+    Hash parity: counts are exact integers; avg_chars and dup_rate
+    are each one exact-int division rounded once (dround), the
+    events_session_stats rule.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.expr("size(filter(split(text, ' '), x -> x != ''))")
+        .cast("bigint")
+        .alias("n_toks"),
+        F.md5("text").alias("digest"),
+    )
+    n = F.count(F.lit(1))
+    uniq = F.countDistinct("digest")
+    return per.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        dround(F.sum("n_chars").cast("double") / n, 4).alias("avg_chars"),
+        uniq.cast("bigint").alias("n_unique"),
+        dround(
+            F.lit(1.0) - uniq.cast("double") / n, 6
+        ).alias("dup_rate"),
+    )

@@ -58,90 +58,93 @@ _MODULES = (
 )
 
 # Explicit catalog order. The driver evaluates ``queries()`` front to
-# back under a bounded budget (rounds 1 AND 2 both stopped at exactly
-# the first 50 catalog keys — VERDICT.md r2 "Next round" #1), so
-# ordering is evidence policy, not cosmetics. Round-3 policy:
+# back under a bounded budget (every round so far stopped at exactly
+# the first 50 catalog keys), so ordering is evidence policy, not
+# cosmetics. Round-5 policy (VERDICT r3 work order #2/#3 + SURVEY §8
+# round-5 plan):
 #
-# - the 5 keys that landed outside the window in round 2 (added
-#   without a _KEY_ORDER entry) come FIRST — they have zero driver
-#   rows so far;
-# - then the 18 keys whose only green rows date from round 1 (round
-#   2's window displaced them) — refresh their evidence;
-# - then every operator newly added or code-touched in round 3
-#   (touched code must be re-proven, not rest on old rows);
-# - the remainder of the first 50 re-confirms round-2-green keys,
-#   preferring the LLM-pipeline family (the north star);
-# - the tail holds only keys with green round-2 rows plus the three
-#   rows-only-by-design keys, so whatever the budget cuts is
-#   already-proven ground.
+# - the 3 keys NEW this round come first (zero driver evidence);
+# - then the 3 rows-only-by-design keys (agg_approx_distinct,
+#   sample_fraction, sample_stratified): their only driver rows ever
+#   are r1 ``err: "no_oracle"`` — one window slot each to learn
+#   whether the driver can record a rows-only pass (work order #3);
+# - then the 13 keys whose only green rows date from round 1
+#   (displaced by round 4's new operators) — oldest evidence first;
+# - then every key whose code round 5 touched (scan_profile's
+#   exact/approx parameter; the 5 LSH keys riding the _band_table
+#   extraction from _candidate_pairs) — touched code is re-proven,
+#   never rests on old rows;
+# - the remaining 25 slots refresh the oldest round-2 evidence,
+#   preferring the LLM/dedup family (the north star);
+# - the tail holds only keys with green round-2/3 rows, so whatever
+#   the budget cuts is already-proven ground.
 #
 # ``load_catalog`` reorders the registry to this sequence and RAISES
 # if any registered key is missing from it (round-2 postmortem: five
 # keys silently fell to the alphabetical tail, outside any evidence
 # window); tests/test_sql.py additionally pins the two lists equal.
 _KEY_ORDER = (
-    # never driver-checked (added late in round 2 without an order
-    # entry — the round-3 priority)
+    # new in round 5 — zero driver evidence
+    "lsh_band_stats", "docs_source_profile", "corpus_mixture_plan",
+    # rows-only by design (approximation / RNG — no DuckDB oracle
+    # possible): windowed once to convert r1 "err: no_oracle" into
+    # recorded driver evidence, or to document that the protocol
+    # cannot express a rows-only pass
+    "agg_approx_distinct", "sample_fraction", "sample_stratified",
+    # round-1-only evidence (displaced by round 4's window) —
+    # the oldest rows in the ledger
+    "sort_limit", "set_union", "set_intersect", "set_except",
+    "win_ntile", "win_dist", "topk_per_group", "agg_pivot",
+    "agg_cube", "agg_grouping_sets", "agg_rollup", "agg_stats",
+    "join_full",
+    # code touched in round 5 — re-prove: scan_profile grew the
+    # exact=False approx path; the LSH family rides the _band_table
+    # helper extracted from _candidate_pairs
+    "scan_profile",
+    "dedup_near", "dedup_clusters", "dedup_near_verified",
+    "dedup_minhash_est", "dedup_survivors_verified",
+    # round-2 evidence refresh (oldest remaining rows, LLM/dedup
+    # family first) — 25 slots
+    "dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
+    "sim_ann_lsh", "sim_ann_ivf",
+    "text_stats", "text_tfidf", "multimodal_cols",
+    "text_quality", "text_langid", "text_tokens", "text_fingerprint",
+    "join_asof", "win_session", "win_tumbling", "win_sliding",
+    "events_funnel", "rollup_multires", "join_range_binned",
+    "sample_hash_fraction", "sample_hash_stratified",
+    "agg_group", "agg_minmax_by", "join_inner", "agg_count_distinct",
+    # ---- position 50 = agg_count_distinct: the window ends exactly
+    # here (3 new + 3 rows-only + 13 r1-stale + 6 touched + 25 r2
+    # refresh = 50). Everything below is OUTSIDE the driver window
+    # and rests on a green round-2 or round-3 row: first the 19
+    # r2-green keys that didn't fit (they lead round 6's refresh),
+    # then the r3-green block.
+    "scan_project", "scan_count", "json_extract",
+    "filter_pred", "project_expr", "distinct_rows",
+    "fn_string", "fn_date", "fn_conditional", "fn_json",
+    "fn_levenshtein", "fn_math", "fn_array",
+    "agg_having", "win_rank", "win_running",
+    "join_theta_range", "win_lead_lag", "win_range_frame",
+    # r3-green (fresh driver evidence from the round-4 window)
     "agg_histogram", "agg_quantile_disc", "dedup_keep_first",
     "join_skew_salted", "text_decontaminate",
-    # round-1-only evidence, displaced by round 2's window
     "join_left", "join_multi", "join_semi", "join_anti",
     "agg_collect",
-    # new in round 4 (displacing 13 r1-stale keys to the tail head —
-    # sort_limit, set_union/intersect/except, win_ntile, win_dist,
-    # topk_per_group, agg_pivot, agg_cube, agg_grouping_sets,
-    # agg_rollup, agg_stats, join_full: untouched code, r1-green
-    # evidence stands; unproven new keys outrank stale-but-proven
-    # ones)
     "events_entropy", "events_session_stats", "agg_gini",
     "text_charlm", "text_zipf", "text_length_profile",
     "dedup_cross_source", "pipeline_clean_corpus",
     "events_inter_arrival", "text_hapax", "events_attribution",
-    "dedup_survivors_verified", "events_cooccurrence",
-    # new in round 3
+    "events_cooccurrence",
     "text_pack_sequences", "text_bigrams", "text_quality_filter",
-    "dedup_near_verified", "embed_norm_bins",
+    "embed_norm_bins",
     "events_retention", "events_paths", "win_streak",
     "agg_weighted_avg", "agg_mode",
     "text_contamination_ngram", "sample_split",
     "text_repetition", "text_oov_rate", "events_anomaly",
     "events_dau_rolling", "fn_regex",
-    "text_keywords", "text_perplexity_proxy", "dedup_minhash_est",
+    "text_keywords", "text_perplexity_proxy",
     "agg_pareto", "events_user_lifecycle",
-    # code touched in round 3 — re-prove (dedup_near and
-    # dedup_clusters ride the _candidate_pairs/_minhash_table
-    # refactor that dedup_minhash_est introduced)
     "dedup_jaccard_capped", "sim_knn", "dedup_embedding",
-    "dedup_near", "dedup_clusters",
-    # ---- position 50 = dedup_clusters: the window ends exactly at
-    # the touched-code block above (5 never-checked + 5 r1-stale +
-    # 13 round-4 new + 22 round-3 new + 5 touched = 50).
-    # Everything below is OUTSIDE the driver window and rests on a
-    # green round-1/2 row (r1-stale keys displaced by round 4's new
-    # operators first, then the LLM family).
-    "sort_limit", "set_union", "set_intersect", "set_except",
-    "win_ntile", "win_dist", "topk_per_group", "agg_pivot",
-    "agg_cube", "agg_grouping_sets", "agg_rollup", "agg_stats",
-    "join_full",
-    "dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
-    "sim_ann_lsh", "sim_ann_ivf",
-    "text_stats", "text_tfidf", "multimodal_cols",
-    "join_asof", "fn_string", "scan_project", "win_session",
-    "scan_count", "json_extract", "scan_profile",
-    "filter_pred", "project_expr", "distinct_rows",
-    "fn_date", "fn_conditional", "fn_json", "fn_levenshtein",
-    "fn_math", "fn_array",
-    "sample_hash_fraction", "sample_hash_stratified",
-    "text_quality", "text_langid", "text_tokens", "text_fingerprint",
-    "win_tumbling", "win_sliding",
-    "events_funnel", "rollup_multires",
-    "join_range_binned",
-    "agg_minmax_by", "win_lead_lag", "win_range_frame",
-    "join_inner", "join_theta_range",
-    "agg_group", "agg_count_distinct", "agg_having",
-    "win_rank", "win_running",
-    # rows-only by design (approximation / RNG — no oracle possible)
-    "agg_approx_distinct", "sample_stratified", "sample_fraction",
 )
 
 

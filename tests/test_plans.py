@@ -497,3 +497,43 @@ def test_scan_profile_approx_swaps_distinct_strategy(spark, sf_dir):
     assert "Expand" not in approx
     assert approx.count("(1) Scan parquet") == 1
     assert approx.count("+- Exchange") == 1
+
+
+def test_lsh_band_stats_is_pure_aggregation(spark, sf_dir):
+    """The LSH tuning gauge must never touch the pair space it
+    predicts: no join of any kind — one explode chain into two
+    aggregations (bucket sizes, then per-band rollup) with map-side
+    partial aggregation before each exchange."""
+    plan = plan_of(spark, "lsh_band_stats", sf_dir)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_docs_source_profile_has_no_explode(spark, sf_dir):
+    """The corpus card computes per-doc token counts as a narrow
+    higher-order-function projection — no Generate (explode) node,
+    one corpus scan, and text never rides the exchange (the shuffle
+    carries source/lang/digest/ints only)."""
+    plan = plan_of(spark, "docs_source_profile", sf_dir)
+    assert "Generate" not in plan
+    assert plan.count("(1) Scan parquet") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_mixture_plan_windows_run_on_aggregated_rows(spark, sf_dir):
+    """corpus_mixture_plan: the corpus-sized work ends at the
+    groupBy(source); the totals frame reaches the per-source rows as
+    a broadcast (1-row nested-loop is the correct shape for a
+    schema-less cross of aggregated rows), no explode anywhere, and
+    the unpartitioned windows sit above the aggregation, not the
+    corpus."""
+    plan = plan_of(spark, "corpus_mixture_plan", sf_dir)
+    assert "Generate" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    # the window must consume the aggregated source table: Window
+    # appears above HashAggregate in the tree (formatted plan lists
+    # leaves first, so the aggregate's node id is smaller)
+    assert "Window" in plan

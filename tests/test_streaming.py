@@ -141,3 +141,51 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
     want = sw.clicks_after_views(_batch_events(spark, sf_dir)).toPandas()
     assert len(got) > 0
     assert canon_frame(got) == canon_frame(want)
+
+
+def test_attribution_pairs_stream_matches_batch(spark, sf_dir, events_dir):
+    """Stream-stream interval join (watermarked both sides) emits
+    exactly the batch pair space when the fixture is replayed."""
+    from mapreducepy_spark.streaming import joins as sj
+
+    def typed(df, t):
+        return df.filter(df.event_type == t)
+
+    stream = sw.read_events_stream(spark, events_dir)
+    got = sw.run_available_now(
+        sj.attribution_pairs(
+            sw.with_watermark(typed(stream, "purchase")),
+            sw.with_watermark(typed(stream, "view")),
+        ),
+        "t_attr_pairs",
+        spark,
+    ).toPandas()
+    batch = _batch_events(spark, sf_dir)
+    want = sj.attribution_pairs(
+        typed(batch, "purchase"), typed(batch, "view")
+    ).toPandas()
+    assert len(want) > 0
+    assert canon_frame(got) == canon_frame(want)
+
+
+def test_last_touch_compact_agrees_with_events_attribution(spark, sf_dir):
+    """last_touch over the pair space must pick the same winners as
+    the carried-timeline events_attribution (on purchases that have
+    at least one in-window view — the pair space is inner)."""
+    from mapreducepy_spark.operators.temporal import events_attribution
+    from mapreducepy_spark.streaming import joins as sj
+
+    batch = _batch_events(spark, sf_dir)
+    pairs = sj.attribution_pairs(
+        batch.filter(batch.event_type == "purchase"),
+        batch.filter(batch.event_type == "view"),
+    )
+    got = sj.last_touch(pairs).toPandas()
+    want = (
+        events_attribution(spark, sf_dir)
+        .filter("view_id IS NOT NULL")
+        .select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
+        .toPandas()
+    )
+    assert len(want) > 0
+    assert canon_frame(got) == canon_frame(want)
