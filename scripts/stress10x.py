@@ -45,6 +45,10 @@ OPS = (
     "dedup_cross_source",
     "dedup_survivors_verified",
     "events_cooccurrence",
+    # round 5: LSH tuning gauge, corpus card, mixture planner
+    "lsh_band_stats",
+    "docs_source_profile",
+    "corpus_mixture_plan",
 )
 
 

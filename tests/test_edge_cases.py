@@ -277,3 +277,108 @@ def test_zipf_single_type_corpus_yields_null_fit(spark, tmp_path):
     r = rows[0]
     assert r["n_types"] == 1 and r["n_tokens"] == 4
     assert r["zipf_slope"] is None and r["zipf_intercept"] is None
+
+
+def test_mixture_plan_water_filling_invariants(spark, tmp_path):
+    """Adversarially skewed sources (one giant crawl, several small
+    ones): the integer water-filling must (a) never plan more than a
+    source has, (b) never exceed the global budget, (c) leave at most
+    n_sources-1 budget tokens unspent (integer-floor slack only),
+    (d) give every capped source the same water level."""
+    texts = {
+        "tiny": ["a b"],                       # 2 tokens
+        "small": ["a b c d e"] * 4,            # 20 tokens
+        "mid": ["w x y z"] * 25,               # 100 tokens
+        "mega": ["t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"] * 100,  # 1000 tokens
+    }
+    rows = []
+    i = 0
+    for src, ts in texts.items():
+        for t in ts:
+            rows.append((i, t, "en", src, len(t)))
+            i += 1
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    out = (
+        CATALOG["corpus_mixture_plan"]
+        .builder(spark, str(tmp_path))
+        .toPandas()
+        .set_index("source")
+    )
+    total = int(out.n_tokens.sum())
+    budget = total // 2
+    assert (out.planned_tokens <= out.n_tokens).all()
+    assert int(out.planned_tokens.sum()) <= budget
+    assert budget - int(out.planned_tokens.sum()) < len(out)
+    capped = out[out.is_capped]
+    assert len(capped) >= 1  # the mega source must be capped
+    assert capped.planned_tokens.nunique() == 1  # one water level
+    full = out[~out.is_capped]
+    assert (full.planned_tokens == full.n_tokens).all()
+    assert (out.sample_fraction > 0).all()
+    assert (out.sample_fraction <= 1.0).all()
+
+
+def test_mixture_plan_zero_token_source_null_fraction(spark, tmp_path):
+    """A source whose documents tokenize to nothing must yield a NULL
+    sampling fraction (ANSI zero-denominator guard), not a crash."""
+    rows = [
+        (0, "", "en", "empty_src", 0),
+        (1, " ", "en", "empty_src", 1),
+        (2, "a b c d", "en", "real_src", 7),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    out = (
+        CATALOG["corpus_mixture_plan"]
+        .builder(spark, str(tmp_path))
+        .toPandas()
+        .set_index("source")
+    )
+    assert out.loc["empty_src"].n_tokens == 0
+    assert pd.isna(out.loc["empty_src"].sample_fraction)
+    assert out.loc["real_src"].sample_fraction > 0
+
+
+def test_lsh_band_stats_pair_volume_bounds_actual_candidates(
+    spark, sf_dir
+):
+    """The gauge must bound the join it predicts: the union-distinct
+    candidate set (dedup_near) is at most the summed per-band pair
+    volume and at least the largest single band's volume."""
+    stats = CATALOG["lsh_band_stats"].builder(spark, sf_dir).toPandas()
+    n_union = CATALOG["dedup_near"].builder(spark, sf_dir).count()
+    assert stats.n_cand_pairs.max() <= n_union <= stats.n_cand_pairs.sum()
+    # every doc appears in every band
+    assert stats.n_docs.nunique() == 1
+
+
+def test_source_profile_token_totals_agree_with_mixture_plan(
+    spark, sf_dir
+):
+    """docs_source_profile and corpus_mixture_plan must agree on the
+    per-source token mass (same token definition), and the card's
+    counts must be internally consistent."""
+    prof = (
+        CATALOG["docs_source_profile"]
+        .builder(spark, sf_dir)
+        .toPandas()
+        .set_index("source")
+        .sort_index()
+    )
+    mix = (
+        CATALOG["corpus_mixture_plan"]
+        .builder(spark, sf_dir)
+        .toPandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert prof.n_tokens.to_dict() == mix.n_tokens.to_dict()
+    from mapreducepy_spark.io import load_spread
+
+    assert prof.n_docs.sum() == load_spread(spark, sf_dir, "documents").count()
+    assert (prof.n_unique <= prof.n_docs).all()
+    assert (prof.dup_rate >= 0).all() and (prof.dup_rate < 1).all()
