@@ -28,3 +28,15 @@ DUCK_SHINGLES = (
     "list_transform(range(1, len(string_split(text, ' ')) - 1), "
     "i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))"
 )
+
+# Narrow (no-explode) whitespace token count of `text`, as the ONE
+# pair of engine fragments shared by every operator that needs a
+# per-doc token count without per-word aggregation
+# (docs_source_profile, corpus_mixture_plan). A drifted copy —
+# different separator, missing empty-token filter — would silently
+# break both hash parity and the cross-operator token-mass agreement
+# test, so the fragment lives here (the SPARK/DUCK_SHINGLES pattern).
+SPARK_TOKEN_COUNT = "size(filter(split(text, ' '), x -> x != ''))"
+DUCK_TOKEN_COUNT = (
+    "length(list_filter(string_split(text, ' '), x -> x <> ''))"
+)

@@ -20,6 +20,7 @@ from ..io import load_spread
 from ..operators.sampling import _SPLIT_TRAIN_CUT, _SPLIT_VAL_CUT
 from ..registry import register
 from ..rounding import dround
+from . import DUCK_TOKEN_COUNT, SPARK_TOKEN_COUNT
 from .dedup import _EVAL_CUT
 from .text import (
     _QF_MAX_AVG_LEN,
@@ -172,8 +173,7 @@ _MIX_BUDGET_DEN = 2
 _ORACLE_CORPUS_MIXTURE = f"""
 WITH toks AS (
     SELECT source,
-           CAST(length(list_filter(string_split(text, ' '),
-                                   x -> x <> '')) AS BIGINT) AS n_toks
+           CAST({DUCK_TOKEN_COUNT} AS BIGINT) AS n_toks
     FROM documents
 ),
 src AS (
@@ -268,9 +268,7 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "source",
-        F.expr("size(filter(split(text, ' '), x -> x != ''))")
-        .cast("bigint")
-        .alias("n_toks"),
+        F.expr(SPARK_TOKEN_COUNT).cast("bigint").alias("n_toks"),
     )
     src = toks.groupBy("source").agg(
         F.sum("n_toks").cast("bigint").alias("n_tokens")

@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 from ..io import load_spread
 from ..registry import register
 from ..rounding import dround, dround_sql
-from . import DUCK_SHINGLES, SPARK_SHINGLES
+from . import (
+    DUCK_SHINGLES,
+    DUCK_TOKEN_COUNT,
+    SPARK_SHINGLES,
+    SPARK_TOKEN_COUNT,
+)
 
 _ORACLE_TEXT_STATS = """
 SELECT w AS word,
@@ -1159,11 +1164,10 @@ def text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- per-source corpus card -----------------------------------------
 
-_ORACLE_DOCS_SOURCE_PROFILE = """
+_ORACLE_DOCS_SOURCE_PROFILE = f"""
 WITH per AS (
     SELECT source, lang, n_chars,
-           CAST(length(list_filter(string_split(text, ' '),
-                                   x -> x <> '')) AS BIGINT) AS n_toks,
+           CAST({DUCK_TOKEN_COUNT} AS BIGINT) AS n_toks,
            md5(text) AS digest
     FROM documents
 )
@@ -1209,9 +1213,7 @@ def docs_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         "n_chars",
-        F.expr("size(filter(split(text, ' '), x -> x != ''))")
-        .cast("bigint")
-        .alias("n_toks"),
+        F.expr(SPARK_TOKEN_COUNT).cast("bigint").alias("n_toks"),
         F.md5("text").alias("digest"),
     )
     n = F.count(F.lit(1))

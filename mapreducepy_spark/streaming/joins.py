@@ -31,8 +31,6 @@ from pyspark.sql import functions as F
 
 from ..operators.temporal import _ATTR_LOOKBACK_US
 
-_LOOKBACK_SECONDS = _ATTR_LOOKBACK_US // 1_000_000
-
 
 def attribution_pairs(purchases: DataFrame, views: DataFrame) -> DataFrame:
     """All (purchase, view-within-lookback) candidate pairs for the
@@ -61,9 +59,13 @@ def attribution_pairs(purchases: DataFrame, views: DataFrame) -> DataFrame:
         (F.col("p_user") == F.col("v_user"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (
+            # microsecond interval, NOT a // 1_000_000 to seconds:
+            # the batch twin's lookback is a µs constant, and a
+            # silent truncation here would diverge the two pair
+            # spaces on any non-whole-second tuning
             F.col("view_ts")
             >= F.col("purchase_ts")
-            - F.expr(f"INTERVAL {_LOOKBACK_SECONDS} SECONDS")
+            - F.expr(f"INTERVAL {_ATTR_LOOKBACK_US} MICROSECOND")
         )
     )
     age_us = F.unix_micros("purchase_ts") - F.unix_micros("view_ts")

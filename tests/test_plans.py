@@ -533,7 +533,16 @@ def test_mixture_plan_windows_run_on_aggregated_rows(spark, sf_dir):
     assert "Generate" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
-    # the window must consume the aggregated source table: Window
-    # appears above HashAggregate in the tree (formatted plan lists
-    # leaves first, so the aggregate's node id is smaller)
-    assert "Window" in plan
+    # the windows must consume the aggregated source table, never the
+    # corpus: formatted-plan node ids grow leaf→root, so EVERY Window
+    # node must sit above (higher id than) EVERY HashAggregate — a
+    # window pushed below the groupBy(source) would run over the
+    # corpus-sized scan and show a smaller id than the final agg
+    import re
+
+    ids = {
+        kind: [int(m.group(1)) for m in re.finditer(rf"\((\d+)\) {kind}", plan)]
+        for kind in ("Window", "HashAggregate")
+    }
+    assert ids["Window"] and ids["HashAggregate"]
+    assert min(ids["Window"]) > max(ids["HashAggregate"])
