@@ -923,6 +923,68 @@ def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- prefix-digest duplicate groups ---------------------------------
+
+# Tokens of leading context that define the prefix fingerprint.
+_PREFIX_TOKENS = 16
+
+_ORACLE_DEDUP_PREFIX = f"""
+WITH pref AS (
+    SELECT doc_id,
+           md5(array_to_string(
+               string_split(text, ' ')[1:{_PREFIX_TOKENS}], ' '
+           )) AS prefix_digest
+    FROM documents
+)
+SELECT prefix_digest,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+FROM pref
+GROUP BY prefix_digest
+HAVING COUNT(*) >= 2
+"""
+
+
+@register(
+    "dedup_prefix", _ORACLE_DEDUP_PREFIX, tags=("llm", "dedup"),
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint duplicate groups: documents whose first
+    {_PREFIX_TOKENS} tokens hash identically. Catches the duplicate
+    class whole-text md5 (``dedup_exact``) structurally cannot —
+    truncation variants and shared-lead boilerplate, where the same
+    article is re-crawled with a different tail — without the
+    shingle machinery's cost. Sits between exact and near dedup in
+    the funnel: run it after exact, before MinHash.
+
+    Scale: the fingerprint is a narrow ``slice(split(...))``
+    projection (both engines clamp the slice on shorter documents,
+    so no length guard is needed); the only shuffle is
+    groupBy(digest) over 16-byte digests with map-side combine —
+    text never rides the exchange, the ``dedup_exact`` argument.
+
+    Hash parity: md5 over the identically reconstructed prefix
+    string; counts and min-doc selection are exact integers.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    pref = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.split("text", " "), 1, _PREFIX_TOKENS)
+            )
+        ).alias("prefix_digest"),
+    )
+    return (
+        pref.groupBy("prefix_digest")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 # --- LSH tuning diagnostics: per-band bucket statistics -------------
 
 _ORACLE_LSH_BAND_STATS = f"""

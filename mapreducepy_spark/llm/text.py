@@ -1228,3 +1228,121 @@ def docs_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - uniq.cast("double") / n, 6
         ).alias("dup_rate"),
     )
+
+
+# --- vocabulary coverage curve (tokenizer budget) -------------------
+
+# Coverage checkpoints: what fraction of the corpus token mass the
+# top-k vocabulary types cover. The numbers that size a tokenizer's
+# vocab budget (and expose a corpus whose mass hides in the tail).
+_COVERAGE_KS = (10, 100, 1000)
+_COVERAGE_TOP = max(_COVERAGE_KS)
+
+_ORACLE_TEXT_VOCAB_COVERAGE = f"""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks WHERE word <> '' GROUP BY word
+),
+top AS (
+    SELECT word, n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) AS rnk
+    FROM wc
+    QUALIFY rnk <= {_COVERAGE_TOP}
+),
+cum AS (
+    SELECT rnk,
+           SUM(n) OVER (
+               ORDER BY rnk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_tokens
+    FROM top
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM wc
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _COVERAGE_KS)}]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(LEAST(ks.k, t.n_types) AS BIGINT) AS n_types_used,
+       c.cum_tokens AS tokens_covered,
+       (floor((CAST(c.cum_tokens AS DOUBLE) / t.total_tokens)
+              * 1000000.0 + 0.5) / 1000000.0) AS coverage
+FROM ks
+CROSS JOIN tot t
+JOIN cum c ON c.rnk = LEAST(ks.k, t.n_types)
+"""
+
+
+@register(
+    "text_vocab_coverage", _ORACLE_TEXT_VOCAB_COVERAGE,
+    tags=("llm", "text", "tokenizer"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for k in {10, 100, 1000}, how much
+    of the corpus token mass the k most frequent types cover — the
+    measurement that sizes a tokenizer vocabulary (and flags a
+    corpus whose mass hides in a heavy tail, where subword methods
+    earn their keep).
+
+    Scale: the corpus-sized work is ONE combiner-friendly wordcount;
+    the top-{_COVERAGE_TOP} selection is ``orderBy().limit()`` —
+    Spark plans TakeOrderedAndProject, a per-partition k-heap merged
+    on one reducer, so the full vocabulary is never globally sorted
+    (plan-asserted). Only the ≤{_COVERAGE_TOP} surviving rows ride
+    the single-partition cumsum window; the totals frame is a
+    broadcast 1-row crossJoin.
+
+    Hash parity: counts and cumulative sums are exact integers
+    ordered by (count DESC, word ASC) — fully deterministic, no
+    float enters until the single coverage division (dround 1e-6).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_spread(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = wc.agg(
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    top = wc.orderBy(F.col("n").desc(), F.col("word").asc()).limit(
+        _COVERAGE_TOP
+    )
+    w_cum = (
+        Window.orderBy(F.col("n").desc(), F.col("word").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = top.select(
+        F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("word").asc())
+        ).alias("rnk"),
+        F.sum("n").over(w_cum).cast("bigint").alias("cum_tokens"),
+    )
+    ks = (
+        spark.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(k) for k in _COVERAGE_KS])).alias("k")
+        )
+        .select(F.col("k").cast("bigint").alias("k"))
+    )
+    return (
+        ks.crossJoin(F.broadcast(tot))
+        .withColumn("n_types_used", F.least("k", "n_types"))
+        .join(F.broadcast(cum), F.col("rnk") == F.col("n_types_used"))
+        .select(
+            "k",
+            "n_types_used",
+            F.col("cum_tokens").alias("tokens_covered"),
+            dround(
+                F.col("cum_tokens").cast("double") / F.col("total_tokens"), 6
+            ).alias("coverage"),
+        )
+    )

@@ -546,3 +546,26 @@ def test_mixture_plan_windows_run_on_aggregated_rows(spark, sf_dir):
     }
     assert ids["Window"] and ids["HashAggregate"]
     assert min(ids["Window"]) > max(ids["HashAggregate"])
+
+
+def test_vocab_coverage_topk_is_heap_not_global_sort(spark, sf_dir):
+    """text_vocab_coverage selects its top-1000 vocabulary with
+    TakeOrderedAndProject (per-partition k-heap) — the full
+    vocabulary must never be globally sorted, and the cumsum window
+    runs over the ≤1000 survivors only."""
+    plan = plan_of(spark, "text_vocab_coverage", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dedup_prefix_is_narrow_digest_groupby(spark, sf_dir):
+    """dedup_prefix fingerprints with a narrow slice/concat
+    projection: no Generate (explode) node, one scan, and map-side
+    partial aggregation before the digest shuffle — text never
+    rides the exchange."""
+    plan = plan_of(spark, "dedup_prefix", sf_dir)
+    assert "Generate" not in plan
+    assert plan.count("(1) Scan parquet") == 1
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan
