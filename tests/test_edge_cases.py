@@ -382,3 +382,73 @@ def test_source_profile_token_totals_agree_with_mixture_plan(
     assert prof.n_docs.sum() == load_spread(spark, sf_dir, "documents").count()
     assert (prof.n_unique <= prof.n_docs).all()
     assert (prof.dup_rate >= 0).all() and (prof.dup_rate < 1).all()
+
+
+def test_mixture_formula_matches_iterative_reference():
+    """Property-test the water-filling FORMULA itself (the exact
+    integer arithmetic both engines execute) against a plain
+    iterative max-min-fair reference — no Spark in the loop, so
+    hypothesis can hammer thousands of adversarial token profiles:
+    all-equal, one-giant, zeros, singletons."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def formula(tokens: list[int]) -> list[int]:
+        # mirror of corpus_mixture_plan's SQL, in evaluation order
+        order = sorted(range(len(tokens)), key=lambda i: (tokens[i], i))
+        total = sum(tokens)
+        budget = total // 2
+        n = len(tokens)
+        planned = [0] * n
+        taken_before = 0
+        shares = []
+        for r, i in enumerate(order, start=1):
+            share = max(budget - taken_before, 0) // (n - r + 1)
+            shares.append((i, share))
+            taken_before += tokens[i]
+        level = max(
+            (s for i, s in shares if tokens[i] > s), default=None
+        )
+        for i, share in shares:
+            if tokens[i] <= share:
+                planned[i] = tokens[i]
+            else:
+                planned[i] = level if level is not None else tokens[i]
+        return planned
+
+    def reference(tokens: list[int]) -> list[int]:
+        # true iterative max-min fairness with integer shares:
+        # repeatedly grant every source that fits its equal share,
+        # recompute, until only capped sources remain
+        total = sum(tokens)
+        budget = total // 2
+        remaining = dict(enumerate(tokens))
+        planned = {}
+        while remaining:
+            share = budget // len(remaining)
+            fits = {i: t for i, t in remaining.items() if t <= share}
+            if not fits:
+                for i in remaining:
+                    planned[i] = share
+                break
+            # grant the smallest first (ties by index) — one at a
+            # time, recomputing, mirrors ascending processing
+            i = min(fits, key=lambda j: (fits[j], j))
+            planned[i] = remaining.pop(i)
+            budget -= planned[i]
+        return [planned[i] for i in range(len(tokens))]
+
+    @settings(max_examples=2000, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=10**9),
+                 min_size=1, max_size=12)
+    )
+    def check(tokens):
+        got = formula(tokens)
+        want = reference(tokens)
+        assert got == want, (tokens, got, want)
+        budget = sum(tokens) // 2
+        assert sum(got) <= budget
+        assert all(p <= t for p, t in zip(got, tokens))
+
+    check()
