@@ -335,6 +335,30 @@ _DUCK_BUCKET = " + ".join(
     for i in range(_N_PLANES)
 )
 
+# Same sign pattern on the RAW embedding (sign(unit) == sign(raw) for
+# a positive norm, so both fragments assign identical buckets); used
+# where no normalization pass exists (embed_bucket_purity).
+_DUCK_BUCKET_RAW = " + ".join(
+    f"(CASE WHEN CAST(embedding[{i + 1}] AS DOUBLE) > 0"
+    f" THEN {1 << i} ELSE 0 END)"
+    for i in range(_N_PLANES)
+)
+
+
+def _sign_bucket_col():
+    """Spark twin of ``_DUCK_BUCKET_RAW``: the sign-LSH bucket key as
+    a pure JVM expression over the raw embedding — the ONE definition
+    shared by ``sim_ann_lsh`` and ``embed_bucket_purity`` so the
+    bucket assignment cannot drift between the ANN join and its
+    diagnostic."""
+    bucket = None
+    for i in range(_N_PLANES):
+        term = F.when(
+            F.element_at("embedding", i + 1).cast("double") > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("int")
+
 _ORACLE_SIM_ANN = f"""
 WITH {_DUCK_NORMED_CTE},
 bucketed AS (
@@ -383,13 +407,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("embedding") == _DIM)
         .select("vec_id", "embedding")
     )
-    bucket = None
-    for i in range(_N_PLANES):
-        term = F.when(
-            F.element_at("embedding", i + 1).cast("double") > 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
-    bucketed = emb.withColumn("bucket", bucket.cast("int"))
+    bucketed = emb.withColumn("bucket", _sign_bucket_col())
 
     def bucket_top1(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -741,5 +759,90 @@ def embed_norm_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
             dround(F.avg("maxcomp"), 6).alias("avg_maxcomp"),
+        )
+    )
+
+
+# --- LSH bucket label purity (ANN quality diagnostic) ---------------
+
+_ORACLE_EMBED_BUCKET_PURITY = f"""
+WITH b AS (
+    SELECT vec_id, label, {_DUCK_BUCKET_RAW} AS bucket
+    FROM embeddings
+    WHERE len(embedding) = {_DIM}
+),
+counts AS (
+    SELECT bucket, label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket, label
+),
+ranked AS (
+    SELECT bucket, label, n,
+           CAST(SUM(n) OVER (PARTITION BY bucket) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT)
+               AS n_labels,
+           ROW_NUMBER() OVER (
+               PARTITION BY bucket ORDER BY n DESC, label ASC
+           ) AS rn
+    FROM counts
+)
+SELECT CAST(bucket AS INT) AS bucket, n_vecs, n_labels,
+       CAST(label AS INT) AS top_label, n AS top_n,
+       (floor((CAST(n AS DOUBLE) / n_vecs) * 1000000.0 + 0.5)
+           / 1000000.0) AS purity
+FROM ranked
+WHERE rn = 1
+"""
+
+
+@register(
+    "embed_bucket_purity", _ORACLE_EMBED_BUCKET_PURITY,
+    tags=("llm", "similarity", "lsh", "diagnostic"),
+)
+def embed_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity per sign-LSH bucket: how well the ANN partitioning
+    aligns with the semantic labels it is supposed to keep together
+    (majority-label fraction per bucket). The recall-side companion
+    to ``lsh_band_stats``'s cost gauge: low purity at a given plane
+    count means neighbors are being split across buckets and the ANN
+    answer quality is at risk — tune ``_N_PLANES`` (or add probe
+    tables) BEFORE paying for the bucketed GEMM at full scale.
+
+    Scale: the bucket key is the exact expression ``sim_ann_lsh``
+    buckets with (shared ``_sign_bucket_col`` — the diagnostic can
+    never drift from the operator it measures); embeddings collapse
+    to (bucket, label) counts map-side, and every window runs on
+    those aggregated rows partitioned BY BUCKET — one shuffle of
+    count rows, never of vectors, and no single-partition window.
+
+    Hash parity: counts are exact integers; the row_number orders on
+    (count DESC, label ASC) — a deterministic total order; purity is
+    one exact-int division rounded at 1e-6.
+    """
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") == _DIM)
+        .select("label", _sign_bucket_col().alias("bucket"))
+    )
+    counts = emb.groupBy("bucket", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("bucket")
+    wo = Window.partitionBy("bucket").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    return (
+        counts.withColumn("n_vecs", F.sum("n").over(w).cast("bigint"))
+        .withColumn("n_labels", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("rn", F.row_number().over(wo))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_vecs",
+            "n_labels",
+            F.col("label").cast("int").alias("top_label"),
+            F.col("n").cast("bigint").alias("top_n"),
+            dround(
+                F.col("n").cast("double") / F.col("n_vecs"), 6
+            ).alias("purity"),
         )
     )

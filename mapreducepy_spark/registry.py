@@ -86,7 +86,7 @@ _MODULES = (
 _KEY_ORDER = (
     # new in round 5 — zero driver evidence
     "lsh_band_stats", "docs_source_profile", "corpus_mixture_plan",
-    "text_vocab_coverage", "dedup_prefix",
+    "text_vocab_coverage", "dedup_prefix", "embed_bucket_purity",
     # rows-only by design (approximation / RNG — no DuckDB oracle
     # possible): windowed once to convert r1 "err: no_oracle" into
     # recorded driver evidence, or to document that the protocol
@@ -105,7 +105,7 @@ _KEY_ORDER = (
     "dedup_near", "dedup_clusters", "dedup_near_verified",
     "dedup_minhash_est", "dedup_survivors_verified",
     # round-2 evidence refresh (oldest remaining rows, LLM/dedup
-    # family first) — 23 slots
+    # family first) — 22 slots
     "dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
     "sim_ann_lsh", "sim_ann_ivf",
     "text_stats", "text_tfidf", "multimodal_cols",
@@ -113,14 +113,14 @@ _KEY_ORDER = (
     "join_asof", "win_session", "win_tumbling", "win_sliding",
     "events_funnel", "rollup_multires", "join_range_binned",
     "sample_hash_fraction", "sample_hash_stratified",
-    "agg_group", "agg_minmax_by",
-    # ---- position 50 = agg_minmax_by: the window ends exactly
-    # here (5 new + 3 rows-only + 13 r1-stale + 6 touched + 23 r2
+    "agg_group",
+    # ---- position 50 = agg_group: the window ends exactly here
+    # (6 new + 3 rows-only + 13 r1-stale + 6 touched + 22 r2
     # refresh = 50). Everything below is OUTSIDE the driver window
-    # and rests on a green round-2 or round-3 row: first the 21
+    # and rests on a green round-2 or round-3 row: first the 22
     # r2-green keys that didn't fit (they lead round 6's refresh),
     # then the r3-green block.
-    "join_inner", "agg_count_distinct",
+    "agg_minmax_by", "join_inner", "agg_count_distinct",
     "scan_project", "scan_count", "json_extract",
     "filter_pred", "project_expr", "distinct_rows",
     "fn_string", "fn_date", "fn_conditional", "fn_json",

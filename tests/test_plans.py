@@ -569,3 +569,19 @@ def test_dedup_prefix_is_narrow_digest_groupby(spark, sf_dir):
     assert plan.count("(1) Scan parquet") == 1
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bucket_purity_is_jvm_side_count_aggregation(spark, sf_dir):
+    """embed_bucket_purity must never ship vectors anywhere: the
+    bucket key is a pure JVM expression, embeddings collapse to
+    (bucket, label) counts map-side (partial aggregation before the
+    exchange), the windows partition BY BUCKET over those count rows,
+    and — unlike the ANN operator it diagnoses — no Python worker is
+    involved at all."""
+    plan = plan_of(spark, "embed_bucket_purity", sf_dir)
+    assert "partial_count" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    # the exchange feeding the windows carries counts, not vectors
+    assert "Window" in plan
