@@ -45,10 +45,13 @@ OPS = (
     "dedup_cross_source",
     "dedup_survivors_verified",
     "events_cooccurrence",
-    # round 5: LSH tuning gauge, corpus card, mixture planner
+    # round 5: LSH tuning gauge, corpus card, mixture planner,
+    # coverage curve, prefix dedup
     "lsh_band_stats",
     "docs_source_profile",
     "corpus_mixture_plan",
+    "text_vocab_coverage",
+    "dedup_prefix",
 )
 
 
