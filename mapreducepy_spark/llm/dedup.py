@@ -949,8 +949,8 @@ HAVING COUNT(*) >= 2
     "dedup_prefix", _ORACLE_DEDUP_PREFIX, tags=("llm", "dedup"),
 )
 def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prefix-fingerprint duplicate groups: documents whose first
-    {_PREFIX_TOKENS} tokens hash identically. Catches the duplicate
+    """Prefix-fingerprint duplicate groups: documents whose first 16
+    tokens (``_PREFIX_TOKENS``) hash identically. Catches the duplicate
     class whole-text md5 (``dedup_exact``) structurally cannot —
     truncation variants and shared-lead boilerplate, where the same
     article is re-crawled with a different tail — without the

@@ -1254,10 +1254,10 @@ top AS (
 ),
 cum AS (
     SELECT rnk,
-           SUM(n) OVER (
+           CAST(SUM(n) OVER (
                ORDER BY rnk
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cum_tokens
+           ) AS BIGINT) AS cum_tokens
     FROM top
 ),
 tot AS (
@@ -1289,10 +1289,10 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     earn their keep).
 
     Scale: the corpus-sized work is ONE combiner-friendly wordcount;
-    the top-{_COVERAGE_TOP} selection is ``orderBy().limit()`` —
-    Spark plans TakeOrderedAndProject, a per-partition k-heap merged
+    the top-1000 (``_COVERAGE_TOP``) selection is ``orderBy().limit()``
+    — Spark plans TakeOrderedAndProject, a per-partition k-heap merged
     on one reducer, so the full vocabulary is never globally sorted
-    (plan-asserted). Only the ≤{_COVERAGE_TOP} surviving rows ride
+    (plan-asserted). Only the ≤1000 surviving rows ride
     the single-partition cumsum window; the totals frame is a
     broadcast 1-row crossJoin.
 

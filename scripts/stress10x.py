@@ -52,6 +52,7 @@ OPS = (
     "corpus_mixture_plan",
     "text_vocab_coverage",
     "dedup_prefix",
+    "embed_bucket_purity",
 )
 
 
@@ -75,6 +76,14 @@ def materialize(spark, sf_dir: str, out_dir: str) -> None:
         .drop("__copy")
     )
     big_ev.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    emb = load(spark, sf_dir, "embeddings")
+    big_emb = (
+        emb.crossJoin(F.broadcast(copies))
+        .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000) * F.col("__copy"))
+        .drop("__copy")
+    )
+    big_emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
 def main() -> int:
