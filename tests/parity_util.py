@@ -53,11 +53,17 @@ def canon_cell(v):
 
 
 def canon_frame(df: pd.DataFrame) -> list[tuple]:
+    # Column-wise, NOT iterrows: iterrows coerces a mixed int/float
+    # row to float64, silently canonicalizing int64 cells as "f:…"
+    # and masking exactly the int-vs-float parity break the driver's
+    # stricter hash catches (found via text_vocab_coverage's HUGEINT
+    # oracle cumsum, round 5). .tolist() preserves each column's own
+    # type: numpy ints → python int → "i:…".
     cols = sorted(df.columns)
-    rows = [
-        tuple(canon_cell(row[c]) for c in cols)
-        for _, row in df[cols].iterrows()
-    ]
+    if not cols:
+        return []
+    canon_cols = [[canon_cell(v) for v in df[c].tolist()] for c in cols]
+    rows = [tuple(r) for r in zip(*canon_cols)]
     rows.sort()
     return rows
 
