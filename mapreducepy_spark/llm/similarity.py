@@ -846,3 +846,71 @@ def embed_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purity"),
         )
     )
+
+
+# --- per-dimension embedding health ---------------------------------
+
+_ORACLE_EMBED_DIM_STATS = f"""
+WITH dims AS (
+    SELECT generate_subscripts(embedding, 1) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+    WHERE len(embedding) = {_DIM}
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       (floor((AVG(v)) * 1000000.0 + 0.5) / 1000000.0) AS mean_v,
+       (floor((STDDEV_SAMP(v)) * 1000000.0 + 0.5) / 1000000.0) AS sd_v,
+       MIN(v) AS min_v,
+       MAX(v) AS max_v,
+       (floor((AVG(ABS(v))) * 1000000.0 + 0.5) / 1000000.0) AS mean_abs,
+       CAST(SUM(CASE WHEN ABS(v) < 0.001 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nearzero
+FROM dims
+GROUP BY dim
+"""
+
+
+@register(
+    "embed_dim_stats", _ORACLE_EMBED_DIM_STATS,
+    tags=("llm", "similarity", "profile"),
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health card: mean / spread / range /
+    near-zero count for each of the 64 dimensions. The column-wise
+    companion to ``embed_norm_bins``'s row-wise check — a dead
+    dimension (encoder bug, truncated export) shows up as
+    ``n_nearzero ≈ n_values``; a scale-drifted dimension as an
+    outlier ``sd_v``; a biased one as ``|mean_v| >> 0`` — each
+    invisible to the row-norm profile, which averages over dims.
+
+    Scale: posexplode widens n vectors to n×64 (dim, value) rows, but
+    each is 12 bytes and the per-dimension aggregation combines
+    MAP-SIDE — only 64 partial rows per partition ride the Exchange
+    (partial aggregation precedes the shuffle, plan-asserted), so the
+    shuffle is O(partitions × 64), independent of corpus size. The
+    vectors themselves never shuffle. No Python worker.
+
+    Hash parity: count/near-zero are integers; min/max are exact
+    (float32 → double is value-preserving, no reduction); mean/sd are
+    rounded 1e-6 on both sides (the agg_stats precedent — summation
+    order can differ cross-engine only below rounding resolution).
+    """
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == _DIM
+    )
+    dims = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return dims.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        dround(F.avg("v"), 6).alias("mean_v"),
+        dround(F.stddev_samp("v"), 6).alias("sd_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        dround(F.avg(F.abs(F.col("v"))), 6).alias("mean_abs"),
+        F.sum(
+            F.when(F.abs(F.col("v")) < 0.001, 1).otherwise(0)
+        ).cast("bigint").alias("n_nearzero"),
+    )

@@ -719,3 +719,62 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- order-count distribution (TPC-H Q13 shape) ---------------------
+
+_ORACLE_AGG_COUNT_HISTOGRAM = """
+WITH per_cust AS (
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey
+     AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+@register(
+    "agg_count_histogram", _ORACLE_AGG_COUNT_HISTOGRAM, tags=("agg", "tpch")
+)
+def agg_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (the TPC-H Q13 shape): how
+    many customers placed exactly k non-urgent orders, INCLUDING the
+    zero-order customers a plain inner join would silently drop — the
+    classic two-level aggregation over an outer join, and the shape
+    behind every "events per entity, zeros included" product metric.
+
+    The priority predicate lives on the orders side BEFORE the left
+    join (equivalent to putting it in the ON clause): filtering after
+    the join would turn matched-but-filtered customers into dropped
+    rows instead of zero-count rows — the semantic trap this operator
+    exists to demonstrate.
+
+    Scale: the priority predicate reaches the orders parquet scan
+    (PushedFilters — plan-asserted), and BOTH aggregations combine
+    map-side before their Exchange (partial_count precedes the first
+    shuffle — plan-asserted), so only (custkey, partial-count) rows
+    ride the wire, never raw order rows. At fixture scale AQE
+    broadcasts the filtered orders side; at 100 TB the join becomes a
+    custkey-keyed sort-merge whose partitioning the per-customer
+    count reuses. All-integer arithmetic — hash parity is exact.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )

@@ -585,3 +585,30 @@ def test_bucket_purity_is_jvm_side_count_aggregation(spark, sf_dir):
     assert "FlatMapGroupsInPandas" not in plan
     # the exchange feeding the windows carries counts, not vectors
     assert "Window" in plan
+
+
+def test_agg_count_histogram_pushdown_and_partial_agg(spark, sf_dir):
+    # Q13 shape: the priority predicate must reach the orders scan,
+    # and the per-customer count must combine map-side so only
+    # (custkey, partial-count) rows ride the first Exchange.
+    plan = plan_of(spark, "agg_count_histogram", sf_dir)
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+    assert "partial_count" in plan
+    # the shuffle for the per-customer count is keyed on c_custkey;
+    # the partial-count detail node precedes it in the plan details
+    # ("Exchange" alone would match the early BroadcastExchange)
+    assert "hashpartitioning(c_custkey" in plan
+    assert plan.index("partial_count") < plan.index("hashpartitioning(c_custkey")
+    assert "CartesianProduct" not in plan
+
+
+def test_embed_dim_stats_combines_before_shuffle(spark, sf_dir):
+    # the per-dim aggregation must combine map-side: only 64 partial
+    # rows per partition ride the Exchange, never exploded values —
+    # and the vectors themselves never shuffle (no Python worker).
+    plan = plan_of(spark, "embed_dim_stats", sf_dir)
+    assert "partial_count" in plan or "partial_avg" in plan
+    assert "hashpartitioning(dim" in plan
+    assert plan.index("partial_") < plan.index("hashpartitioning(dim")
+    for worker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert worker not in plan
