@@ -1197,3 +1197,112 @@ def dedup_survivors_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(drops, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+# --- containment (asymmetric near-dup: truncations / quotations) ----
+
+# Containment |A∩B| / min(|A|,|B|) catches pairs Jaccard structurally
+# cannot: a 10-token prefix of a 1000-token doc has J ≈ 0.01 but
+# C = 1.0. Threshold below the Jaccard one because the denominator is
+# smaller by construction.
+_CONTAINMENT_THRESHOLD = 0.7
+
+_ORACLE_DEDUP_CONTAINMENT = f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS shingle
+    FROM documents
+),
+sizes AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+    FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       (floor((CAST(i.n_common AS DOUBLE)
+             / LEAST(sa.n_shingles, sb.n_shingles)) * 1000000.0 + 0.5)
+           / 1000000.0) AS containment,
+       (floor((CAST(i.n_common AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - i.n_common)) * 1000000.0
+             + 0.5) / 1000000.0) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE)
+      / LEAST(sa.n_shingles, sb.n_shingles) >= {_CONTAINMENT_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_containment", _ORACLE_DEDUP_CONTAINMENT, tags=("llm", "dedup")
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT
+    |A∩B| / min(|A|,|B|) — the truncation/quotation catcher. Jaccard
+    normalizes by the union, so a short doc fully embedded in a long
+    one (a crawl of the same article cut at a paywall, a doc quoting
+    another wholesale) scores near zero and survives Jaccard dedup;
+    containment scores it 1.0. Emits both measures per surviving pair
+    so the asymmetry gap is visible downstream.
+
+    Scale: identical machinery to ``dedup_ngram_jaccard`` — the ONE
+    localCheckpoint'd inverted index feeds sizes and both join sides,
+    the pair space is generated only for pairs sharing ≥1 shingle
+    (never all-pairs, plan-asserted via the shared family test), and
+    stop-shingle skew is handled by the df-capped variant's cap if a
+    deployment needs it. The only change vs Jaccard is the
+    denominator — pure post-aggregation arithmetic.
+
+    Hash parity: integer counts; the two ratios are
+    exact-int-divided-once, dround 1e-6, and the threshold compare
+    runs on the UNROUNDED double on both engines.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("sa.n_shingles"), F.col("sb.n_shingles")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(cont >= _CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            dround(cont, 6).alias("containment"),
+            dround(jac, 6).alias("jaccard"),
+        )
+    )

@@ -170,9 +170,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # constant — the plan shape is invariant under any budget.
 _MIX_BUDGET_DEN = 2
 
-_ORACLE_CORPUS_MIXTURE = f"""
+# Shared water-filling CTE chain (plan + apply oracles build on it):
+# per-doc token counts -> per-source totals -> integer max-min-fair
+# allocation. ``planned`` is the last CTE; consumers SELECT from it.
+_MIX_CTES = f"""
 WITH toks AS (
-    SELECT source,
+    SELECT source, doc_id,
            CAST({DUCK_TOKEN_COUNT} AS BIGINT) AS n_toks
     FROM documents
 ),
@@ -219,6 +222,9 @@ planned AS (
            NOT is_full AS is_capped
     FROM leveled
 )
+"""
+
+_ORACLE_CORPUS_MIXTURE = f"""{_MIX_CTES}
 SELECT source, n_tokens, planned_tokens, is_capped,
        CASE WHEN n_tokens = 0 THEN NULL
             ELSE (floor((CAST(planned_tokens AS DOUBLE) / n_tokens)
@@ -263,9 +269,31 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact-int-divided-once, dround 1e-6); a zero-token source
     yields NULL fraction on both engines (ANSI guard).
     """
+    planned = _mixture_planned(load_spread(spark, sf_dir, "documents"))
+    return planned.select(
+        "source",
+        "n_tokens",
+        "planned_tokens",
+        "is_capped",
+        F.when(
+            F.col("n_tokens") == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            dround(
+                F.col("planned_tokens").cast("double") / F.col("n_tokens"), 6
+            )
+        )
+        .alias("sample_fraction"),
+    )
+
+
+def _mixture_planned(docs: DataFrame) -> DataFrame:
+    """The water-filling core shared by ``corpus_mixture_plan`` (emits
+    fractions) and ``corpus_mixture_apply`` (executes them): per-source
+    (source, n_tokens, planned_tokens, is_capped), all-integer. See
+    ``corpus_mixture_plan`` for the algorithm contract."""
     from pyspark.sql.window import Window
 
-    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "source",
         F.expr(SPARK_TOKEN_COUNT).cast("bigint").alias("n_toks"),
@@ -317,11 +345,130 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         planned.cast("bigint").alias("planned_tokens"),
         (~F.col("is_full")).alias("is_capped"),
-        F.when(
-            F.col("n_tokens") == 0, F.lit(None).cast("double")
-        )
+    )
+
+
+# --- mixture application (plan -> deterministic doc selection) ------
+
+_ORACLE_CORPUS_MIXTURE_APPLY = f"""{_MIX_CTES},
+frac AS (
+    SELECT source, n_tokens, planned_tokens,
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE CAST(floor(CAST(planned_tokens AS DOUBLE)
+                                / n_tokens * 1000000.0 + 0.5) AS BIGINT)
+           END AS keep_ppm
+    FROM planned
+),
+hashed AS (
+    SELECT source, n_toks,
+           CAST(concat('0x',
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 1000000 AS u_ppm
+    FROM toks
+)
+SELECT h.source, f.n_tokens, f.planned_tokens, f.keep_ppm,
+       CAST(SUM(CASE WHEN h.u_ppm < f.keep_ppm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_kept,
+       CAST(SUM(CASE WHEN h.u_ppm < f.keep_ppm THEN h.n_toks ELSE 0 END)
+            AS BIGINT) AS tokens_kept,
+       CASE WHEN f.n_tokens = 0 THEN NULL
+            ELSE CAST(floor(
+                CAST(SUM(CASE WHEN h.u_ppm < f.keep_ppm
+                              THEN h.n_toks ELSE 0 END) AS DOUBLE)
+                / f.n_tokens * 1000000.0 + 0.5) AS BIGINT)
+       END AS realized_ppm
+FROM hashed h
+JOIN frac f ON h.source = f.source
+GROUP BY h.source, f.n_tokens, f.planned_tokens, f.keep_ppm
+"""
+
+
+@register(
+    "corpus_mixture_apply", _ORACLE_CORPUS_MIXTURE_APPLY,
+    tags=("llm", "pipeline", "mixture"),
+)
+def corpus_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the ``corpus_mixture_plan`` allocation and audit it:
+    each document is kept iff its md5 bucket (parts-per-million of
+    the keyed hash — the ``sample_hash_fraction`` determinism
+    discipline, resolution raised from 1/256 to 1e-6) falls under its
+    source's planned sampling fraction, and the output is the
+    per-source reconciliation — planned vs realized token mass. The
+    planner emits fractions; THIS key proves they compose with the
+    deterministic selector into an executable, re-runnable sampling
+    job whose realized_ppm converges on keep_ppm as the source grows
+    (doc-level sampling of a token quota — the residual is the
+    audit's point).
+
+    Scale: two column-pruned corpus scans — one feeds the per-source
+    totals (combiner-compressed groupBy, then windows over one row
+    per source), one the per-doc hash+token projection (pure narrow
+    map). The per-source fraction table broadcasts back onto the
+    corpus (plan-asserted), and the final audit aggregation combines
+    map-side, so the only corpus-sized shuffle is the planner's
+    groupBy(source). Keep/drop is a deterministic pushable predicate:
+    a production run would ``filter(u_ppm < keep_ppm)`` and write —
+    the row's fate never changes on re-run or repartition.
+
+    Hash parity: all-integer (hex-prefix hash bucket, integer ppm
+    thresholds, token sums); the only divisions are
+    exact-int-divided-once under the dround formulation, NULL-guarded
+    on zero-token sources.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    frac = _mixture_planned(docs).select(
+        "source",
+        "n_tokens",
+        "planned_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(None).cast("bigint"))
         .otherwise(
-            dround(planned.cast("double") / F.col("n_tokens"), 6)
+            F.floor(
+                F.col("planned_tokens").cast("double")
+                / F.col("n_tokens")
+                * 1000000.0
+                + 0.5
+            ).cast("bigint")
         )
-        .alias("sample_fraction"),
+        .alias("keep_ppm"),
+    )
+    hashed = docs.select(
+        "source",
+        F.expr(SPARK_TOKEN_COUNT).cast("bigint").alias("n_toks"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        ).alias("u_ppm"),
+    )
+    kept = F.col("u_ppm") < F.col("keep_ppm")
+    return (
+        hashed.join(F.broadcast(frac), "source")
+        .groupBy("source", "n_tokens", "planned_tokens", "keep_ppm")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint")
+            .alias("n_docs_kept"),
+            F.sum(F.when(kept, F.col("n_toks")).otherwise(0)).cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "planned_tokens",
+            "keep_ppm",
+            "n_docs_kept",
+            "tokens_kept",
+            F.when(F.col("n_tokens") == 0, F.lit(None).cast("bigint"))
+            .otherwise(
+                F.floor(
+                    F.col("tokens_kept").cast("double")
+                    / F.col("n_tokens")
+                    * 1000000.0
+                    + 0.5
+                ).cast("bigint")
+            )
+            .alias("realized_ppm"),
+        )
     )

@@ -452,3 +452,94 @@ def test_mixture_formula_matches_iterative_reference():
         assert all(p <= t for p, t in zip(got, tokens))
 
     check()
+
+
+def _write_docs(tmp_path, texts_by_source):
+    rows, i = [], 0
+    for src, ts in texts_by_source.items():
+        for t in ts:
+            rows.append((i, t, "en", src, len(t)))
+            i += 1
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_mixture_apply_reconciles_with_plan(spark, tmp_path):
+    """corpus_mixture_apply must (a) keep every doc of an uncapped
+    source (keep_ppm hits exactly 1e6 — full sources survive whole),
+    (b) never report more kept tokens than the source has, and
+    (c) agree with corpus_mixture_plan's fraction at ppm resolution
+    — the planner and the executor cannot drift."""
+    sf = _write_docs(
+        tmp_path,
+        {
+            "tiny": ["a b"],
+            "small": ["a b c d e"] * 4,
+            "mega": ["t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"] * 100,
+        },
+    )
+    out = (
+        CATALOG["corpus_mixture_apply"]
+        .builder(spark, sf)
+        .toPandas()
+        .set_index("source")
+    )
+    plan = (
+        CATALOG["corpus_mixture_plan"]
+        .builder(spark, sf)
+        .toPandas()
+        .set_index("source")
+    )
+    n_docs = {"tiny": 1, "small": 4, "mega": 100}
+    assert (out.tokens_kept <= out.n_tokens).all()
+    assert (out.keep_ppm <= 1_000_000).all()
+    for src in out.index:
+        assert out.loc[src, "keep_ppm"] == round(
+            plan.loc[src, "sample_fraction"] * 1_000_000
+        )
+        if out.loc[src, "keep_ppm"] == 1_000_000:
+            assert out.loc[src, "n_docs_kept"] == n_docs[src]
+            assert out.loc[src, "tokens_kept"] == out.loc[src, "n_tokens"]
+    # the capped mega source must actually be subsampled
+    assert out.loc["mega", "n_docs_kept"] < n_docs["mega"]
+    assert out.loc["mega", "tokens_kept"] < out.loc["mega", "n_tokens"]
+
+
+def test_mixture_apply_zero_token_source_keeps_nothing(spark, tmp_path):
+    """A zero-token source has no defined fraction: keep_ppm and
+    realized_ppm are NULL and nothing is kept — no ANSI crash."""
+    sf = _write_docs(
+        tmp_path, {"empty_src": ["", " "], "real_src": ["a b c d"]}
+    )
+    out = (
+        CATALOG["corpus_mixture_apply"]
+        .builder(spark, sf)
+        .toPandas()
+        .set_index("source")
+    )
+    assert pd.isna(out.loc["empty_src", "keep_ppm"])
+    assert pd.isna(out.loc["empty_src", "realized_ppm"])
+    assert out.loc["empty_src", "n_docs_kept"] == 0
+    assert out.loc["empty_src", "tokens_kept"] == 0
+
+
+def test_containment_catches_truncation_jaccard_misses(spark, tmp_path):
+    """A short doc fully embedded in a long one: Jaccard is tiny
+    (union-normalized) but containment is 1.0 — the exact pair class
+    this operator exists for. The Jaccard operator must NOT emit the
+    pair; the containment operator must."""
+    long_words = " ".join(f"w{i}" for i in range(200))
+    short_words = " ".join(f"w{i}" for i in range(10))  # strict prefix
+    sf = _write_docs(tmp_path, {"crawl": [long_words, short_words]})
+    cont = (
+        CATALOG["dedup_containment"].builder(spark, sf).toPandas()
+    )
+    jacc = (
+        CATALOG["dedup_ngram_jaccard"].builder(spark, sf).toPandas()
+    )
+    assert len(cont) == 1
+    assert cont.iloc[0]["containment"] == 1.0
+    assert cont.iloc[0]["jaccard"] < 0.5
+    assert len(jacc) == 0

@@ -175,6 +175,7 @@ def test_range_join_is_binned_hash_join_not_nested_loop(spark, sf_dir):
         "dedup_ngram_jaccard",
         "dedup_jaccard_capped",
         "dedup_simhash",
+        "dedup_containment",
         "sim_ann_ivf",
     ],
 )
@@ -612,3 +613,14 @@ def test_embed_dim_stats_combines_before_shuffle(spark, sf_dir):
     assert plan.index("partial_") < plan.index("hashpartitioning(dim")
     for worker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert worker not in plan
+
+
+def test_mixture_apply_broadcasts_fraction_table(spark, sf_dir):
+    """corpus_mixture_apply: the per-source fraction table (one row
+    per source) must broadcast back onto the corpus — the corpus
+    never shuffles for the join — and the audit aggregation combines
+    map-side before its Exchange."""
+    plan = plan_of(spark, "corpus_mixture_apply", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
