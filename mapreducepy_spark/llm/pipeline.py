@@ -472,3 +472,136 @@ def corpus_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("realized_ppm"),
         )
     )
+
+
+# --- corpus datasheet (one-row card) --------------------------------
+
+_ORACLE_CORPUS_CARD = f"""
+WITH base AS (
+    SELECT lang, source, md5(text) AS digest,
+           CAST({DUCK_TOKEN_COUNT} AS BIGINT) AS n_toks,
+           CAST(length(text) AS BIGINT) AS n_chr
+    FROM documents
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_unique_texts,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chr) AS BIGINT) AS n_chars
+    FROM base
+),
+lc AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY lang
+),
+lt AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM lc),
+ent AS (
+    SELECT (floor((-SUM((c / t.t) * ln(c / t.t))) * 1000000.0 + 0.5)
+            / 1000000.0) AS lang_entropy
+    FROM lc, lt t
+)
+SELECT tot.n_docs, tot.n_sources, tot.n_langs, tot.n_unique_texts,
+       CASE WHEN tot.n_docs = 0 THEN NULL
+            ELSE CAST(floor(
+                CAST(tot.n_docs - tot.n_unique_texts AS DOUBLE)
+                / tot.n_docs * 1000000.0 + 0.5) AS BIGINT)
+       END AS dup_ppm,
+       tot.n_tokens, tot.n_chars,
+       CASE WHEN tot.n_docs = 0 THEN NULL
+            ELSE (floor((CAST(tot.n_tokens AS DOUBLE) / tot.n_docs)
+                        * 10000.0 + 0.5) / 10000.0)
+       END AS mean_doc_tokens,
+       ent.lang_entropy
+FROM tot, ent
+"""
+
+
+@register(
+    "docs_corpus_card", _ORACLE_CORPUS_CARD, tags=("llm", "pipeline", "profile")
+)
+def docs_corpus_card(
+    spark: SparkSession, sf_dir: str, *, exact: bool = True
+) -> DataFrame:
+    """The one-row corpus datasheet: document/source/language counts,
+    token and character mass, exact-duplicate rate (ppm), mean
+    document length, and the Shannon entropy of the language mix —
+    the numbers that head every dataset card, computed in one job
+    instead of a notebook of ad-hoc scans.
+
+    Scale: two column-pruned scans of narrow projections — one feeds
+    the global totals aggregate, one the language histogram whose
+    few-row entropy fold then broadcasts back onto the 1-row totals
+    frame (the events_cooccurrence cross-join idiom; every
+    post-aggregation frame here is ≤ n_langs rows). ``exact``
+    mirrors ``scan_profile``'s contract: the oracle key keeps exact
+    distincts; ``exact=False`` swaps the corpus-sized text-digest
+    distinct for approx_count_distinct (HLL sketch, map-side merge)
+    — at 100 TB the exact digest distinct is itself a full shuffle
+    of every unique digest, and the card is a diagnostic where ±2%
+    is immaterial. Source/lang distincts stay exact in both modes
+    (their domains are small by construction).
+
+    Hash parity: counts and sums are integers; the two ratios are
+    exact-int-divided-once under the dround formulation with
+    zero-docs NULL guards; entropy follows the events_entropy ln
+    discipline (dround 1e-6 absorbs libm ulp).
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        F.md5("text").alias("digest"),
+        F.expr(SPARK_TOKEN_COUNT).cast("bigint").alias("n_toks"),
+        F.length("text").cast("bigint").alias("n_chr"),
+    )
+    n_distinct_digest = (
+        F.countDistinct("digest") if exact
+        else F.approx_count_distinct("digest")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        n_distinct_digest.cast("bigint").alias("n_unique_texts"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.sum("n_chr").cast("bigint").alias("n_chars"),
+    )
+    lc = base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    lt = lc.agg(F.sum("c").cast("double").alias("t"))
+    p = F.col("c") / F.col("t")
+    ent = (
+        lc.crossJoin(F.broadcast(lt))
+        .agg(dround(-F.sum(p * F.log(p)), 6).alias("lang_entropy"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(ent))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "n_unique_texts",
+            F.when(F.col("n_docs") == 0, F.lit(None).cast("bigint"))
+            .otherwise(
+                F.floor(
+                    (F.col("n_docs") - F.col("n_unique_texts")).cast("double")
+                    / F.col("n_docs")
+                    * 1000000.0
+                    + 0.5
+                ).cast("bigint")
+            )
+            .alias("dup_ppm"),
+            "n_tokens",
+            "n_chars",
+            F.when(F.col("n_docs") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                dround(
+                    F.col("n_tokens").cast("double") / F.col("n_docs"), 4
+                )
+            )
+            .alias("mean_doc_tokens"),
+            "lang_entropy",
+        )
+    )

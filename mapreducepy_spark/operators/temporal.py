@@ -1089,3 +1089,98 @@ def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --- RFM segmentation ----------------------------------------------
+
+_ORACLE_EVENTS_RFM = """
+WITH pu AS (
+    SELECT user_id,
+           MAX(CAST(ts AS DATE)) AS last_purchase,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           (floor((SUM(value)) * 100.0 + 0.5) / 100.0) AS monetary
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+),
+m AS (SELECT MAX(last_purchase) AS global_max FROM pu),
+scored AS (
+    SELECT user_id, frequency, monetary,
+           CAST(date_diff('day', last_purchase, m.global_max) AS BIGINT)
+               AS recency_days,
+           NTILE(4) OVER (
+               ORDER BY date_diff('day', last_purchase, m.global_max) DESC,
+                        user_id ASC
+           ) AS r_score,
+           NTILE(4) OVER (ORDER BY frequency ASC, user_id ASC) AS f_score,
+           NTILE(4) OVER (ORDER BY monetary ASC, user_id ASC) AS m_score
+    FROM pu, m
+)
+SELECT CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       (floor((AVG(monetary)) * 10000.0 + 0.5) / 10000.0) AS avg_monetary,
+       (floor((SUM(monetary)) * 100.0 + 0.5) / 100.0) AS total_monetary
+FROM scored
+GROUP BY r_score, f_score, m_score
+"""
+
+
+@register("events_rfm", _ORACLE_EVENTS_RFM, tags=("temporal", "analytics"))
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles,
+    4 = best on every axis) of purchasing users, reported as the
+    segment grid with population and spend — the classic marketing
+    cube, here as the deterministic batch job (quartile boundaries
+    are data-driven, tie-broken by user_id so re-runs and engines
+    agree on every boundary user).
+
+    Scale: the events-sized work is ONE user-keyed groupBy with
+    map-side combine; the three NTILE windows then run over the
+    per-user aggregate — three single-partition sorts of one row per
+    purchasing user, the same deliberate aggregate-then-rank shape as
+    ``corpus_mixture_plan`` (documented trade: at extreme user
+    cardinality swap the quartile boundaries for approx_percentile
+    cuts computed distributively; the segment grid itself is ≤64
+    rows). The 1-row horizon broadcasts back via cross join.
+
+    Hash parity: recency is exact DATE arithmetic; per-user monetary
+    is rounded 1e-2 BEFORE it feeds both the ordering and the
+    segment sums (the agg_pareto discipline — cross-engine summation
+    noise below a cent cannot flip a quartile boundary or the
+    reported totals).
+    """
+    ev = load(spark, sf_dir, "events")
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_purchase"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            dround(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    m = pu.agg(F.max("last_purchase").alias("global_max"))
+    scored = pu.crossJoin(F.broadcast(m)).withColumn(
+        "recency_days",
+        F.datediff(F.col("global_max"), F.col("last_purchase")).cast("bigint"),
+    )
+    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("user_id").asc())
+    w_f = Window.orderBy(F.col("frequency").asc(), F.col("user_id").asc())
+    w_m = Window.orderBy(F.col("monetary").asc(), F.col("user_id").asc())
+    return (
+        scored.select(
+            "user_id",
+            "monetary",
+            F.ntile(4).over(w_r).alias("r_score"),
+            F.ntile(4).over(w_f).alias("f_score"),
+            F.ntile(4).over(w_m).alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            dround(F.avg("monetary"), 4).alias("avg_monetary"),
+            dround(F.sum("monetary"), 2).alias("total_monetary"),
+        )
+    )

@@ -86,7 +86,7 @@ _MODULES = (
 _KEY_ORDER = (
     # new in round 5 — zero driver evidence
     "agg_count_histogram", "embed_dim_stats", "corpus_mixture_apply",
-    "dedup_containment",
+    "dedup_containment", "events_rfm", "docs_corpus_card",
     "lsh_band_stats", "docs_source_profile", "corpus_mixture_plan",
     "text_vocab_coverage", "dedup_prefix", "embed_bucket_purity",
     # rows-only by design (approximation / RNG — no DuckDB oracle
@@ -112,8 +112,7 @@ _KEY_ORDER = (
     "sim_ann_lsh", "sim_ann_ivf",
     "text_stats", "text_tfidf", "multimodal_cols",
     "text_quality", "text_langid", "text_tokens", "text_fingerprint",
-    "join_asof", "win_session", "win_tumbling", "win_sliding",
-    "events_funnel",
+    "join_asof", "win_session", "win_tumbling",
     "agg_group",
     # ---- position 50 = agg_group: the window ends exactly here
     # (6 new + 3 rows-only + 13 r1-stale + 6 touched + 22 r2
@@ -121,7 +120,7 @@ _KEY_ORDER = (
     # and rests on a green round-2 or round-3 row: first the 22
     # r2-green keys that didn't fit (they lead round 6's refresh),
     # then the r3-green block.
-    "rollup_multires", "join_range_binned",
+    "win_sliding", "events_funnel", "rollup_multires", "join_range_binned",
     "sample_hash_fraction", "sample_hash_stratified",
     "agg_minmax_by", "join_inner", "agg_count_distinct",
     "scan_project", "scan_count", "json_extract",

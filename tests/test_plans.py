@@ -624,3 +624,22 @@ def test_mixture_apply_broadcasts_fraction_table(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
+
+
+def test_corpus_card_approx_swaps_digest_distinct(spark, sf_dir):
+    """docs_corpus_card(exact=False) is the 100 TB path: the
+    corpus-sized text-digest distinct becomes an HLL sketch while the
+    small source/lang distincts stay exact; numeric totals must agree
+    with the exact path (they never depend on the distinct strategy)."""
+    from mapreducepy_spark.llm.pipeline import docs_corpus_card
+
+    exact_plan = plan_of(spark, "docs_corpus_card", sf_dir)
+    assert "approx_count_distinct" not in exact_plan
+    approx_df = docs_corpus_card(spark, sf_dir, exact=False)
+    approx_plan = plan_text(approx_df, "formatted")
+    assert "approx_count_distinct(digest" in approx_plan
+    a = approx_df.collect()[0]
+    e = CATALOG["docs_corpus_card"].builder(spark, sf_dir).collect()[0]
+    for c in ("n_docs", "n_sources", "n_langs", "n_tokens", "n_chars",
+              "mean_doc_tokens", "lang_entropy"):
+        assert a[c] == e[c], c
