@@ -1208,9 +1208,15 @@ def dedup_survivors_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAINMENT_THRESHOLD = 0.7
 
 _ORACLE_DEDUP_CONTAINMENT = f"""
-WITH sh AS (
+WITH sh0 AS (
     SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS shingle
     FROM documents
+),
+rare AS (
+    SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= {_DF_CAP}
+),
+sh AS (
+    SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)
 ),
 sizes AS (
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
@@ -1250,26 +1256,41 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment scores it 1.0. Emits both measures per surviving pair
     so the asymmetry gap is visible downstream.
 
-    Scale: identical machinery to ``dedup_ngram_jaccard`` — the ONE
-    localCheckpoint'd inverted index feeds sizes and both join sides,
-    the pair space is generated only for pairs sharing ≥1 shingle
-    (never all-pairs, plan-asserted via the shared family test), and
-    stop-shingle skew is handled by the df-capped variant's cap if a
-    deployment needs it. The only change vs Jaccard is the
-    denominator — pure post-aggregation arithmetic.
+    Scale: the ``dedup_jaccard_capped`` machinery — ONE
+    localCheckpoint'd inverted index, DF-CAPPED at ``_DF_CAP``,
+    feeding sizes and both join sides; the pair space is generated
+    only for pairs sharing ≥1 RARE shingle (never all-pairs,
+    plan-asserted via the shared family test). The cap is
+    load-bearing here, not optional: containment is the operator
+    duplicate-dense corpora run, and on the 10× stress fixture
+    (duplicate density ×10) the UNCAPPED index grew 11.3× in time as
+    near-identical copies pairwise-joined on every shared shingle —
+    measured, which is why this operator starts capped. Truncation
+    pairs survive the cap: a prefix's shingles are shared by exactly
+    the docs containing that lead — the rare end of the df
+    distribution. Sizes are measured over the SAME capped index (the
+    jaccard_capped consistency rule). The only change vs Jaccard is
+    the denominator — pure post-aggregation arithmetic.
 
     Hash parity: integer counts; the two ratios are
     exact-int-divided-once, dround 1e-6, and the threshold compare
     runs on the UNROUNDED double on both engines.
     """
     docs = load_spread(spark, sf_dir, "documents")
-    sh = (
-        docs.select(
-            "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
-        )
-        .distinct()
-        .localCheckpoint()
+    # the raw index is checkpointed ONCE and the capped join is
+    # recomputed per subtree from block reads — the exact
+    # dedup_jaccard_capped structure (its docstring has the measured
+    # recompute cost that motivates this)
+    sh0 = docs.select(
+        "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
+    ).distinct().localCheckpoint()
+    rare = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _DF_CAP)
+        .select("shingle")
     )
+    sh = sh0.join(rare, "shingle").select("doc_id", "shingle")
     sizes = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles")
     )

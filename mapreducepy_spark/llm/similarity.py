@@ -914,3 +914,149 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(F.col("v")) < 0.001, 1).otherwise(0)
         ).cast("bigint").alias("n_nearzero"),
     )
+
+
+# --- ANN quality: bucketed top-1 vs exact top-K recall --------------
+
+_ORACLE_SIM_ANN_RECALL = f"""
+WITH {_DUCK_NORMED_CTE},
+bucketed AS (
+    SELECT vec_id, unit, {_DUCK_BUCKET} AS bucket
+    FROM normed
+),
+apairs AS (
+    SELECT a.vec_id AS query_id,
+           b.vec_id AS neighbor_id,
+           a.bucket AS bucket,
+           {_DUCK_COS.format(a="a.unit", b="b.unit")} AS cos_sim
+    FROM bucketed a
+    JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ann AS (
+    SELECT query_id, neighbor_id, bucket,
+           (floor(cos_sim * 1000000.0 + 0.5) / 1000000.0) AS ann_cos
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+        ) AS rn
+        FROM apairs
+    )
+    WHERE rn = 1
+),
+epairs AS (
+    SELECT a.vec_id AS query_id,
+           b.vec_id AS neighbor_id,
+           {_DUCK_COS.format(a="a.unit", b="b.unit")} AS cos_sim
+    FROM normed a
+    JOIN normed b ON a.vec_id <> b.vec_id
+),
+eranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+           ) AS rn
+    FROM epairs
+),
+exact_topk AS (
+    SELECT query_id, neighbor_id FROM eranked WHERE rn <= {_K}
+),
+exact_top1 AS (
+    SELECT query_id,
+           (floor(cos_sim * 1000000.0 + 0.5) / 1000000.0) AS exact_cos
+    FROM eranked WHERE rn = 1
+)
+SELECT n.bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN k.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(floor(CAST(SUM(CASE WHEN k.neighbor_id IS NOT NULL
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*) * 1000000.0 + 0.5) AS BIGINT) AS hit_ppm,
+       CAST(floor(
+           CAST(SUM(CAST(floor((t.exact_cos - n.ann_cos) * 1000000.0
+                               + 0.5) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) + 0.5) AS BIGINT) AS avg_regret_upm
+FROM ann n
+LEFT JOIN exact_topk k
+       ON n.query_id = k.query_id AND n.neighbor_id = k.neighbor_id
+JOIN exact_top1 t ON n.query_id = t.query_id
+GROUP BY n.bucket
+"""
+
+
+@register(
+    "sim_ann_recall", _ORACLE_SIM_ANN_RECALL,
+    tags=("llm", "similarity", "lsh", "diagnostic"),
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality ledger: for each sign-LSH bucket, how often the
+    bucketed top-1 (``sim_ann_lsh``'s answer) lands inside the exact
+    top-K (``sim_knn``'s answer, K = ``_K``), and how much cosine
+    the approximation gives up vs the exact top-1 (avg_regret_upm,
+    integer micro-units ≥ 0).
+    Completes the ANN tuning triptych: ``lsh_band_stats`` prices the
+    bucket join, ``embed_bucket_purity`` checks label coherence, THIS
+    key measures retrieval quality — the three numbers a deployment
+    reads before choosing plane count.
+
+    Scale: composes the two registered operators' plans verbatim —
+    the bucketed Σ O(bucket²) GEMM and the chunk-bounded exact
+    brute-force (the expensive-but-chunk-bounded side is the ground
+    truth; on a 100 TB corpus a deployment samples queries for this
+    audit rather than scoring every vector — the shape is unchanged,
+    only the query-side row count). The reconciliation joins are
+    keyed on (query_id, neighbor_id) over K rows per query — tiny
+    next to the pair generation they audit.
+
+    Hash parity: hit counts are integers over pair-identity joins
+    (both engines rank on bit-identical unrounded cosines with the
+    same neighbor_id tie-break — the sim_knn discipline); regret is
+    floored to integer micro-units PER ROW before the mean so the
+    aggregate is exact-int arithmetic (a plain avg() of doubles
+    flipped one 1e-6 rounding at sf0.001 — the rounding.py knife
+    edge, observed, not theoretical).
+    """
+    ann = sim_ann_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", "bucket",
+        F.col("cos_sim").alias("ann_cos"),
+    )
+    knn = sim_knn(spark, sf_dir)
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    exact_top1 = (
+        knn.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("cos_sim").alias("exact_cos"))
+    )
+    exact_topk = knn.select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    base = (
+        ann.join(exact_topk, ["query_id", "neighbor_id"], "left")
+        .join(exact_top1, "query_id")
+    )
+    n = F.count(F.lit(1))
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return base.groupBy("bucket").agg(
+        n.cast("bigint").alias("n_queries"),
+        hits.cast("bigint").alias("n_hits"),
+        F.floor(
+            hits.cast("double") / n * 1000000.0 + 0.5
+        ).cast("bigint").alias("hit_ppm"),
+        # regret in integer micro-units per row BEFORE the mean: the
+        # inputs are 1e-6-rounded doubles, so the per-row floor
+        # recovers an exact integer and the mean is one
+        # exact-int-divided-once — no cross-engine summation-order
+        # knife edge (observed flipping avg() at sf0.001)
+        F.floor(
+            F.sum(
+                F.floor(
+                    (F.col("exact_cos") - F.col("ann_cos")) * 1000000.0
+                    + 0.5
+                ).cast("bigint")
+            ).cast("double")
+            / n
+            + 0.5
+        ).cast("bigint").alias("avg_regret_upm"),
+    )

@@ -778,3 +778,106 @@ def agg_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).cast("bigint").alias("custdist")
     )
+
+
+# --- join-key skew diagnostic ---------------------------------------
+
+# How many of the heaviest keys to price separately: the keys a
+# salting/AQE-skew decision actually cares about.
+_SKEW_TOP_K = 10
+
+_ORACLE_AGG_KEY_SKEW = f"""
+WITH per_key AS (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_custkey
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singleton_keys
+    FROM per_key
+),
+topk AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS topk_rows
+    FROM (
+        SELECT n FROM per_key
+        ORDER BY n DESC, o_custkey ASC LIMIT {_SKEW_TOP_K}
+    )
+)
+SELECT t.n_keys, t.n_rows, t.max_key_rows, t.n_singleton_keys,
+       k.topk_rows,
+       CAST(floor(CAST(t.max_key_rows AS DOUBLE) / t.n_rows
+                  * 1000000.0 + 0.5) AS BIGINT) AS max_share_ppm,
+       CAST(floor(CAST(k.topk_rows AS DOUBLE) / t.n_rows
+                  * 1000000.0 + 0.5) AS BIGINT) AS topk_share_ppm,
+       (floor((CAST(t.max_key_rows AS DOUBLE)
+               / (CAST(t.n_rows AS DOUBLE) / t.n_keys))
+              * 10000.0 + 0.5) / 10000.0) AS max_vs_mean
+FROM tot t, topk k
+"""
+
+
+@register(
+    "agg_key_skew", _ORACLE_AGG_KEY_SKEW, tags=("agg", "diagnostic")
+)
+def agg_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew card for ``orders.o_custkey`` — the one-row
+    gauge a pipeline reads BEFORE choosing between a plain shuffle
+    join, AQE skew splitting, or ``salted_join``: key cardinality,
+    the heaviest key's row share, the top-10 keys' combined share,
+    singleton-key fraction, and max-vs-mean ratio. The decision
+    input that ``join_skew_salted`` demonstrates the remedy for.
+
+    Scale: one groupBy(key) with map-side combine is the only
+    data-sized shuffle (the same pass any subsequent join would pay
+    anyway); the distribution summary then aggregates one row per
+    key, and the top-K is a TakeOrderedAndProject heap
+    (plan-asserted) — the per-key table is never globally sorted.
+
+    Hash parity: all-integer counts; the three ratios are
+    exact-int-divided-once (ppm floors / dround), deterministic
+    top-K tie-break on the key.
+    """
+    orders = load(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_key_rows"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("n_singleton_keys"),
+    )
+    topk = (
+        per_key.orderBy(F.col("n").desc(), F.col("o_custkey").asc())
+        .limit(_SKEW_TOP_K)
+        .agg(F.sum("n").cast("bigint").alias("topk_rows"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(topk))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            "n_singleton_keys",
+            "topk_rows",
+            F.floor(
+                F.col("max_key_rows").cast("double") / F.col("n_rows")
+                * 1000000.0
+                + 0.5
+            ).cast("bigint").alias("max_share_ppm"),
+            F.floor(
+                F.col("topk_rows").cast("double") / F.col("n_rows")
+                * 1000000.0
+                + 0.5
+            ).cast("bigint").alias("topk_share_ppm"),
+            dround(
+                F.col("max_key_rows").cast("double")
+                / (F.col("n_rows").cast("double") / F.col("n_keys")),
+                4,
+            ).alias("max_vs_mean"),
+        )
+    )

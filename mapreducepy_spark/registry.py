@@ -63,19 +63,27 @@ _MODULES = (
 # cosmetics. Round-5 policy (VERDICT r3 work order #2/#3 + SURVEY §8
 # round-5 plan):
 #
-# - the 3 keys NEW this round come first (zero driver evidence);
+# - the 14 keys NEW this round come first (zero driver evidence):
+#   8 from the second build session (agg_count_histogram …
+#   agg_key_skew) then 6 from the first (lsh_band_stats …
+#   embed_bucket_purity);
 # - then the 3 rows-only-by-design keys (agg_approx_distinct,
 #   sample_fraction, sample_stratified): their only driver rows ever
 #   are r1 ``err: "no_oracle"`` — one window slot each to learn
 #   whether the driver can record a rows-only pass (work order #3);
 # - then the 13 keys whose only green rows date from round 1
 #   (displaced by round 4's new operators) — oldest evidence first;
-# - then every key whose code round 5 touched (scan_profile's
+# - then every key whose code this round touched (scan_profile's
 #   exact/approx parameter; the 5 LSH keys riding the _band_table
-#   extraction from _candidate_pairs) — touched code is re-proven,
+#   extraction; corpus_mixture_plan sits in the new block but also
+#   rode the _mixture_planned refactor) — touched code is re-proven,
 #   never rests on old rows;
-# - the remaining 25 slots refresh the oldest round-2 evidence,
-#   preferring the LLM/dedup family (the north star);
+# - the remaining 14 slots refresh the oldest round-2 evidence,
+#   preferring the LLM/dedup family (the north star). The 8 newest
+#   keys displaced sample_hash_stratified/_fraction,
+#   join_range_binned, rollup_multires, events_funnel, win_sliding,
+#   win_tumbling, win_session from the refresh block — each rests on
+#   a green round-2 row and leads the next round's rotation;
 # - the tail holds only keys with green round-2/3 rows, so whatever
 #   the budget cuts is already-proven ground.
 #
@@ -87,6 +95,7 @@ _KEY_ORDER = (
     # new in round 5 — zero driver evidence
     "agg_count_histogram", "embed_dim_stats", "corpus_mixture_apply",
     "dedup_containment", "events_rfm", "docs_corpus_card",
+    "sim_ann_recall", "agg_key_skew",
     "lsh_band_stats", "docs_source_profile", "corpus_mixture_plan",
     "text_vocab_coverage", "dedup_prefix", "embed_bucket_purity",
     # rows-only by design (approximation / RNG — no DuckDB oracle
@@ -112,7 +121,7 @@ _KEY_ORDER = (
     "sim_ann_lsh", "sim_ann_ivf",
     "text_stats", "text_tfidf", "multimodal_cols",
     "text_quality", "text_langid", "text_tokens", "text_fingerprint",
-    "join_asof", "win_session", "win_tumbling",
+    "join_asof",
     "agg_group",
     # ---- position 50 = agg_group: the window ends exactly here
     # (6 new + 3 rows-only + 13 r1-stale + 6 touched + 22 r2
@@ -120,7 +129,8 @@ _KEY_ORDER = (
     # and rests on a green round-2 or round-3 row: first the 22
     # r2-green keys that didn't fit (they lead round 6's refresh),
     # then the r3-green block.
-    "win_sliding", "events_funnel", "rollup_multires", "join_range_binned",
+    "win_session", "win_tumbling", "win_sliding",
+    "events_funnel", "rollup_multires", "join_range_binned",
     "sample_hash_fraction", "sample_hash_stratified",
     "agg_minmax_by", "join_inner", "agg_count_distinct",
     "scan_project", "scan_count", "json_extract",

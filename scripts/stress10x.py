@@ -53,6 +53,17 @@ OPS = (
     "text_vocab_coverage",
     "dedup_prefix",
     "embed_bucket_purity",
+    # second round-5 session: mixture executor, containment pairs,
+    # corpus card, per-dim embedding stats, ANN recall audit,
+    # Q13 histogram, RFM, key-skew gauge
+    "corpus_mixture_apply",
+    "dedup_containment",
+    "docs_corpus_card",
+    "embed_dim_stats",
+    "sim_ann_recall",
+    "agg_count_histogram",
+    "events_rfm",
+    "agg_key_skew",
 )
 
 
@@ -84,6 +95,32 @@ def materialize(spark, sf_dir: str, out_dir: str) -> None:
         .drop("__copy")
     )
     big_emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+    # orders + customer for the Q13 histogram and the key-skew gauge:
+    # both keys shift per copy, so the join structure and the per-key
+    # frequency profile replicate intact (10× keys, same skew shape)
+    orders = load(spark, sf_dir, "orders")
+    big_orders = (
+        orders.crossJoin(F.broadcast(copies))
+        .withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000) * F.col("__copy")
+        )
+        .withColumn(
+            "o_custkey", F.col("o_custkey") + F.lit(1_000_000) * F.col("__copy")
+        )
+        .drop("__copy")
+    )
+    big_orders.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    cust = load(spark, sf_dir, "customer")
+    big_cust = (
+        cust.crossJoin(F.broadcast(copies))
+        .withColumn(
+            "c_custkey", F.col("c_custkey") + F.lit(1_000_000) * F.col("__copy")
+        )
+        .drop("__copy")
+    )
+    big_cust.write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
 
 
 def main() -> int:
