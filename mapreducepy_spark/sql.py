@@ -25,11 +25,13 @@ from .registry import load_catalog
 # tests/test_sql.py — a dialect regression removes the name here).
 PORTABLE = (
     "agg_count_distinct",
+    "agg_count_histogram",
     "agg_cube",
     "agg_gini",
     "agg_group",
     "agg_grouping_sets",
     "agg_histogram",
+    "agg_key_skew",
     "agg_mode",
     "agg_pivot",
     "agg_rollup",

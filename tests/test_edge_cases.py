@@ -543,3 +543,13 @@ def test_containment_catches_truncation_jaccard_misses(spark, tmp_path):
     assert cont.iloc[0]["containment"] == 1.0
     assert cont.iloc[0]["jaccard"] < 0.5
     assert len(jacc) == 0
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """For any pair, |A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| — if a
+    containment row ever shows the reverse, a denominator got
+    swapped. Checked on the real fixture output."""
+    out = CATALOG["dedup_containment"].builder(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out.containment >= out.jaccard - 1e-9).all()
+    assert (out.containment <= 1.0).all()

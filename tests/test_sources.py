@@ -140,3 +140,49 @@ def test_pipeline_manifest_partitioned_by_split_prunes(spark, sf_dir, tmp_path):
     assert pf_lines and "split" in pf_lines[0]
     want = manifest.filter(F.col("split") == "train").count()
     assert train.count() == want
+
+
+def test_jsonl_corpus_quarantines_malformed_lines(spark, tmp_path):
+    """The JSONL ingestion contract: good lines parse under the
+    explicit schema, malformed lines land in quarantine with their
+    raw text preserved, and the job never dies (PERMISSIVE)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from mapreducepy_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr"}\n'
+        '{"doc_id": 3, "text": "truncated...\n'            # malformed
+        "not json at all\n"                                 # malformed
+        '{"doc_id": 4, "text": "ok", "lang": "de"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    clean, quarantine = split_corrupt(read_jsonl(spark, str(p), schema))
+    got = {r["doc_id"] for r in clean.collect()}
+    assert got == {1, 2, 4}
+    assert "_corrupt_record" not in clean.columns
+    bad = [r["raw_line"] for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert "not json at all" in bad
+    # schema drift: an extra field is ignored, a type clash quarantined
+    p2 = tmp_path / "drift.jsonl"
+    p2.write_text(
+        '{"doc_id": 5, "text": "extra", "lang": "en", "new_field": 1}\n'
+        '{"doc_id": "not-a-number", "text": "clash", "lang": "en"}\n'
+    )
+    clean2, quar2 = split_corrupt(read_jsonl(spark, str(p2), schema))
+    assert [r["doc_id"] for r in clean2.collect()] == [5]
+    assert quar2.count() == 1
