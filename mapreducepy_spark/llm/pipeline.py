@@ -29,8 +29,11 @@ from .text import (
     quality_kept_docs,
 )
 
-_ORACLE_PIPELINE_CLEAN = f"""
-WITH toks AS (
+# CTE chain ending in ``clean`` (survivors of quality gate + eval
+# exclusion + digest decontamination, rn=1 = exact-dedup keeper);
+# shared by the standalone manifest and the mixture-composed
+# flagship. ``ptoks`` not ``toks``: the mixture chain owns ``toks``.
+_CLEAN_CTES = f"""ptoks AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS word
     FROM documents
 ),
@@ -39,7 +42,7 @@ per_doc AS (
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(COUNT(DISTINCT word) AS DOUBLE) / COUNT(*) AS ttr,
            AVG(CAST(length(word) AS DOUBLE)) AS avg_len
-    FROM toks WHERE word <> ''
+    FROM ptoks WHERE word <> ''
     GROUP BY doc_id
 ),
 tagged AS (
@@ -68,10 +71,17 @@ clean AS (
           SELECT 1 FROM block b WHERE b.text_hash = t.text_hash
       )
 )
-SELECT doc_id, lang, source, n_tokens,
-       CASE WHEN h2 < '{_SPLIT_TRAIN_CUT}' THEN 'train'
+"""
+
+# The split label as a SQL fragment (shared by both consumers).
+_SPLIT_CASE = f"""CASE WHEN h2 < '{_SPLIT_TRAIN_CUT}' THEN 'train'
             WHEN h2 < '{_SPLIT_VAL_CUT}' THEN 'val'
-            ELSE 'test' END AS split
+            ELSE 'test' END"""
+
+_ORACLE_PIPELINE_CLEAN = f"""
+WITH {_CLEAN_CTES}
+SELECT doc_id, lang, source, n_tokens,
+       {_SPLIT_CASE} AS split
 FROM clean
 WHERE rn = 1
 """
@@ -170,16 +180,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # constant — the plan shape is invariant under any budget.
 _MIX_BUDGET_DEN = 2
 
-# Shared water-filling CTE chain (plan + apply oracles build on it):
-# per-doc token counts -> per-source totals -> integer max-min-fair
-# allocation. ``planned`` is the last CTE; consumers SELECT from it.
-_MIX_CTES = f"""
-WITH toks AS (
-    SELECT source, doc_id,
-           CAST({DUCK_TOKEN_COUNT} AS BIGINT) AS n_toks
-    FROM documents
-),
-src AS (
+# Shared water-filling CTE chain (plan + apply + the composed
+# flagship build on it): per-doc token counts -> per-source totals ->
+# integer max-min-fair allocation. ``_MIX_TAIL`` starts AFTER the
+# ``toks`` CTE so a composed consumer can feed it survivors instead
+# of raw documents; ``planned`` is the last CTE.
+_MIX_TAIL = f"""src AS (
     SELECT source, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
     FROM toks GROUP BY source
 ),
@@ -221,7 +227,15 @@ planned AS (
                AS planned_tokens,
            NOT is_full AS is_capped
     FROM leveled
-)
+)"""
+
+_MIX_CTES = f"""
+WITH toks AS (
+    SELECT source, doc_id,
+           CAST({DUCK_TOKEN_COUNT} AS BIGINT) AS n_toks
+    FROM documents
+),
+{_MIX_TAIL}
 """
 
 _ORACLE_CORPUS_MIXTURE = f"""{_MIX_CTES}
@@ -292,12 +306,57 @@ def _mixture_planned(docs: DataFrame) -> DataFrame:
     fractions) and ``corpus_mixture_apply`` (executes them): per-source
     (source, n_tokens, planned_tokens, is_capped), all-integer. See
     ``corpus_mixture_plan`` for the algorithm contract."""
+    return _mixture_planned_counts(
+        docs.select(
+            "source",
+            F.expr(SPARK_TOKEN_COUNT).cast("bigint").alias("n_toks"),
+        )
+    )
+
+
+def _mixture_fractions(planned: DataFrame) -> DataFrame:
+    """(source, n_tokens, planned_tokens, keep_ppm): the integer-ppm
+    keep threshold the deterministic selector compares against —
+    NULL-guarded on zero-token sources (both engines then keep
+    nothing, NULL compares false)."""
+    return planned.select(
+        "source",
+        "n_tokens",
+        "planned_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.col("planned_tokens").cast("double")
+                / F.col("n_tokens")
+                * 1000000.0
+                + 0.5
+            ).cast("bigint")
+        )
+        .alias("keep_ppm"),
+    )
+
+
+def _u_ppm_col():
+    """Per-doc uniform in [0, 1e6): first 15 md5 hex chars of doc_id
+    as an integer, mod 1e6 — the sample_hash_fraction determinism
+    discipline at ppm resolution (Spark ``conv`` == DuckDB's
+    ``('0x'||h)::BIGINT``, both exact on 60-bit values)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+
+
+def _mixture_planned_counts(toks: DataFrame) -> DataFrame:
+    """Water-filling over an already-token-counted (source, n_toks)
+    frame — the composable entry the mixture-composed flagship feeds
+    with CLEANED survivors instead of raw documents."""
     from pyspark.sql.window import Window
 
-    toks = docs.select(
-        "source",
-        F.expr(SPARK_TOKEN_COUNT).cast("bigint").alias("n_toks"),
-    )
     src = toks.groupBy("source").agg(
         F.sum("n_toks").cast("bigint").alias("n_tokens")
     )
@@ -416,32 +475,11 @@ def corpus_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     on zero-token sources.
     """
     docs = load_spread(spark, sf_dir, "documents")
-    frac = _mixture_planned(docs).select(
-        "source",
-        "n_tokens",
-        "planned_tokens",
-        F.when(F.col("n_tokens") == 0, F.lit(None).cast("bigint"))
-        .otherwise(
-            F.floor(
-                F.col("planned_tokens").cast("double")
-                / F.col("n_tokens")
-                * 1000000.0
-                + 0.5
-            ).cast("bigint")
-        )
-        .alias("keep_ppm"),
-    )
+    frac = _mixture_fractions(_mixture_planned(docs))
     hashed = docs.select(
         "source",
         F.expr(SPARK_TOKEN_COUNT).cast("bigint").alias("n_toks"),
-        (
-            F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
-                16,
-                10,
-            ).cast("bigint")
-            % 1000000
-        ).alias("u_ppm"),
+        _u_ppm_col().alias("u_ppm"),
     )
     kept = F.col("u_ppm") < F.col("keep_ppm")
     return (
@@ -604,4 +642,100 @@ def docs_corpus_card(
             .alias("mean_doc_tokens"),
             "lang_entropy",
         )
+    )
+
+
+# --- the full training-manifest flagship ----------------------------
+
+_ORACLE_PIPELINE_MIXTURE = f"""
+WITH {_CLEAN_CTES},
+kept AS (
+    SELECT doc_id, lang, source, n_tokens, h2
+    FROM clean WHERE rn = 1
+),
+toks AS (
+    SELECT source, doc_id, n_tokens AS n_toks FROM kept
+),
+{_MIX_TAIL},
+frac AS (
+    SELECT source, planned_tokens,
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE CAST(floor(CAST(planned_tokens AS DOUBLE)
+                                / n_tokens * 1000000.0 + 0.5) AS BIGINT)
+           END AS keep_ppm
+    FROM planned
+),
+sel AS (
+    SELECT k.source,
+           {_SPLIT_CASE} AS split,
+           k.n_tokens,
+           f.planned_tokens,
+           CAST(concat('0x',
+                substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 1000000 AS u_ppm,
+           f.keep_ppm
+    FROM kept k
+    JOIN frac f ON k.source = f.source
+)
+SELECT source, split, planned_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM sel
+WHERE u_ppm < keep_ppm
+GROUP BY source, split, planned_tokens
+"""
+
+
+@register(
+    "pipeline_mixture_manifest", _ORACLE_PIPELINE_MIXTURE,
+    tags=("llm", "pipeline", "flagship"),
+)
+def pipeline_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pre-training data recipe as one declarative
+    query: clean (quality gate → eval exclusion + decontamination →
+    exact dedup → split assignment, = ``pipeline_clean_corpus``),
+    then re-plan the token mixture over the SURVIVORS
+    (water-filling via ``_mixture_planned_counts`` — quotas computed
+    on post-cleaning mass, not raw crawl size), then execute the
+    quotas with the deterministic ppm selector, and emit the
+    per-(source, split) ledger of what training will actually see.
+
+    This key exists to prove END-TO-END composition: every stage is
+    pure Catalyst expressions over the previous stage's DataFrame,
+    so the optimizer fuses cleaning, planning, and selection into
+    ONE plan — the corpus-sized work is the cleaning pass (its
+    explode+agg and digest window), the mixture plan is windows over
+    one row per source, and the selection re-uses the cleaning
+    output with a broadcast fraction join. Staged execution would
+    re-scan and re-shuffle the corpus per stage and materialize two
+    intermediate tables.
+
+    Scale: inherits `pipeline_clean_corpus`'s shuffle ledger (two
+    doc_id-keyed corpus shuffles + one digest window + broadcast
+    blocklist), adds ZERO corpus-sized shuffles of its own — the
+    water-filling runs on per-source aggregates and the fraction
+    table broadcasts back (plan-asserted). Re-running after the
+    corpus grows keeps every selection decision for unchanged docs
+    (hash-keyed, partition-independent).
+
+    Hash parity: the cleaning chain is exact (pipeline_clean_corpus
+    precedent); the mixture is all-integer; the selector is the
+    md5-ppm discipline — every fragment is one already proven in a
+    standalone key, which is the composition argument.
+    """
+    manifest = pipeline_clean_corpus(spark, sf_dir)
+    planned = _mixture_planned_counts(
+        manifest.select("source", F.col("n_tokens").alias("n_toks"))
+    )
+    frac = _mixture_fractions(planned).select(
+        "source", "planned_tokens", "keep_ppm"
+    )
+    sel = (
+        manifest.withColumn("u_ppm", _u_ppm_col())
+        .join(F.broadcast(frac), "source")
+        .filter(F.col("u_ppm") < F.col("keep_ppm"))
+    )
+    return sel.groupBy("source", "split", "planned_tokens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )

@@ -881,3 +881,68 @@ def agg_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_vs_mean"),
         )
     )
+
+
+# --- correlated scalar subquery (TPC-H Q17 shape) -------------------
+
+_ORACLE_AGG_CORRELATED = """
+WITH cut AS (
+    SELECT l_partkey, 0.2 * AVG(l_quantity) AS cut_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+       (floor((SUM(l.l_extendedprice) / 7.0) * 100.0 + 0.5) / 100.0)
+           AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN cut c ON c.l_partkey = l.l_partkey
+WHERE l.l_quantity < c.cut_qty
+GROUP BY p.p_brand
+"""
+
+
+@register(
+    "agg_correlated_scalar", _ORACLE_AGG_CORRELATED, tags=("agg", "tpch")
+)
+def agg_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q17 shape — small-order revenue: lineitems whose
+    quantity falls below 20% of their part's average, per brand. In
+    SQL this is THE textbook correlated scalar subquery
+    (``l_quantity < (SELECT 0.2*avg(l_quantity) … WHERE l2.l_partkey
+    = l.l_partkey)``); Catalyst decorrelates it into exactly the
+    aggregate-then-rejoin written here, so the DataFrame form IS the
+    decorrelated plan — expressing it directly documents what the
+    optimizer does and guarantees the single-pass shape (a
+    per-row-subquery execution would be O(n) scans).
+
+    Scale: one partkey-keyed aggregation (map-side combine) builds
+    the threshold table, which re-joins lineitem on the SAME key —
+    at scale both sides shuffle once on partkey and the aggregation
+    output reuses the join partitioning; the part dimension
+    broadcasts (plan-asserted). The final per-brand rollup shuffles
+    a few aggregated rows.
+
+    Hash parity: ``l_quantity`` is integral (checked: 0 fractional
+    values in the fixtures), so the per-part SUM is exact in a
+    double regardless of partial-aggregation order, AVG is
+    exact-int-divided-once, and the 0.2× threshold compare is
+    bit-deterministic cross-engine — no rounding needed BEFORE the
+    compare; output money rounds 1e-2 as usual.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    cut = li.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("cut_qty")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(cut, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("cut_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_small_lines"),
+            dround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )

@@ -63,10 +63,10 @@ _MODULES = (
 # cosmetics. Round-5 policy (VERDICT r3 work order #2/#3 + SURVEY §8
 # round-5 plan):
 #
-# - the 14 keys NEW this round come first (zero driver evidence):
-#   8 from the second build session (agg_count_histogram …
-#   agg_key_skew) then 6 from the first (lsh_band_stats …
-#   embed_bucket_purity);
+# - the 16 keys NEW this round come first (zero driver evidence):
+#   10 from the second build session (agg_count_histogram …
+#   pipeline_mixture_manifest) then 6 from the first (lsh_band_stats
+#   … embed_bucket_purity);
 # - then the 3 rows-only-by-design keys (agg_approx_distinct,
 #   sample_fraction, sample_stratified): their only driver rows ever
 #   are r1 ``err: "no_oracle"`` — one window slot each to learn
@@ -78,12 +78,13 @@ _MODULES = (
 #   extraction; corpus_mixture_plan sits in the new block but also
 #   rode the _mixture_planned refactor) — touched code is re-proven,
 #   never rests on old rows;
-# - the remaining 14 slots refresh the oldest round-2 evidence,
-#   preferring the LLM/dedup family (the north star). The 8 newest
+# - the remaining 12 slots refresh the oldest round-2 evidence,
+#   preferring the LLM/dedup family (the north star). The 10 newest
 #   keys displaced sample_hash_stratified/_fraction,
 #   join_range_binned, rollup_multires, events_funnel, win_sliding,
-#   win_tumbling, win_session from the refresh block — each rests on
-#   a green round-2 row and leads the next round's rotation;
+#   win_tumbling, win_session, join_asof, text_fingerprint from the
+#   refresh block — each rests on a green round-2 row and leads the
+#   next round's rotation;
 # - the tail holds only keys with green round-2/3 rows, so whatever
 #   the budget cuts is already-proven ground.
 #
@@ -95,7 +96,8 @@ _KEY_ORDER = (
     # new in round 5 — zero driver evidence
     "agg_count_histogram", "embed_dim_stats", "corpus_mixture_apply",
     "dedup_containment", "events_rfm", "docs_corpus_card",
-    "sim_ann_recall", "agg_key_skew",
+    "sim_ann_recall", "agg_key_skew", "agg_correlated_scalar",
+    "pipeline_mixture_manifest",
     "lsh_band_stats", "docs_source_profile", "corpus_mixture_plan",
     "text_vocab_coverage", "dedup_prefix", "embed_bucket_purity",
     # rows-only by design (approximation / RNG — no DuckDB oracle
@@ -120,8 +122,7 @@ _KEY_ORDER = (
     "dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
     "sim_ann_lsh", "sim_ann_ivf",
     "text_stats", "text_tfidf", "multimodal_cols",
-    "text_quality", "text_langid", "text_tokens", "text_fingerprint",
-    "join_asof",
+    "text_quality", "text_langid", "text_tokens",
     "agg_group",
     # ---- position 50 = agg_group: the window ends exactly here
     # (6 new + 3 rows-only + 13 r1-stale + 6 touched + 22 r2
@@ -129,7 +130,8 @@ _KEY_ORDER = (
     # and rests on a green round-2 or round-3 row: first the 22
     # r2-green keys that didn't fit (they lead round 6's refresh),
     # then the r3-green block.
-    "win_session", "win_tumbling", "win_sliding",
+    "text_fingerprint",
+    "join_asof", "win_session", "win_tumbling", "win_sliding",
     "events_funnel", "rollup_multires", "join_range_binned",
     "sample_hash_fraction", "sample_hash_stratified",
     "agg_minmax_by", "join_inner", "agg_count_distinct",

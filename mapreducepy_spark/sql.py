@@ -24,6 +24,7 @@ from .registry import load_catalog
 # builder on the fixtures (list discovered empirically, enforced by
 # tests/test_sql.py — a dialect regression removes the name here).
 PORTABLE = (
+    "agg_correlated_scalar",
     "agg_count_distinct",
     "agg_count_histogram",
     "agg_cube",

@@ -643,3 +643,42 @@ def test_corpus_card_approx_swaps_digest_distinct(spark, sf_dir):
     for c in ("n_docs", "n_sources", "n_langs", "n_tokens", "n_chars",
               "mean_doc_tokens", "lang_entropy"):
         assert a[c] == e[c], c
+
+
+def test_correlated_scalar_is_decorrelated_join(spark, sf_dir):
+    """agg_correlated_scalar: the Q17 threshold table must join back
+    on the partkey (no per-row subquery — exactly one aggregate over
+    lineitem feeding a keyed join), with the part dimension
+    broadcast and map-side combine on the threshold aggregation."""
+    plan = plan_of(spark, "agg_correlated_scalar", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "partial_avg" in plan
+
+
+def test_pipeline_mixture_manifest_composes_without_new_shuffles(spark, sf_dir):
+    """The clean→plan→select composition must stay one fused plan:
+    the fraction table broadcasts back onto the cleaned corpus (no
+    corpus re-shuffle for the mixture join), dedup stays a window,
+    nothing drops to Python, and the mixture windows run AFTER
+    aggregation (their input is one row per source)."""
+    plan = plan_of(spark, "pipeline_mixture_manifest", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan                    # decontamination survives
+    assert "CartesianProduct" not in plan
+    # exactly ONE nested-loop join is allowed: the 1-row water-filling
+    # totals frame broadcast onto the per-source aggregate (the
+    # corpus_mixture_plan cross-join idiom) — never a corpus-sized one
+    # (tree-line form: the node also reappears in the details section)
+    assert plan.count("BroadcastNestedLoopJoin Cross BuildRight") <= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_key_skew_topk_is_heap_not_global_sort(spark, sf_dir):
+    """agg_key_skew: the top-K heaviest keys must come from a
+    TakeOrderedAndProject heap over the per-key aggregate — the
+    per-key table is never globally sorted — and the per-key count
+    combines map-side."""
+    plan = plan_of(spark, "agg_key_skew", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
