@@ -935,6 +935,7 @@ WITH pref AS (
                string_split(text, ' ')[1:{_PREFIX_TOKENS}], ' '
            )) AS prefix_digest
     FROM documents
+    WHERE text IS NOT NULL
 )
 SELECT prefix_digest,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -965,8 +966,17 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hash parity: md5 over the identically reconstructed prefix
     string; counts and min-doc selection are exact integers.
+    NULL-text rows are filtered on BOTH sides first: Spark's
+    ``concat_ws`` maps a NULL token array to the EMPTY string (so a
+    NULL-text doc would silently join the empty-text duplicate
+    group) while DuckDB's ``array_to_string`` yields NULL — the one
+    divergent NULL path in this fragment pair (found by review; a
+    ``read_jsonl`` line omitting the text field produces exactly
+    this row shape).
     """
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     pref = docs.select(
         "doc_id",
         F.md5(

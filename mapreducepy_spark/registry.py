@@ -125,11 +125,11 @@ _KEY_ORDER = (
     "text_quality", "text_langid", "text_tokens",
     "agg_group",
     # ---- position 50 = agg_group: the window ends exactly here
-    # (6 new + 3 rows-only + 13 r1-stale + 6 touched + 22 r2
+    # (16 new + 3 rows-only + 13 r1-stale + 6 touched + 12 r2
     # refresh = 50). Everything below is OUTSIDE the driver window
-    # and rests on a green round-2 or round-3 row: first the 22
-    # r2-green keys that didn't fit (they lead round 6's refresh),
-    # then the r3-green block.
+    # and rests on a green round-2 or round-3 row: first the 32
+    # r2-green keys that didn't fit (oldest-displaced first — they
+    # lead round 6's refresh), then the r3-green block.
     "text_fingerprint",
     "join_asof", "win_session", "win_tumbling", "win_sliding",
     "events_funnel", "rollup_multires", "join_range_binned",

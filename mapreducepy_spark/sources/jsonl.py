@@ -58,10 +58,15 @@ def split_corrupt(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split a ``read_jsonl`` frame into (clean, quarantine).
 
     ``clean`` drops the corrupt column; ``quarantine`` carries the
-    raw offending line for producer-side debugging. The input is
-    persisted first — both splits derive from ONE parse of the raw
-    text (and Spark would otherwise reject the corrupt-only filter
-    outright, see module docstring).
+    raw offending line for producer-side debugging. The INPUT frame
+    is persisted in place — both splits derive from ONE parse of the
+    raw text (and Spark would otherwise reject the corrupt-only
+    filter outright, see module docstring). Cache ownership stays
+    with the caller: after materializing both outputs, release it
+    with ``parsed.unpersist()`` on the frame you passed in (the
+    cache is keyed by the plan, so the caller's handle releases it)
+    — an ingestion loop that never unpersists accumulates a pinned
+    copy of every corpus it has parsed.
     """
     parsed = parsed.persist()
     clean = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)

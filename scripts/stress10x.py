@@ -64,6 +64,10 @@ OPS = (
     "agg_count_histogram",
     "events_rfm",
     "agg_key_skew",
+    # the Q17 decorrelated subquery + the clean->mixture->select
+    # composed flagship
+    "agg_correlated_scalar",
+    "pipeline_mixture_manifest",
 )
 
 
@@ -121,6 +125,31 @@ def materialize(spark, sf_dir: str, out_dir: str) -> None:
         .drop("__copy")
     )
     big_cust.write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+
+    # lineitem + part for the Q17 correlated-subquery shape: partkey
+    # shifts per copy so the per-part threshold structure replicates
+    li = load(spark, sf_dir, "lineitem")
+    big_li = (
+        li.crossJoin(F.broadcast(copies))
+        .withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(10_000_000) * F.col("__copy")
+        )
+        .withColumn(
+            "l_partkey", F.col("l_partkey") + F.lit(1_000_000) * F.col("__copy")
+        )
+        .drop("__copy")
+    )
+    big_li.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    part = load(spark, sf_dir, "part")
+    big_part = (
+        part.crossJoin(F.broadcast(copies))
+        .withColumn(
+            "p_partkey", F.col("p_partkey") + F.lit(1_000_000) * F.col("__copy")
+        )
+        .drop("__copy")
+    )
+    big_part.write.mode("overwrite").parquet(f"{out_dir}/part.parquet")
 
 
 def main() -> int:

@@ -553,3 +553,37 @@ def test_containment_dominates_jaccard(spark, sf_dir):
     assert len(out) > 0
     assert (out.containment >= out.jaccard - 1e-9).all()
     assert (out.containment <= 1.0).all()
+
+
+def test_dedup_prefix_null_text_not_merged_with_empty(spark, tmp_path):
+    """Spark's concat_ws maps a NULL token array to '' — without the
+    NULL filter, NULL-text docs (e.g. a JSONL line missing the text
+    field) would silently join the empty-text duplicate group while
+    the DuckDB oracle emits NULL. Both engines must agree: NULL-text
+    rows are excluded entirely."""
+    import duckdb
+
+    rows = [
+        (0, "", "en", "s", 0),
+        (1, "", "en", "s", 0),
+        (2, None, "en", "s", 0),
+        (3, None, "en", "s", 0),
+        (4, "a b c", "en", "s", 5),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = CATALOG["dedup_prefix"].builder(spark, str(tmp_path)).toPandas()
+    # exactly one group: the two empty-text docs; NULL-text excluded
+    assert len(out) == 1
+    assert out.iloc[0]["n_docs"] == 2
+    assert out.iloc[0]["keep_doc_id"] == 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = con.execute(CATALOG["dedup_prefix"].oracle).fetchdf()
+    assert len(oracle) == 1
+    assert int(oracle.iloc[0]["n_docs"]) == 2

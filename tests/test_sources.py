@@ -170,7 +170,8 @@ def test_jsonl_corpus_quarantines_malformed_lines(spark, tmp_path):
             StructField("lang", StringType()),
         ]
     )
-    clean, quarantine = split_corrupt(read_jsonl(spark, str(p), schema))
+    parsed = read_jsonl(spark, str(p), schema)
+    clean, quarantine = split_corrupt(parsed)
     got = {r["doc_id"] for r in clean.collect()}
     assert got == {1, 2, 4}
     assert "_corrupt_record" not in clean.columns
@@ -183,6 +184,11 @@ def test_jsonl_corpus_quarantines_malformed_lines(spark, tmp_path):
         '{"doc_id": 5, "text": "extra", "lang": "en", "new_field": 1}\n'
         '{"doc_id": "not-a-number", "text": "clash", "lang": "en"}\n'
     )
-    clean2, quar2 = split_corrupt(read_jsonl(spark, str(p2), schema))
+    parsed2 = read_jsonl(spark, str(p2), schema)
+    clean2, quar2 = split_corrupt(parsed2)
     assert [r["doc_id"] for r in clean2.collect()] == [5]
     assert quar2.count() == 1
+    # cache ownership: the caller's handle releases the one parse
+    parsed.unpersist()
+    parsed2.unpersist()
+    assert not parsed.is_cached and not parsed2.is_cached
