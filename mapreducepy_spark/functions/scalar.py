@@ -245,7 +245,8 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_FN_REGEX = """
 SELECT doc_id,
        source,
-       CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) AS src_num,
+       CAST(NULLIF(regexp_extract(source, 'src([0-9]+)', 1), '') AS INT)
+           AS src_num,
        CAST(regexp_matches(source, 'src1[0-9]$') AS INT) AS is_teen_src,
        CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_vowel_runs,
        regexp_replace(substr(text, 1, 40), '[aeiou]', '*', 'g') AS masked_prefix
@@ -267,7 +268,14 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "source",
-        F.regexp_extract("source", r"src([0-9]+)", 1).cast("int").alias("src_num"),
+        # regexp_extract returns '' (not NULL) on a non-matching row
+        # in BOTH engines, and ANSI CAST('' AS INT) then kills the
+        # job — NULLIF first, so unparseable sources yield NULL
+        # (found by the adversarial NULL-sweep; fixture sources all
+        # happen to match, real logs won't)
+        F.nullif(
+            F.regexp_extract("source", r"src([0-9]+)", 1), F.lit("")
+        ).cast("int").alias("src_num"),
         F.col("source").rlike(r"src1[0-9]$").cast("int").alias("is_teen_src"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[aeiou]+"), 0))
         .cast("bigint")
