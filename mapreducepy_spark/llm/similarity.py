@@ -66,12 +66,32 @@ _DUCK_COS = (
     "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
 )
 
+# Validity contract, identical on both engines: exactly _DIM
+# components AND a strictly positive norm. A zero vector has no
+# direction — normalizing it is 0/0, and the engines disagree on the
+# NaN fallout (found by the adversarial embeddings sweep: DuckDB
+# also kept wrong-length vectors because only the Spark side
+# filtered len == _DIM). NULL embeddings fail both predicates on
+# both engines.
 _DUCK_NORMED_CTE = f"""
 normed AS (
     SELECT vec_id, {_DUCK_UNIT} AS unit
     FROM (SELECT vec_id, embedding, {_DUCK_NORM_SQ} AS norm_sq FROM embeddings)
+    WHERE len(embedding) = {_DIM} AND norm_sq > 0
 )
 """
+
+
+def _valid_embeddings(df: DataFrame) -> DataFrame:
+    """Spark twin of ``_DUCK_NORMED_CTE``'s validity predicate:
+    exactly ``_DIM`` components and norm² > 0 (JVM-side fold, 64
+    terms per row, once — cheap next to the GEMM it protects)."""
+    norm_sq = F.aggregate(
+        "embedding",
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return df.filter((F.size("embedding") == _DIM) & (norm_sq > 0))
 
 
 def _np_unit(mat: np.ndarray) -> np.ndarray:
@@ -298,7 +318,7 @@ def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths ``sim_ann_lsh`` / ``sim_ann_ivf`` (same kernel, bucketed).
     """
     raw = load(spark, sf_dir, "embeddings")
-    emb = raw.filter(F.size("embedding") == _DIM).select("vec_id", "embedding")
+    emb = _valid_embeddings(raw).select("vec_id", "embedding")
     q = _query_side(spark, emb)
     schema = "query_id bigint, neighbor_id bigint, cos_raw double"
     partial = _union_chunk_results(
@@ -403,8 +423,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel. This is the IVF-style scale path for ``sim_knn``.
     """
     emb = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.size("embedding") == _DIM)
+        _valid_embeddings(load(spark, sf_dir, "embeddings"))
         .select("vec_id", "embedding")
     )
     bucketed = emb.withColumn("bucket", _sign_bucket_col())
@@ -481,7 +500,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (identical kernel, equi-join added).
     """
     raw = load(spark, sf_dir, "embeddings")
-    emb = raw.filter(F.size("embedding") == _DIM).select("vec_id", "embedding")
+    emb = _valid_embeddings(raw).select("vec_id", "embedding")
 
     def _chunk_near_kernel(bc):
         def near_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -580,11 +599,17 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-p cells per query (union of p in-cell searches).
     """
     emb = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.size("embedding") == _DIM)
+        _valid_embeddings(load(spark, sf_dir, "embeddings"))
         .select("vec_id", "embedding")
     )
     cent_pdf = emb.orderBy(F.col("vec_id").asc()).limit(_N_CELLS).toPandas()
+    if len(cent_pdf) == 0:
+        # empty (or all-invalid) corpus: no centroids to stack — the
+        # answer is the empty pair set, not a numpy crash (found by
+        # the empty-tables sweep)
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cell int, cos_sim double"
+        )
     cent = _np_unit(np.stack(cent_pdf["embedding"].to_list()).astype(np.float64))
     bc_cent = spark.sparkContext.broadcast(cent)
 

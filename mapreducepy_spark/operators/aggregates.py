@@ -157,6 +157,10 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: Spark plans this as an Expand (3 grouping sets) over the
     scan; partial aggregation still applies per set.
+
+    Known engine gap (asserted in tests/test_null_sweep.py): on an
+    EMPTY input the SQL standard (and DuckDB) still emit the
+    grand-total grouping-set row; Spark's rollup() emits zero rows.
     """
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
@@ -176,7 +180,8 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 
 @register("agg_cube", _ORACLE_AGG_CUBE, tags=("agg",))
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 — multi-dimensional totals (CUBE: all 4 grouping sets)."""
+    """A5 — multi-dimensional totals (CUBE: all 4 grouping sets).
+    Empty-input grand-total gap vs the standard: see agg_rollup."""
     li = load(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         dround(F.sum("l_extendedprice"), 2).alias("sum_price")
@@ -200,7 +205,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: same Expand-based plan as rollup/cube — one scan, one
     shuffle; each row is replicated once per set, partial aggregation
-    still applies before the exchange.
+    still applies before the exchange. Empty-input grand-total gap
+    vs the standard: see agg_rollup.
     """
     li = load(spark, sf_dir, "lineitem")
     return li.groupingSets(
@@ -324,8 +330,10 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_AGG_MINMAX_BY = """
 SELECT event_type,
-       CAST(arg_min(event_id, ts) AS BIGINT) AS first_event_id,
-       CAST(arg_max(event_id, ts) AS BIGINT) AS last_event_id,
+       CAST((MIN(struct_pack(ts := ts, id := event_id))).id AS BIGINT)
+           AS first_event_id,
+       CAST((MAX(struct_pack(ts := ts, id := event_id))).id AS BIGINT)
+           AS last_event_id,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events
 GROUP BY event_type
@@ -338,15 +346,20 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest event in ONE aggregation pass — no self-join back to the
     table, no window sort (the two classic slower formulations).
 
-    Determinism note: ``ts`` is unique in the fixtures (verified at
-    every SF), so the argmax is well-defined; with a tie-prone value
-    column you must break ties explicitly (window + row_number)
-    because engines disagree on arbitrary-tie argmax.
+    Determinism under ties, by construction: the aggregate is
+    MIN/MAX over the lexicographic (ts, event_id) STRUCT — both
+    engines order structs field-wise — so equal timestamps resolve
+    to the smallest/largest event_id instead of engine-arbitrary
+    ``min_by``/``arg_min`` picks. (The adversarial events sweep
+    produced exactly such a tie and the plain arg_min formulation
+    diverged; the struct form is the same one-pass plan with a
+    2-field combine state.)
     """
     e = load(spark, sf_dir, "events")
+    pair = F.struct(F.col("ts"), F.col("event_id").alias("id"))
     return e.groupBy("event_type").agg(
-        F.min_by("event_id", "ts").alias("first_event_id"),
-        F.max_by("event_id", "ts").alias("last_event_id"),
+        F.min(pair).getField("id").cast("bigint").alias("first_event_id"),
+        F.max(pair).getField("id").cast("bigint").alias("last_event_id"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

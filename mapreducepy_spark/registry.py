@@ -75,11 +75,14 @@ _MODULES = (
 #   (displaced by round 4's new operators) — oldest evidence first;
 # - then every key whose code this round touched (scan_profile's
 #   exact/approx parameter; fn_regex's NULLIF cast guard from the
-#   NULL-sweep; the 5 LSH keys riding the _band_table extraction;
+#   NULL-sweep; agg_minmax_by's tie-deterministic struct argmin;
+#   the similarity family's shared norm-validity predicate
+#   (sim_knn/dedup_embedding rotated in); the 5 LSH keys riding
+#   the _band_table extraction;
 #   corpus_mixture_plan and dedup_prefix sit in the new/touched
 #   blocks but also rode refactors/fixes) — touched code is
 #   re-proven, never rests on old rows;
-# - the remaining 11 slots refresh the oldest round-2 evidence,
+# - the remaining 8 slots refresh the oldest round-2 evidence,
 #   preferring the LLM/dedup family (the north star). The 10 newest
 #   keys displaced sample_hash_stratified/_fraction,
 #   join_range_binned, rollup_multires, events_funnel, win_sliding,
@@ -115,27 +118,28 @@ _KEY_ORDER = (
     # code touched in round 5 — re-prove: scan_profile grew the
     # exact=False approx path; the LSH family rides the _band_table
     # helper extracted from _candidate_pairs
-    "scan_profile", "fn_regex",
+    "scan_profile", "fn_regex", "agg_minmax_by",
+    "sim_knn", "dedup_embedding",
     "dedup_near", "dedup_clusters", "dedup_near_verified",
     "dedup_minhash_est", "dedup_survivors_verified",
     # round-2 evidence refresh (oldest remaining rows, LLM/dedup
-    # family first) — 22 slots
+    # family first) — 8 slots
     "dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
     "sim_ann_lsh", "sim_ann_ivf",
-    "text_stats", "text_tfidf", "multimodal_cols",
-    "text_quality", "text_langid",
+    "text_stats", "text_tfidf",
     "agg_group",
     # ---- position 50 = agg_group: the window ends exactly here
-    # (16 new + 3 rows-only + 13 r1-stale + 7 touched + 11 r2
+    # (16 new + 3 rows-only + 13 r1-stale + 10 touched + 8 r2
     # refresh = 50). Everything below is OUTSIDE the driver window
     # and rests on a green round-2 or round-3 row: first the 33
     # r2/r3-green keys that didn't fit (oldest-displaced first —
     # they lead round 6's refresh), then the r3-green block.
-    "text_tokens", "text_fingerprint",
+    "multimodal_cols",
+    "text_quality", "text_langid", "text_tokens", "text_fingerprint",
     "join_asof", "win_session", "win_tumbling", "win_sliding",
     "events_funnel", "rollup_multires", "join_range_binned",
     "sample_hash_fraction", "sample_hash_stratified",
-    "agg_minmax_by", "join_inner", "agg_count_distinct",
+    "join_inner", "agg_count_distinct",
     "scan_project", "scan_count", "json_extract",
     "filter_pred", "project_expr", "distinct_rows",
     "fn_string", "fn_date", "fn_conditional", "fn_json",
@@ -161,7 +165,7 @@ _KEY_ORDER = (
     "events_dau_rolling",
     "text_keywords", "text_perplexity_proxy",
     "agg_pareto", "events_user_lifecycle",
-    "dedup_jaccard_capped", "sim_knn", "dedup_embedding",
+    "dedup_jaccard_capped",
 )
 
 

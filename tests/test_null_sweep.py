@@ -35,6 +35,11 @@ _OTHER_TABLES = (
     "region", "part", "events", "embeddings",
 )
 
+_OTHER_TABLES_NO_EVENTS = (
+    "lineitem", "orders", "customer", "supplier", "nation",
+    "region", "part", "documents",
+)
+
 DOCS_ONLY = [
     name
     for name, q in CATALOG.items()
@@ -74,3 +79,135 @@ def test_docs_operator_survives_adversarial_rows(
     spd = CATALOG[name].builder(spark, sf_dir).toPandas()
     dpd = con.execute(CATALOG[name].oracle).fetchdf()
     assert canon_frame(spd) == canon_frame(dpd), name
+
+
+EVENTS_ONLY = [
+    name
+    for name, q in CATALOG.items()
+    if q.oracle is not None
+    and "events" in q.oracle
+    and "embeddings" not in q.oracle
+    and not any(t in q.oracle for t in _OTHER_TABLES_NO_EVENTS)
+]
+
+EMBEDDINGS_ONLY = [
+    name
+    for name, q in CATALOG.items()
+    if q.oracle is not None
+    and "embeddings" in q.oracle
+    and "events" not in q.oracle
+    and not any(t in q.oracle for t in _OTHER_TABLES_NO_EVENTS)
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_events_embeddings(tmp_path_factory):
+    import numpy as np
+
+    d = tmp_path_factory.mktemp("nullsweep_ee")
+    ev = pd.DataFrame(
+        [
+            (0, "2024-01-01 10:00:00", 1, "view", 10.0, '{"k":1}'),
+            (1, "2024-01-01 10:05:00", 1, "click", None, None),
+            (2, "2024-01-01 10:06:00", 1, "purchase", 5.0, '{"k":2}'),
+            (3, "2024-01-01 10:06:00", 1, "purchase", 5.0, "{}"),  # ts tie
+            (4, "2024-01-02 09:00:00", 2, "view", 1.0, None),
+            (5, "2024-01-02 09:00:00", 2, "view", 1.0, None),
+            (6, "2024-03-01 00:00:00", 3, "error", -4.0, '{"k":3}'),
+            (7, "2024-03-01 00:00:01", None, "view", 2.0, None),
+            (8, "2024-03-01 00:00:02", 4, None, 2.0, None),
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    ev.to_parquet(d / "events.parquet", index=False)
+    emb = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3, 4],
+            "embedding": [
+                np.zeros(64, np.float32),           # zero norm
+                np.ones(64, np.float32) / 8.0,
+                None,                               # NULL embedding
+                np.ones(3, np.float32),             # wrong length
+                -np.ones(64, np.float32) / 8.0,
+            ],
+            "label": [0, 1, None, 2, 1],
+        }
+    )
+    emb.to_parquet(d / "embeddings.parquet", index=False)
+    con = duckdb.connect()
+    for t in ("events", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet')"
+        )
+    return str(d), con
+
+
+@pytest.mark.parametrize("name", EVENTS_ONLY + EMBEDDINGS_ONLY)
+def test_events_embeddings_operator_survives_adversarial_rows(
+    spark, adversarial_events_embeddings, name
+):
+    """Same contract as the documents sweep, for the events table
+    (NULL value/props/user/type, equal-timestamp ties, a lone user)
+    and the embeddings table (zero-norm vector, NULL embedding,
+    wrong dimensionality, NULL label). First run found two real
+    bugs: arg_min/min_by tie divergence in agg_minmax_by (fixed via
+    lexicographic (ts, id) struct aggregation) and the similarity
+    family normalizing a zero vector into engine-divergent NaN
+    (fixed via the shared norm² > 0 validity predicate, which DuckDB
+    side was ALSO missing the length filter for)."""
+    sf_dir, con = adversarial_events_embeddings
+    spd = CATALOG[name].builder(spark, sf_dir).toPandas()
+    dpd = con.execute(CATALOG[name].oracle).fetchdf()
+    assert canon_frame(spd) == canon_frame(dpd), name
+
+
+# Known engine-semantics gap, asserted explicitly below so a Spark
+# upgrade that fixes it breaks THIS test and gets the operators'
+# documentation updated: per the SQL standard, GROUP BY
+# ROLLUP/CUBE/GROUPING SETS over an EMPTY table still emits the
+# grand-total grouping-set row (count 0); DuckDB does, Spark's
+# DataFrame rollup()/cube()/groupingSets() emit zero rows.
+_EMPTY_GROUPING_GAP = {"agg_rollup", "agg_cube", "agg_grouping_sets"}
+
+
+@pytest.fixture(scope="module")
+def empty_tables(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("emptysweep")
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    con = duckdb.connect()
+    for t in tables:
+        # slice(0,0) preserves the arrow schema exactly — a pandas
+        # head(0) round-trip would degrade string columns to NULL
+        # type and crash both engines on unrelated binder errors
+        tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(tbl.slice(0, 0), str(d / f"{t}.parquet"))
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet')"
+        )
+    return str(d), con
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, q in CATALOG.items() if q.oracle is not None]
+)
+def test_operator_survives_empty_tables(spark, empty_tables, name):
+    """Every oracle-paired operator must process completely EMPTY
+    tables without crashing and agree with DuckDB (first run found
+    sim_ann_ivf np.stack-ing zero centroids). The three
+    grouping-sets operators assert the documented Spark-vs-standard
+    gap instead of parity."""
+    sf_dir, con = empty_tables
+    spd = CATALOG[name].builder(spark, sf_dir).toPandas()
+    dpd = con.execute(CATALOG[name].oracle).fetchdf()
+    if name in _EMPTY_GROUPING_GAP:
+        assert len(spd) == 0 and len(dpd) == 1
+    else:
+        assert canon_frame(spd) == canon_frame(dpd), name
