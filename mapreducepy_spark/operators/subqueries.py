@@ -1,0 +1,400 @@
+"""Classic subquery / decorrelation shapes (SURVEY.md §2.3/§2.4).
+
+The five patterns every SQL-on-big-data engine must decorrelate —
+IN over a grouped HAVING (TPC-H Q18), disjunctive join predicates
+(Q19), group-share-vs-global-scalar (Q11), anti-join against a
+scalar-subquery threshold (Q22), and an EXISTS / NOT-EXISTS chain
+(Q21) — each written as the flat DataFrame plan Catalyst's
+decorrelation rules would produce, so the single-pass shape is
+guaranteed rather than hoped for.
+
+Hash-parity discipline: every threshold that compares a SUM of
+doubles is computed in exact integer cents (``floor(x*100+0.5)`` per
+row, BIGINT sums) on BOTH engines, so partial-aggregation order can
+never flip a row across the boundary — the ``agg_correlated_scalar``
+exact-int precedent, applied to money. Output money is the exact
+cents sum divided once by 100.0 (deterministic IEEE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+# Orders whose total quantity exceeds this are "large volume"
+# (fixture max ~460, mean ~103 — keeps ~1.4% of orders at sf0.01).
+_Q18_MIN_QTY = 250
+
+# Disjunctive-join branch predicates (brand / size / quantity bands,
+# fixture brands are Brand#1..Brand#55 — each branch matches).
+_Q19_BRANCHES = (
+    ("Brand#11", 1, 15, 1, 20),
+    ("Brand#22", 10, 30, 10, 35),
+    ("Brand#33", 20, 50, 20, 50),
+)
+
+# A part is "important" above this share of global line value
+# (1/2000 = 0.05%; ~970 of 2000 parts qualify at sf0.01).
+_Q11_SHARE_DEN = 2000
+
+# Customers with no order on/after this date are "idle" (fixture
+# orderdates span 1995-01-01 .. 2001-08-01).
+_Q22_CUTOFF = "2000-07-01"
+
+_CENTS = "CAST(floor({x} * 100.0 + 0.5) AS BIGINT)"
+
+
+def _cents(col: Column) -> Column:
+    """Exact integer cents of a money double (both-engine formula)."""
+    return F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+
+
+# --- Q18: IN-subquery over grouped HAVING --------------------------
+
+_ORACLE_JOIN_GROUPAGG_IN = f"""
+WITH big AS (
+    SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > {_Q18_MIN_QTY}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, b.sum_qty
+FROM orders o
+JOIN big b ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register(
+    "join_groupagg_in", _ORACLE_JOIN_GROUPAGG_IN, tags=("join", "tpch")
+)
+def join_groupagg_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q18 shape — large-volume orders: ``o_orderkey IN
+    (SELECT l_orderkey … GROUP BY … HAVING SUM(qty) > k)`` joined
+    back to the customer. The IN-subquery decorrelates to exactly
+    the aggregate-then-join written here; keeping the aggregate's
+    ``sum_qty`` in the output (as Q18 does) makes it a plain inner
+    join rather than a semi-join.
+
+    Scale: lineitem aggregates on ``l_orderkey`` with map-side
+    combine (≤7 lines per order ⇒ near-total collapse before the
+    shuffle); orders joins the surviving ~1% on the SAME key, so the
+    aggregate output needs no second shuffle; the customer join
+    shuffles on ``c_custkey`` — at 100 TB both sides of each join
+    are hash-partitioned once on their join key, and AQE is free to
+    broadcast the filtered aggregate when the HAVING is selective.
+
+    Hash parity: ``l_quantity`` is integral (fixture-checked), so
+    the SUM is exact in a double at any partial-aggregation order
+    and the HAVING compare plus the BIGINT cast are deterministic;
+    every other output column is a passthrough.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > _Q18_MIN_QTY)
+        .select(
+            "l_orderkey", F.col("__qty").cast("bigint").alias("sum_qty")
+        )
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+# --- Q19: disjunctive predicate join -------------------------------
+
+def _q19_branch_sql(brand: str, s0: int, s1: int, q0: int, q1: int) -> str:
+    return (
+        f"(p.p_brand = '{brand}' AND p.p_size BETWEEN {s0} AND {s1}"
+        f" AND l.l_quantity BETWEEN {q0} AND {q1})"
+    )
+
+
+_ORACLE_JOIN_DISJUNCTIVE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM({_CENTS.format(x='l.l_extendedprice * (1 - l.l_discount)')})
+            AS DOUBLE) / 100.0 AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {" OR ".join(_q19_branch_sql(*b) for b in _Q19_BRANCHES)}
+"""
+
+
+@register(
+    "join_disjunctive", _ORACLE_JOIN_DISJUNCTIVE, tags=("join", "tpch")
+)
+def join_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q19 shape — revenue under an OR-of-ANDs predicate
+    that mixes columns from BOTH join sides. Written as one equi-join
+    plus the raw disjunction: Catalyst extracts the common
+    ``p_partkey`` equi-key, keeps the disjunction as a join residual,
+    and pushes the per-side OR projections (brand/size bands to the
+    part scan, quantity bands to the lineitem scan) below the join —
+    the textbook reason NOT to hand-split the query into three
+    unioned branches, which would scan lineitem three times.
+
+    Scale: part is the dimension side and broadcasts (hinted); the
+    100 TB lineitem side is filtered by the pushed-down quantity
+    disjunction before the join and never shuffles.
+
+    Hash parity: revenue is summed in exact integer cents per line
+    (BIGINT), so the single global SUM is order-independent; the
+    output double is one exact division by 100.0.
+    """
+    li = load(spark, sf_dir, "lineitem").alias("l")
+    part = load(spark, sf_dir, "part").alias("p")
+    branch = F.lit(False)
+    for brand, s0, s1, q0, q1 in _Q19_BRANCHES:
+        branch = branch | (
+            (F.col("p.p_brand") == brand)
+            & F.col("p.p_size").between(s0, s1)
+            & F.col("l.l_quantity").between(q0, q1)
+        )
+    rev_cents = _cents(
+        F.col("l.l_extendedprice") * (1 - F.col("l.l_discount"))
+    )
+    return (
+        li.join(
+            F.broadcast(part), F.col("l.l_partkey") == F.col("p.p_partkey")
+        )
+        .filter(branch)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            (F.sum(rev_cents).cast("double") / 100.0).alias("revenue"),
+        )
+    )
+
+
+# --- Q11: group share vs a global scalar threshold -----------------
+
+_Q11_VAL_CENTS = _CENTS.format(
+    x="l_extendedprice * (1 - l_discount)"
+)
+
+_ORACLE_AGG_GLOBAL_SHARE = f"""
+WITH pp AS (
+    SELECT l_partkey,
+           CAST(SUM({_Q11_VAL_CENTS}) AS BIGINT) AS val_cents
+    FROM lineitem
+    GROUP BY l_partkey
+),
+tot AS (
+    SELECT CAST(SUM(val_cents) AS BIGINT) AS tot_cents FROM pp
+)
+SELECT pp.l_partkey,
+       CAST(pp.val_cents AS DOUBLE) / 100.0 AS part_value
+FROM pp, tot
+WHERE pp.val_cents * {_Q11_SHARE_DEN} > tot.tot_cents
+"""
+
+
+@register(
+    "agg_global_share", _ORACLE_AGG_GLOBAL_SHARE, tags=("agg", "tpch")
+)
+def agg_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q11 shape — groups whose aggregate exceeds a
+    fraction of the GLOBAL aggregate (``HAVING SUM(v) > f * (SELECT
+    SUM(v) …)``). The scalar subquery decorrelates to: aggregate
+    per key once, roll the per-key table up to the one-row total,
+    broadcast it back via cross join, filter.
+
+    Scale: ONE corpus-sized aggregation (partkey-keyed, map-side
+    combine); the total is derived from the per-key table — Spark
+    reuses the per-key Exchange for both consumers (the text_tfidf
+    ReusedExchange pattern) — and rides a 1-row broadcast cross
+    join, so the global threshold costs zero extra passes over
+    lineitem.
+
+    Hash parity: the share compare is exact BIGINT arithmetic
+    (``val_cents * 2000 > tot_cents``) — no double ever crosses the
+    threshold boundary, so partial-sum order is irrelevant on both
+    engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    val_cents = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    pp = li.groupBy("l_partkey").agg(
+        F.sum(val_cents).cast("bigint").alias("val_cents")
+    )
+    tot = pp.agg(F.sum("val_cents").cast("bigint").alias("tot_cents"))
+    return (
+        pp.crossJoin(F.broadcast(tot))
+        .filter(F.col("val_cents") * _Q11_SHARE_DEN > F.col("tot_cents"))
+        .select(
+            "l_partkey",
+            (F.col("val_cents").cast("double") / 100.0).alias("part_value"),
+        )
+    )
+
+
+# --- Q22: anti-join + scalar-average threshold ---------------------
+
+_Q22_BAL_CENTS = _CENTS.format(x="c_acctbal")
+
+_ORACLE_JOIN_ANTI_SCALAR = f"""
+WITH pos AS (
+    SELECT CAST(SUM({_Q22_BAL_CENTS}) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_pos
+    FROM customer WHERE c_acctbal > 0
+),
+idle AS (
+    SELECT c.c_mktsegment, {_Q22_BAL_CENTS} AS bal_cents
+    FROM customer c, pos
+    WHERE {_Q22_BAL_CENTS} * pos.n_pos > pos.sum_cents
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF} 00:00:00'
+      )
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(bal_cents) AS DOUBLE) / 100.0 AS total_acctbal
+FROM idle
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "join_anti_scalar", _ORACLE_JOIN_ANTI_SCALAR, tags=("join", "tpch")
+)
+def join_anti_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q22 shape — "idle high-balance customers": balance
+    above the average of all positive balances (scalar subquery) AND
+    no recent order (NOT EXISTS ⇒ anti-join), rolled up per market
+    segment. (The fixture gives every customer at least one order
+    ever, so the NOT EXISTS is made temporal: no order since
+    2000-07-01 — same plan shape, non-degenerate result.)
+
+    Scale: the scalar threshold is a 1-row broadcast cross join
+    (never a per-row subquery); the anti-join shuffles customer and
+    the date-filtered orders once each on custkey — the filter
+    pushes to the orders scan, and at a selective cutoff AQE can
+    broadcast the recent-orders side instead. The final rollup is a
+    5-group aggregate.
+
+    Hash parity: the average compare is exact integers —
+    ``bal_cents * n_pos > sum_cents`` avoids ever materializing the
+    average as a double — and the segment totals are BIGINT cents.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    bal_cents = _cents(F.col("c_acctbal"))
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_cents).cast("bigint").alias("sum_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pos"),
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(bal_cents * F.col("n_pos") > F.col("sum_cents"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (F.sum(bal_cents).cast("double") / 100.0).alias(
+                "total_acctbal"
+            ),
+        )
+    )
+
+
+# --- Q21: EXISTS / NOT-EXISTS chain --------------------------------
+
+_ORACLE_JOIN_EXISTS_CHAIN = """
+SELECT s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_last_ship_lines,
+       CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+)
+GROUP BY s.s_name
+"""
+
+
+@register(
+    "join_exists_chain", _ORACLE_JOIN_EXISTS_CHAIN, tags=("join", "tpch")
+)
+def join_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q21 shape — correlated EXISTS and NOT EXISTS against
+    the same fact table: per supplier, the lineitems where it was the
+    LAST shipper of a multi-supplier order (another supplier exists
+    in the order; none shipped strictly later — shipdate ties keep
+    every tied-last supplier, deterministically). EXISTS decorrelates
+    to a left-semi join, NOT EXISTS to a left-anti join; chaining
+    them on the probe keeps one flat pipeline instead of nested
+    per-row subqueries.
+
+    Scale: both the semi and the anti side are the SAME projected
+    lineitem keyed on ``l_orderkey``, so the probe shuffles once and
+    the two build sides hash-partition on the same key (co-located
+    back-to-back joins, no re-Exchange of the probe between them);
+    the supplier dimension broadcasts. The NOT-EXISTS inequality
+    (``l3.l_shipdate > l1.l_shipdate``) is a residual on the
+    anti-join's equi-key, never a theta-only join.
+
+    Hash parity: counts only — no doubles anywhere.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    supp = load(spark, sf_dir, "supplier")
+    o2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    o3 = li.select(
+        F.col("l_orderkey").alias("ok3"),
+        F.col("l_suppkey").alias("sk3"),
+        F.col("l_shipdate").alias("ship3"),
+    )
+    last = (
+        li.join(
+            o2,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            o3,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("l_suppkey") != F.col("sk3"))
+            & (F.col("ship3") > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        last.join(
+            F.broadcast(supp), last.l_suppkey == supp.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_last_ship_lines"),
+            F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        )
+    )

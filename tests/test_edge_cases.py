@@ -587,3 +587,68 @@ def test_dedup_prefix_null_text_not_merged_with_empty(spark, tmp_path):
     oracle = con.execute(CATALOG["dedup_prefix"].oracle).fetchdf()
     assert len(oracle) == 1
     assert int(oracle.iloc[0]["n_docs"]) == 2
+
+
+def test_embed_covariance_partials_are_batch_invariant():
+    """The mapInPandas partial fold must give the SAME exact integers
+    no matter how rows are split into batches/partitions — the whole
+    hash-parity argument rests on it."""
+    import numpy as np
+    import pandas as pd
+
+    from mapreducepy_spark.llm.embedstats import _DIM, _SCALE, _partial_cov
+
+    rng = np.random.default_rng(7)
+    x = (rng.random((37, _DIM)) - 0.5).astype(np.float32)
+
+    def fold(splits):
+        frames = [
+            pd.DataFrame({"embedding": list(x[a:b])}) for a, b in splits
+        ]
+        out = list(_partial_cov(iter(frames)))
+        assert len(out) == 1
+        r = out[0].iloc[0]
+        return r["n"], np.array(r["s"]), np.array(r["ss"])
+
+    n1, s1, ss1 = fold([(0, 37)])
+    n2, s2, ss2 = fold([(0, 5), (5, 5), (5, 20), (20, 37)])  # incl. empty
+    assert n1 == n2 == 37
+    assert (s1 == s2).all() and (ss1 == ss2).all()
+
+    # and the fold must equal the direct quantized moments
+    q = np.floor(x.astype(np.float64) * _SCALE + 0.5).astype(np.int64)
+    assert (s1 == q.sum(axis=0)).all()
+    assert (ss1.reshape(_DIM, _DIM) == q.T @ q).all()
+
+
+def test_embed_covariance_zero_variance_dim_yields_null_corr(spark, tmp_path):
+    """A constant dimension has zero variance; corr against it must be
+    NULL (guarded division), never NaN/inf."""
+    import numpy as np
+    import pandas as pd
+
+    from mapreducepy_spark.registry import load_catalog
+
+    rng = np.random.default_rng(3)
+    vecs = []
+    for _ in range(8):
+        v = (rng.random(64) - 0.5).astype(np.float32)
+        v[0] = 0.25  # dim 1 constant across all rows
+        vecs.append(v)
+    pd.DataFrame(
+        {
+            "vec_id": range(8),
+            "embedding": [list(map(float, v)) for v in vecs],
+            "label": [0] * 8,
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    df = (
+        load_catalog()["embed_covariance"]
+        .builder(spark, str(tmp_path))
+        .toPandas()
+    )
+    dim1 = df[(df.dim_a == 1) | (df.dim_b == 1)]
+    assert len(df) > 0
+    assert dim1["corr"].isna().all()
+    others = df[(df.dim_a != 1) & (df.dim_b != 1)]
+    assert others["corr"].notna().all()

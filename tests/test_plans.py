@@ -682,3 +682,65 @@ def test_key_skew_topk_is_heap_not_global_sort(spark, sf_dir):
     plan = plan_of(spark, "agg_key_skew", sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+
+
+# --- subquery/decorrelation shapes (operators/subqueries.py) --------
+
+
+def test_disjunctive_join_pushes_per_side_ors(spark, sf_dir):
+    """join_disjunctive: Catalyst must extract the common equi-key and
+    push each side's OR projection down to its scan — quantity bands
+    to lineitem, brand/size bands to part — and the dimension side
+    must broadcast."""
+    plan = plan_of(spark, "join_disjunctive", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # pushed lineitem-side disjunction (any quantity band reaching the scan)
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    # pushed part-side disjunction
+    assert "EqualTo(p_brand,Brand#11)" in plan
+
+
+def test_exists_chain_is_semi_then_anti_not_cartesian(spark, sf_dir):
+    """join_exists_chain: EXISTS ⇒ LeftSemi, NOT EXISTS ⇒ LeftAnti,
+    both equi-keyed on l_orderkey with the shipdate inequality as a
+    residual — never a nested-loop/cartesian pair enumeration."""
+    plan = plan_of(spark, "join_exists_chain", sf_dir)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_share_reuses_perkey_aggregate_stage(spark, sf_dir):
+    """agg_global_share: the per-part aggregate feeds both the filter
+    probe and the 1-row global total; AQE must serve the second
+    consumer from a reused exchange stage, not a second lineitem
+    scan+aggregate."""
+    df = CATALOG["agg_global_share"].builder(spark, sf_dir)
+    df.collect()
+    assert "ReusedExchange" in executed_plan(df)
+
+
+def test_groupagg_in_combines_mapside_before_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "join_groupagg_in", sf_dir)
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anti_scalar_pushes_date_filter(spark, sf_dir):
+    """join_anti_scalar: the recent-orders side of the anti-join must
+    push its date cutoff to the orders scan."""
+    plan = plan_of(spark, "join_anti_scalar", sf_dir)
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate," in plan
+
+
+def test_bpe_pairs_single_scan_topk_heap(spark, sf_dir):
+    """text_bpe_pairs: ONE corpus scan reading only the text column;
+    pair expansion over the vocabulary; top-K via TakeOrdered heap."""
+    df = CATALOG["text_bpe_pairs"].builder(spark, sf_dir)
+    plan = plan_text(df, "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "struct<text:string>" in plan
