@@ -36,9 +36,16 @@ _Q19_BRANCHES = (
     ("Brand#33", 20, 50, 20, 50),
 )
 
-# A part is "important" above this share of global line value
-# (1/2000 = 0.05%; ~970 of 2000 parts qualify at sf0.01).
-_Q11_SHARE_DEN = 2000
+# A part is "important" above 5/4 of the MEAN per-part value. TPC-H
+# Q11's literal fixed-share-of-global cutoff (0.0001/SF) must shrink
+# with scale factor for exactly this reason — a fixed share against
+# a growing key count goes degenerate (measured: 1/2000 keeps 971 of
+# 2000 parts at sf0.01 and 0 of 20000 at sf0.1). The mean-relative
+# form is scale-invariant: the fixture's value/mean dispersion is
+# stable across SFs (p90 ≈ 1.27, max ≈ 1.8), so 5/4 keeps ~10% of
+# parts at every SF.
+_Q11_NUM = 5
+_Q11_DEN = 4
 
 # Customers with no order on/after this date are "idle" (fixture
 # orderdates span 1995-01-01 .. 2001-08-01).
@@ -192,12 +199,15 @@ WITH pp AS (
     GROUP BY l_partkey
 ),
 tot AS (
-    SELECT CAST(SUM(val_cents) AS BIGINT) AS tot_cents FROM pp
+    SELECT CAST(SUM(val_cents) AS BIGINT) AS tot_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM pp
 )
 SELECT pp.l_partkey,
        CAST(pp.val_cents AS DOUBLE) / 100.0 AS part_value
 FROM pp, tot
-WHERE pp.val_cents * {_Q11_SHARE_DEN} > tot.tot_cents
+WHERE pp.val_cents * tot.n_parts * {_Q11_DEN}
+      > {_Q11_NUM} * tot.tot_cents
 """
 
 
@@ -206,10 +216,13 @@ WHERE pp.val_cents * {_Q11_SHARE_DEN} > tot.tot_cents
 )
 def agg_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TPC-H Q11 shape — groups whose aggregate exceeds a
-    fraction of the GLOBAL aggregate (``HAVING SUM(v) > f * (SELECT
-    SUM(v) …)``). The scalar subquery decorrelates to: aggregate
-    per key once, roll the per-key table up to the one-row total,
-    broadcast it back via cross join, filter.
+    threshold derived from the GLOBAL aggregate (``HAVING SUM(v) >
+    f * (SELECT SUM(v)/COUNT(*) …)``; here 5/4 of the mean per-part
+    value — see ``_Q11_NUM`` for why the mean-relative form, unlike
+    Q11's literal fixed share, stays non-degenerate at every scale
+    factor). The scalar subquery decorrelates to: aggregate per key
+    once, roll the per-key table up to the one-row total, broadcast
+    it back via cross join, filter.
 
     Scale: ONE corpus-sized aggregation (partkey-keyed, map-side
     combine); the total is derived from the per-key table — Spark
@@ -218,10 +231,10 @@ def agg_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, so the global threshold costs zero extra passes over
     lineitem.
 
-    Hash parity: the share compare is exact BIGINT arithmetic
-    (``val_cents * 2000 > tot_cents``) — no double ever crosses the
-    threshold boundary, so partial-sum order is irrelevant on both
-    engines.
+    Hash parity: the threshold compare is exact BIGINT arithmetic
+    (``val_cents · n_parts · 4 > 5 · tot_cents`` — the mean is never
+    materialized as a double), so partial-sum order is irrelevant on
+    both engines.
     """
     li = load(spark, sf_dir, "lineitem")
     val_cents = _cents(
@@ -230,10 +243,16 @@ def agg_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     pp = li.groupBy("l_partkey").agg(
         F.sum(val_cents).cast("bigint").alias("val_cents")
     )
-    tot = pp.agg(F.sum("val_cents").cast("bigint").alias("tot_cents"))
+    tot = pp.agg(
+        F.sum("val_cents").cast("bigint").alias("tot_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+    )
     return (
         pp.crossJoin(F.broadcast(tot))
-        .filter(F.col("val_cents") * _Q11_SHARE_DEN > F.col("tot_cents"))
+        .filter(
+            F.col("val_cents") * F.col("n_parts") * _Q11_DEN
+            > _Q11_NUM * F.col("tot_cents")
+        )
         .select(
             "l_partkey",
             (F.col("val_cents").cast("double") / 100.0).alias("part_value"),

@@ -29,6 +29,7 @@ PORTABLE = (
     "agg_count_histogram",
     "agg_cube",
     "agg_gini",
+    "agg_global_share",
     "agg_group",
     "agg_grouping_sets",
     "agg_histogram",
@@ -45,7 +46,11 @@ PORTABLE = (
     "filter_pred",
     "fn_levenshtein",
     "join_anti",
+    "join_anti_scalar",
     "join_asof",
+    "join_disjunctive",
+    "join_exists_chain",
+    "join_groupagg_in",
     "join_inner",
     "join_left",
     "join_multi",

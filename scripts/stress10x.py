@@ -68,6 +68,16 @@ OPS = (
     # composed flagship
     "agg_correlated_scalar",
     "pipeline_mixture_manifest",
+    # round 6: the five subquery/decorrelation shapes, BPE pair
+    # counts (vocabulary-sized expansion claim), the mapInPandas
+    # covariance partials (shuffle must stay O(partitions×d²))
+    "join_groupagg_in",
+    "join_disjunctive",
+    "agg_global_share",
+    "join_anti_scalar",
+    "join_exists_chain",
+    "text_bpe_pairs",
+    "embed_covariance",
 )
 
 
@@ -150,6 +160,14 @@ def materialize(spark, sf_dir: str, out_dir: str) -> None:
         .drop("__copy")
     )
     big_part.write.mode("overwrite").parquet(f"{out_dir}/part.parquet")
+
+    # supplier is deliberately NOT key-shifted: l_suppkey doesn't
+    # shift either, so each of the 100 suppliers simply owns 10× the
+    # lineitems — the Q21 per-supplier fan-in grows while the
+    # per-order self-join structure replicates copy-local
+    load(spark, sf_dir, "supplier").write.mode("overwrite").parquet(
+        f"{out_dir}/supplier.parquet"
+    )
 
 
 def main() -> int:

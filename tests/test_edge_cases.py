@@ -652,3 +652,105 @@ def test_embed_covariance_zero_variance_dim_yields_null_corr(spark, tmp_path):
     assert dim1["corr"].isna().all()
     others = df[(df.dim_a != 1) & (df.dim_b != 1)]
     assert others["corr"].notna().all()
+
+
+def _duck_on(tmp_path, tables):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    return con
+
+
+def test_groupagg_in_threshold_is_exclusive_at_boundary(spark, tmp_path):
+    """Q18 shape: an order summing EXACTLY to the threshold (250) must
+    be excluded on both engines — integral quantities make the
+    compare exact, no rounding knife edge."""
+    from .parity_util import canon_frame
+
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 2],
+            "l_quantity": [100.0, 150.0, 100.0, 151.0],  # 250 vs 251
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+    od = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_custkey": [10, 10],
+            "o_totalprice": [5.0, 6.0],
+            # µs precision: the real fixture is TIMESTAMP(us); a raw
+            # pandas datetime64[ns] would write TIMESTAMP(nanos),
+            # which the session reads as long (events-only rebuild)
+            "o_orderdate": pd.to_datetime(
+                ["2000-01-01", "2000-01-02"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    od.to_parquet(tmp_path / "orders.parquet", index=False)
+    pd.DataFrame({"c_custkey": [10], "c_name": ["c10"]}).to_parquet(
+        tmp_path / "customer.parquet", index=False
+    )
+    q = CATALOG["join_groupagg_in"]
+    spd = q.builder(spark, str(tmp_path)).toPandas()
+    con = _duck_on(tmp_path, ("lineitem", "orders", "customer"))
+    dpd = con.execute(q.oracle).fetchdf()
+    assert canon_frame(spd) == canon_frame(dpd)
+    assert list(spd["o_orderkey"]) == [2]
+    assert list(spd["sum_qty"]) == [251]
+
+
+def test_global_share_equality_at_boundary_excluded(spark, tmp_path):
+    """Q11 shape: a part landing EXACTLY on the mean-relative
+    threshold (v·n·4 == 5·tot) must be excluded on both engines —
+    the compare is pure BIGINT arithmetic, the mean never exists as
+    a double."""
+    from .parity_util import canon_frame
+
+    # cents: 5, 6, 1 -> tot=12, n=3. part 1: 5·3·4 = 60 == 5·12 ->
+    # exactly on the boundary, excluded; part 2: 72 > 60, included;
+    # part 3: 12 < 60, excluded.
+    pd.DataFrame(
+        {
+            "l_partkey": [1, 2, 3],
+            "l_extendedprice": [0.05, 0.06, 0.01],
+            "l_discount": [0.0, 0.0, 0.0],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+    q = CATALOG["agg_global_share"]
+    spd = q.builder(spark, str(tmp_path)).toPandas()
+    con = _duck_on(tmp_path, ("lineitem",))
+    dpd = con.execute(q.oracle).fetchdf()
+    assert canon_frame(spd) == canon_frame(dpd)
+    assert list(spd["l_partkey"]) == [2]
+
+
+def test_exists_chain_shipdate_ties_keep_all_tied_last(spark, tmp_path):
+    """Q21 shape: two suppliers tied at the order's max shipdate are
+    BOTH last shippers (strictly-greater NOT EXISTS) — deterministic
+    tie semantics, identical on both engines."""
+    from .parity_util import canon_frame
+
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 1],
+            "l_suppkey": [101, 102, 103],
+            "l_shipdate": pd.to_datetime(
+                ["2000-01-05", "2000-01-05", "2000-01-01"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    li.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    pd.DataFrame(
+        {"s_suppkey": [101, 102, 103], "s_name": ["sa", "sb", "sc"]}
+    ).to_parquet(tmp_path / "supplier.parquet", index=False)
+    q = CATALOG["join_exists_chain"]
+    spd = q.builder(spark, str(tmp_path)).toPandas()
+    con = _duck_on(tmp_path, ("lineitem", "supplier"))
+    dpd = con.execute(q.oracle).fetchdf()
+    assert canon_frame(spd) == canon_frame(dpd)
+    assert sorted(spd["s_name"]) == ["sa", "sb"]
