@@ -417,3 +417,166 @@ def join_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
         )
     )
+
+
+# --- Q15: max-of-aggregate (the "view" shape) ----------------------
+
+# Revenue window — one quarter inside the fixture's shipdate span.
+_Q15_START = "1996-01-01"
+_Q15_END = "1996-04-01"
+
+_Q15_REV_CENTS = _CENTS.format(x="l_extendedprice * (1 - l_discount)")
+
+_ORACLE_AGG_TOP_REVENUE = f"""
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(SUM({_Q15_REV_CENTS}) AS BIGINT) AS rev_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q15_START} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{_Q15_END} 00:00:00'
+    GROUP BY l_suppkey
+),
+mx AS (
+    SELECT CAST(MAX(rev_cents) AS BIGINT) AS max_cents FROM rev
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(rev.rev_cents AS DOUBLE) / 100.0 AS total_revenue
+FROM rev CROSS JOIN mx
+JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.rev_cents = mx.max_cents
+"""
+
+
+@register(
+    "agg_top_revenue", _ORACLE_AGG_TOP_REVENUE, tags=("agg", "tpch")
+)
+def agg_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q15 shape — the top-revenue supplier over a quarter,
+    i.e. ``WHERE total_revenue = (SELECT MAX(total_revenue) FROM
+    view)``: an aggregate compared against the MAX of that same
+    aggregate. Decorrelated form: aggregate per supplier once, roll
+    the per-key table up to the one-row max, broadcast it back via
+    cross join, filter on equality (revenue ties all surface — the
+    spec's own semantics).
+
+    Scale: ONE corpus-sized aggregation with the date predicate
+    pushed to the parquet scan; the max derives from the per-key
+    table, and AQE serves the probe's second consumption from a
+    ReusedExchange (the ``agg_global_share`` pattern). The supplier
+    dimension broadcasts onto the ≤handful of surviving rows.
+
+    Hash parity: revenue is summed in exact BIGINT cents, so the
+    max-equality can never be perturbed by partial-sum order; the
+    money double is produced by ONE division at the end.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{_Q15_START} 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{_Q15_END} 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    mx = rev.agg(F.max("rev_cents").cast("bigint").alias("max_cents"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_cents") == F.col("max_cents"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents").cast("double") / 100.0).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+# --- Q20: nested-semi-join chain -----------------------------------
+
+# A (part, supplier) pair is a "dominant shipper" when its shipped
+# quantity exceeds _Q20_MULT times the part's MEAN per-pair quantity
+# (exact rational compare q·m > MULT·tot). The RELATIVE-share form is
+# scale-stable because pairs-per-part and lineitems-per-pair are both
+# ~constant across SFs (measured: suppliers selected 1/10, 49/100,
+# 143/1000 at sf0.001/0.01/0.1 — never empty, never saturated; a
+# fixed absolute quantity cutoff saturates to all-suppliers as pairs
+# accumulate — the agg_global_share degeneracy lesson).
+_Q20_MULT = 3
+_Q20_MAX_SIZE = 10  # part filter: small parts only (~20% of parts)
+
+_ORACLE_JOIN_NESTED_SEMI = f"""
+WITH pq AS (
+    SELECT l_partkey AS pk, l_suppkey AS sk,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem GROUP BY 1, 2
+),
+pt AS (
+    SELECT pk, CAST(SUM(q) AS BIGINT) AS tot,
+           CAST(COUNT(*) AS BIGINT) AS m
+    FROM pq GROUP BY pk
+),
+heavy AS (
+    SELECT pq.sk
+    FROM pq
+    JOIN pt USING (pk)
+    WHERE pq.q * pt.m > {_Q20_MULT} * pt.tot
+      AND EXISTS (
+          SELECT 1 FROM part p
+          WHERE p.p_partkey = pq.pk AND p.p_size <= {_Q20_MAX_SIZE}
+      )
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM heavy WHERE heavy.sk = s.s_suppkey)
+"""
+
+
+@register(
+    "join_nested_semi", _ORACLE_JOIN_NESTED_SEMI, tags=("join", "tpch")
+)
+def join_nested_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q20 shape — a two-level nested EXISTS chain:
+    suppliers having (a dominant shipped share of) (a part in a
+    filtered class). Both EXISTS levels decorrelate to left-semi
+    joins: the part-class filter semi-joins the pair aggregate, the
+    surviving pair table semi-joins the supplier dimension — never a
+    per-row subquery.
+
+    Scale: the corpus-sized work is ONE (part, supplier)-keyed
+    aggregation with map-side combine; the per-part totals derive
+    from that pair table (same-key reuse), the part-class filter is
+    a broadcast semi-join of a key-only projection, and the final
+    semi-join probes the small supplier dimension with the DISTINCT
+    dominant-supplier keys.
+
+    Hash parity: the dominance threshold is the exact rational
+    BIGINT compare ``q·m > MULT·tot`` (quantities are integral —
+    checked, the ``agg_correlated_scalar`` precedent); no doubles
+    exist anywhere.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pq = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    pt = pq.groupBy("pk").agg(
+        F.sum("q").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    sized = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= _Q20_MAX_SIZE)
+        .select(F.col("p_partkey").alias("pk"))
+    )
+    heavy = (
+        pq.join(pt, "pk")
+        .filter(F.col("q") * F.col("m") > _Q20_MULT * F.col("tot"))
+        .join(F.broadcast(sized), "pk", "left_semi")
+        .select("sk")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supp.join(
+        heavy, supp.s_suppkey == heavy.sk, "left_semi"
+    ).select("s_suppkey", "s_name")

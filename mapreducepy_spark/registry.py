@@ -50,6 +50,7 @@ _MODULES = (
     "mapreducepy_spark.operators.temporal",
     "mapreducepy_spark.operators.sampling",
     "mapreducepy_spark.operators.subqueries",
+    "mapreducepy_spark.operators.graph",
     "mapreducepy_spark.functions.scalar",
     "mapreducepy_spark.llm.dedup",
     "mapreducepy_spark.llm.similarity",
@@ -102,7 +103,11 @@ _MODULES = (
 # keys silently fell to the alphabetical tail, outside any evidence
 # window); tests/test_sql.py additionally pins the two lists equal.
 _KEY_ORDER = (
-    # new this session — zero driver evidence
+    # new this session (round-7 build / driver round 4) — zero driver
+    # evidence: the iterated-MR graph family first
+    "graph_pagerank", "graph_knn_triangles",
+    "agg_top_revenue", "join_nested_semi",
+    # new in the round-6 build session — zero driver evidence
     "join_groupagg_in", "join_disjunctive", "agg_global_share",
     "join_anti_scalar", "join_exists_chain",
     "text_bpe_pairs", "embed_covariance",
