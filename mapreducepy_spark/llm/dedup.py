@@ -1337,3 +1337,127 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(jac, 6).alias("jaccard"),
         )
     )
+
+
+# --- Jaccard threshold sweep (the tuning card) ----------------------
+
+_ORACLE_DEDUP_THRESHOLD_SWEEP = f"""
+WITH {_duck_lsh_ctes()},
+shset AS (
+    SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS shingle
+    FROM documents
+),
+sizes AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+    FROM shset GROUP BY doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM cand_pairs c
+    JOIN shset a ON a.doc_id = c.doc_a
+    JOIN shset b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY c.doc_a, c.doc_b
+),
+jacs AS (
+    SELECT (floor((CAST(i.n_common AS DOUBLE)
+                 / (sa.n_shingles + sb.n_shingles - i.n_common))
+                * 1000000.0 + 0.5) / 1000000.0) AS j
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+),
+banded AS (
+    SELECT LEAST(CAST(floor(j * 10.0) AS BIGINT), 9) / 10.0 AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM jacs
+    GROUP BY 1
+)
+SELECT threshold, n_pairs,
+       CAST(SUM(n_pairs) OVER (
+           ORDER BY threshold DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_pairs_at_or_above
+FROM banded
+"""
+
+
+@register(
+    "dedup_threshold_sweep",
+    _ORACLE_DEDUP_THRESHOLD_SWEEP,
+    tags=("llm", "dedup", "lsh"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair volume per Jaccard band over the LSH candidate
+    set — the "choose your threshold" tuning card: for each 0.1-wide
+    similarity band, how many candidate pairs land there, and how
+    many pairs a cutoff at that band's floor would keep
+    (``n_pairs_at_or_above``). A pipeline reads this BEFORE fixing
+    the dedup threshold; the knee of the cumulative column IS the
+    threshold decision.
+
+    Scale: identical machinery (and cost envelope) to
+    ``dedup_near_verified`` — the exact Jaccard only ever touches
+    LSH candidates, the shingle index is localCheckpoint-ed once —
+    plus a ≤10-row aggregate and a window over that 10-row table
+    (driver-trivial). The sweep is therefore FREE relative to the
+    verification pass a production funnel already runs.
+
+    Hash parity: Jaccard is rounded to micro-units (the registered
+    formula) BEFORE banding, so the band boundary decision is made
+    on bit-identical values; band floors and counts are exact
+    integers; the cumulative sum is ordered on the 10 distinct band
+    keys — no ties, engine-free.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
+    ).distinct().localCheckpoint()
+    cand = _candidate_pairs(spark, sf_dir, shingles=sh)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
+    )
+    jacs = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(dround(jac, 6).alias("j"))
+    )
+    banded = (
+        jacs.select(
+            (
+                F.least(
+                    F.floor(F.col("j") * 10.0).cast("bigint"), F.lit(9)
+                )
+                / F.lit(10.0)
+            ).alias("threshold")
+        )
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy(F.col("threshold").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return banded.select(
+        "threshold",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint").alias(
+            "n_pairs_at_or_above"
+        ),
+    )

@@ -235,3 +235,113 @@ def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_TOP_PAIRS)
     )
+
+
+# --- int8 quantization error card -----------------------------------
+
+# Symmetric per-vector int8 quantization: scale = max|v| / 127,
+# q_i = round(v_i / scale) ∈ [-127, 127] (the max element maps to
+# ±127 exactly, so no clamp is needed). The card a pipeline reads
+# before committing an embedding store to int8.
+_Q_LEVELS = 127
+
+_ORACLE_EMBED_QUANTIZE = f"""
+WITH valid AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) AS mx
+    FROM embeddings
+    WHERE len(embedding) = 64
+      AND list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+),
+q AS (
+    SELECT vec_id, mx,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_Q_LEVELS}.0 / mx
+                               + 0.5) AS BIGINT)) AS qv,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM valid
+),
+err AS (
+    SELECT vec_id, mx, qv,
+           list_transform(range(1, len(v) + 1),
+               i -> CAST(floor(abs(v[i] - qv[i] * (mx / {_Q_LEVELS}.0))
+                               * 1000000.0 + 0.5) AS BIGINT)) AS e
+    FROM q
+)
+SELECT vec_id,
+       (floor(mx * 1000000.0 + 0.5) / 1000000.0) AS max_abs,
+       CAST(list_sum(e) AS BIGINT) AS sum_abs_err_u,
+       CAST(list_max(e) AS BIGINT) AS max_abs_err_u,
+       CAST(len(list_filter(qv, x -> x = 0)) AS BIGINT) AS n_zero_q
+FROM err
+"""
+
+
+@register(
+    "embed_quantize_error",
+    _ORACLE_EMBED_QUANTIZE,
+    tags=("llm", "embedding", "quantization"),
+)
+def embed_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 symmetric-quantization reconstruction-error
+    card: dequantization error mass and peak (in exact integer
+    micro-units) plus the count of dimensions that collapse to zero —
+    the decision gauge for "can this embedding store ship as int8"
+    (4× smaller, SIMD-friendly) that every vector-database migration
+    runs first.
+
+    Scale: a pure narrow projection — three higher-order-function
+    folds per row, no shuffle, no UDF, no explode; the plan is
+    scan → project. Same validity predicate as the similarity family
+    (64 dims, norm² > 0 — a zero vector has no quantization scale).
+
+    Hash parity: the quantized code is ``floor(v·127/mx + 0.5)``
+    (exact IEEE multiply-divide then the dround floor idiom) and
+    every error leaves double-land as ``floor(|v − q·(mx/127)|·1e6 +
+    0.5)`` BIGINTs, so the summed/maxed outputs are order-free exact
+    integers on both engines; ``max_abs`` is the one rounded double.
+    """
+    from .similarity import _valid_embeddings
+
+    valid = _valid_embeddings(load_spread(spark, sf_dir, "embeddings"))
+    mx = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    d = valid.select("vec_id", "embedding", mx.alias("mx"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(_Q_LEVELS)) / F.col("mx")
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    d = d.select("vec_id", "embedding", "mx", qv.alias("qv"))
+    e = F.transform(
+        F.sequence(F.lit(1), F.size("embedding")),
+        lambda i: F.floor(
+            F.abs(
+                F.element_at("embedding", i).cast("double")
+                - F.element_at("qv", i)
+                * (F.col("mx") / F.lit(float(_Q_LEVELS)))
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    d = d.select("vec_id", "mx", "qv", e.alias("e"))
+    return d.select(
+        "vec_id",
+        (
+            F.floor(F.col("mx") * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("max_abs"),
+        F.aggregate(
+            "e", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).cast("bigint").alias("sum_abs_err_u"),
+        F.array_max("e").cast("bigint").alias("max_abs_err_u"),
+        F.size(F.filter("qv", lambda x: x == 0)).cast("bigint").alias(
+            "n_zero_q"
+        ),
+    )

@@ -1346,3 +1346,87 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# --- sliding-window chunking (RAG / context-window prep) ------------
+
+# Window geometry: 32-token chunks, stride 24 (8-token overlap) —
+# small enough that fixture docs (~25–90 tokens) produce 1–4 chunks.
+# Production values (512/384 etc.) change only these constants.
+_CHUNK_SEQ = 32
+_CHUNK_STRIDE = 24
+
+_ORACLE_TEXT_CHUNK_OVERLAP = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+starts AS (
+    SELECT doc_id, t, CAST(u.s AS BIGINT) AS s
+    FROM toks,
+         UNNEST(generate_series(0, len(t) - 1, {_CHUNK_STRIDE})) AS u(s)
+    WHERE len(t) > 0
+)
+SELECT doc_id,
+       s // {_CHUNK_STRIDE} AS chunk_idx,
+       CAST(LEAST({_CHUNK_SEQ}, len(t) - s) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(t[s + 1:s + {_CHUNK_SEQ}], ' ')) AS chunk_digest
+FROM starts
+"""
+
+
+@register(
+    "text_chunk_overlap",
+    _ORACLE_TEXT_CHUNK_OVERLAP,
+    tags=("llm", "text", "chunking"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap — every document becomes
+    fixed-budget {seq}-token windows advancing by {stride} tokens,
+    each chunk content-addressed by an md5 digest of its token span.
+    This is the chunker between cleaning and embedding in a RAG
+    ingest (overlap preserves cross-boundary context) and the
+    fixed-context splitter in pretraining prep.
+
+    Scale: the explode is per-CHUNK, not per-token (the start-offset
+    array has ~n_tokens/stride elements), so the row multiplier is
+    the chunk fan-out itself — the minimum any chunker must emit; the
+    token array is built once per document in a narrow projection,
+    and no shuffle exists at all (the plan is scan → project →
+    generate). The digest makes downstream exact-dedup of chunks a
+    plain groupBy, exactly like ``dedup_exact`` over documents.
+
+    Hash parity: slice semantics (1-based, length-truncating) are
+    identical in Spark ``slice`` and DuckDB list slicing; the digest
+    is md5 of the space-joined span on both engines; all arithmetic
+    is integer. NULL/empty texts produce zero chunks on both engines
+    (NULL token arrays explode to nothing; ``len(t) > 0`` filters
+    the empty split).
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    ).filter(F.size("t") > 0)
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.size("t") - 1, F.lit(_CHUNK_STRIDE)
+            )
+        ).alias("s0"),
+    ).select("doc_id", "t", F.col("s0").cast("bigint").alias("s"))
+    return starts.select(
+        "doc_id",
+        F.expr(f"s div {_CHUNK_STRIDE}").alias("chunk_idx"),
+        F.least(
+            F.lit(_CHUNK_SEQ).cast("bigint"), F.size("t") - F.col("s")
+        ).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("t", F.col("s") + 1, F.lit(_CHUNK_SEQ))
+            )
+        ).alias("chunk_digest"),
+    )

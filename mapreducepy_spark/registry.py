@@ -67,36 +67,29 @@ _MODULES = (
 # cosmetics. Current policy (VERDICT r3 work order #2/#3 + SURVEY §8
 # window plan):
 #
-# - the 7 keys NEW this session come first (zero driver evidence):
-#   the 5 TPC-H subquery/decorrelation shapes (operators/
-#   subqueries.py), text_bpe_pairs, embed_covariance;
-# - then the 16 keys from the previous session, also still
-#   zero-driver-evidence: 10 from its second build session
-#   (agg_count_histogram … pipeline_mixture_manifest) then 6 from
-#   its first (lsh_band_stats … embed_bucket_purity);
+# - the 7 keys NEW this session (round-7 build) come first: the
+#   iterated-MR graph family (graph_pagerank, graph_knn_triangles),
+#   the Q15/Q20 decorrelation shapes, and the chunking /
+#   quantization / threshold-sweep LLM cards — zero driver evidence;
+# - then the 7 round-6-build keys (5 TPC-H subquery shapes,
+#   text_bpe_pairs, embed_covariance) and the 16 round-5-build keys
+#   (agg_count_histogram … embed_bucket_purity) — also still zero
+#   driver evidence;
 # - then the 3 rows-only-by-design keys (agg_approx_distinct,
 #   sample_fraction, sample_stratified): their only driver rows ever
 #   are r1 ``err: "no_oracle"`` — one window slot each to learn
 #   whether the driver can record a rows-only pass (work order #3);
 # - then the 13 keys whose only green rows date from round 1
 #   (displaced by round 4's new operators) — oldest evidence first;
-# - then every key whose code this round touched (scan_profile's
-#   exact/approx parameter; fn_regex's NULLIF cast guard from the
-#   NULL-sweep; agg_minmax_by's tie-deterministic struct argmin;
-#   the similarity family's shared norm-validity predicate
-#   (sim_knn/dedup_embedding rotated in); the 5 LSH keys riding
-#   the _band_table extraction;
-#   corpus_mixture_plan and dedup_prefix sit in the new/touched
-#   blocks but also rode refactors/fixes) — touched code is
-#   re-proven, never rests on old rows;
-# - the remaining single slot refreshes the oldest round-2 evidence
-#   (dedup_exact, the dedup family head). This session's 7 new keys
-#   displaced dedup_simhash, dedup_ngram_jaccard, sim_ann_lsh,
-#   sim_ann_ivf, text_stats, text_tfidf and agg_group from the
-#   refresh block — each rests on a green round-2 row and leads the
-#   next round's rotation;
-# - the tail holds only keys with green round-2/3 rows, so whatever
-#   the budget cuts is already-proven ground.
+# - the remaining 4 slots hold the head of the round-6 touched block
+#   (scan_profile, fn_regex, agg_minmax_by, sim_knn). This
+#   session's 7 new keys displaced the rest of that block
+#   (dedup_embedding + the 5 LSH-machinery riders + dedup_exact)
+#   past position 50 — each rests on a green r2/r3 driver row AND
+#   fresh full-catalog local parity (the /verify replay runs every
+#   key, not just the window), so what the budget cuts is
+#   locally-proven ground; they lead the next refresh rotation;
+# - the tail holds only keys with green round-2/3 rows.
 #
 # ``load_catalog`` reorders the registry to this sequence and RAISES
 # if any registered key is missing from it (round-2 postmortem: five
@@ -107,6 +100,7 @@ _KEY_ORDER = (
     # evidence: the iterated-MR graph family first
     "graph_pagerank", "graph_knn_triangles",
     "agg_top_revenue", "join_nested_semi",
+    "text_chunk_overlap", "embed_quantize_error", "dedup_threshold_sweep",
     # new in the round-6 build session — zero driver evidence
     "join_groupagg_in", "join_disjunctive", "agg_global_share",
     "join_anti_scalar", "join_exists_chain",
@@ -128,21 +122,22 @@ _KEY_ORDER = (
     "win_ntile", "win_dist", "topk_per_group", "agg_pivot",
     "agg_cube", "agg_grouping_sets", "agg_rollup", "agg_stats",
     "join_full",
-    # code touched in the previous session — re-prove: scan_profile
-    # grew the exact=False approx path; the LSH family rides the
-    # _band_table helper extracted from _candidate_pairs
+    # code touched in the round-6 build — re-prove: scan_profile
+    # grew the exact=False approx path; fn_regex's cast guard;
+    # agg_minmax_by's struct argmin; sim_knn's shared norm predicate
     "scan_profile", "fn_regex", "agg_minmax_by",
-    "sim_knn", "dedup_embedding",
+    "sim_knn",
+    # ---- position 50 = sim_knn: the window ends exactly here
+    # (7 new + 7 r6-new + 16 r5-new + 3 rows-only + 13 r1-stale
+    # + 4 touched = 50). Everything below is OUTSIDE the driver
+    # window and rests on a green round-2/3 driver row plus fresh
+    # full-catalog local verify: first the rest of the round-6
+    # touched block (displaced by this session's 7 new keys — they
+    # lead the next refresh rotation), then the r2/r3-green tail.
+    "dedup_embedding",
     "dedup_near", "dedup_clusters", "dedup_near_verified",
     "dedup_minhash_est", "dedup_survivors_verified",
-    # round-2 evidence refresh — 1 slot (dedup family head)
     "dedup_exact",
-    # ---- position 50 = dedup_exact: the window ends exactly here
-    # (7 new + 16 prev-new + 3 rows-only + 13 r1-stale + 10 touched
-    # + 1 r2 refresh = 50). Everything below is OUTSIDE the driver
-    # window and rests on a green round-2 or round-3 row: first the
-    # r2-green keys that didn't fit (oldest-displaced first — they
-    # lead the next round's refresh), then the r3-green block.
     "dedup_simhash", "dedup_ngram_jaccard",
     "sim_ann_lsh", "sim_ann_ivf",
     "text_stats", "text_tfidf",

@@ -744,3 +744,76 @@ def test_bpe_pairs_single_scan_topk_heap(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert "TakeOrderedAndProject" in plan
     assert "struct<text:string>" in plan
+
+
+def test_pagerank_iterations_broadcast_node_tables(spark, sf_dir):
+    """graph_pagerank: rank/contribution tables are node-sized and
+    must BROADCAST onto the checkpointed edges each iteration — the
+    edge list never re-derives from lineitem (no parquet scan in the
+    plan: edges are a localCheckpoint), and no iteration falls back
+    to a sort-merge join."""
+    plan = plan_of(spark, "graph_pagerank", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3  # one per iteration
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" not in plan  # edges pinned, never re-read
+    assert "TakeOrderedAndProject" in plan  # top-20 heap, no global sort
+
+
+def test_knn_triangles_joins_stay_on_checkpointed_edges(spark, sf_dir):
+    """graph_knn_triangles: after the kNN table is pinned, the
+    triangle enumeration must not re-run the GEMM (no InMemory/
+    python stage in the plan — the mutual edge table is a
+    localCheckpoint) and the 1-row cardinality frames combine via
+    broadcast nested-loop cross joins only."""
+    plan = plan_of(spark, "graph_knn_triangles", sf_dir)
+    assert "MapInPandas" not in plan  # GEMM ran once at build, pinned
+    assert "CartesianProduct" not in plan
+
+
+def test_top_revenue_pushes_date_window_and_broadcasts_max(spark, sf_dir):
+    plan = plan_of(spark, "agg_top_revenue", sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+    assert "LessThan(l_shipdate,1996-04-01" in plan
+    assert "partial_sum" in plan  # map-side combine of cents
+    assert "CartesianProduct" not in plan  # 1-row max is BNL-broadcast
+
+
+def test_nested_semi_is_semi_chain_with_pushed_part_filter(spark, sf_dir):
+    plan = plan_of(spark, "join_nested_semi", sf_dir)
+    assert plan.count("LeftSemi") >= 2  # part-class level + supplier level
+    assert "LessThanOrEqual(p_size,10)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_overlap_is_generate_only_no_shuffle(spark, sf_dir):
+    """text_chunk_overlap: scan → project → generate. The ONLY
+    allowed exchange is load_spread's round-robin spread of a
+    narrow scan; there must be no keyed exchange, no join, no
+    aggregate."""
+    plan = plan_of(spark, "text_chunk_overlap", sf_dir)
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "Generate" in plan  # per-chunk explode
+    rs = read_schema_line(CATALOG["text_chunk_overlap"].builder(spark, sf_dir))
+    assert "lang" not in rs and "source" not in rs  # column pruning
+
+
+def test_quantize_error_is_pure_projection(spark, sf_dir):
+    plan = plan_of(spark, "embed_quantize_error", sf_dir)
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "MapInPandas" not in plan  # JVM-side folds, no Python
+    rs = read_schema_line(CATALOG["embed_quantize_error"].builder(spark, sf_dir))
+    assert "label" not in rs  # column pruning
+
+
+def test_threshold_sweep_never_goes_all_pairs(spark, sf_dir):
+    """dedup_threshold_sweep shares the verified-funnel plan shape:
+    bucketed LSH candidates, no cartesian product anywhere, and the
+    cumulative window runs over the ≤10-row band table."""
+    plan = plan_of(spark, "dedup_threshold_sweep", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
