@@ -26,6 +26,7 @@ from .registry import load_catalog
 PORTABLE = (
     "agg_correlated_scalar",
     "agg_count_distinct",
+    "agg_top_revenue",
     "agg_count_histogram",
     "agg_cube",
     "agg_gini",
@@ -54,6 +55,7 @@ PORTABLE = (
     "join_inner",
     "join_left",
     "join_multi",
+    "join_nested_semi",
     "join_semi",
     "join_theta_range",
     "project_expr",

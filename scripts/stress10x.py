@@ -78,6 +78,18 @@ OPS = (
     "join_exists_chain",
     "text_bpe_pairs",
     "embed_covariance",
+    # round 7: the iterated-MR graph family (edge-linear pagerank;
+    # degree-bounded knn triangles — wedge volume must stay linear
+    # in nodes), Q15/Q20 shapes, chunker (fan-out-linear), int8
+    # quantization card (pure projection), threshold sweep (funnel
+    # cost envelope)
+    "graph_pagerank",
+    "graph_knn_triangles",
+    "agg_top_revenue",
+    "join_nested_semi",
+    "text_chunk_overlap",
+    "embed_quantize_error",
+    "dedup_threshold_sweep",
 )
 
 
