@@ -10,10 +10,16 @@ with their mapper/reducer functions UNCHANGED.
 Execution mapping (SURVEY.md §1.2):
 
 - map phase      → ``rdd.flatMap`` over (key, value) pairs
+  (``mapPartitions`` when ``mapper_init``/``mapper_final`` hooks
+  are used — per-partition setup/teardown, in-mapper combining)
 - combiner       → per-partition local group + combine via
   ``mapPartitions`` (the map-side combine the reference would do
   before its shuffle)
 - shuffle+reduce → ``groupByKey(num_partitions)`` + ``flatMap``
+- secondary sort → composite-key ``repartitionAndSortWithinPartitions``
+  partitioned on the natural key; the reducer STREAMS values in sort
+  order (``sort_values_by=``), never materializing a per-key list
+- counters       → :class:`Counters` over a dict-merging accumulator
 
 This is the engine's ONE deliberate RDD surface: arbitrary Python
 objects as keys/values are exactly what DataFrames can't type. Jobs
@@ -34,6 +40,7 @@ from collections import defaultdict
 from collections.abc import Callable, Iterable, Iterator
 from typing import Any
 
+from pyspark import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 
 KV = tuple[Any, Any]
@@ -41,15 +48,66 @@ Mapper = Callable[[Any, Any], Iterable[KV]]
 Reducer = Callable[[Any, Iterable[Any]], Iterable[KV]]
 
 
+class _CounterDictParam(AccumulatorParam):
+    """Dict-merging accumulator param behind :class:`Counters`."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, n in b.items():
+            a[k] = a.get(k, 0) + n
+        return a
+
+
+class Counters:
+    """MR-framework counters (`increment_counter(group, name)`):
+    task-side increments merge into one driver-visible dict via a
+    Spark accumulator — the exact job-instrumentation surface MR
+    frameworks expose (records read, bad rows skipped, …).
+
+    The object is picklable into mapper/reducer closures (Spark
+    accumulators are designed to travel to tasks); read ``.value``
+    on the driver AFTER an action has materialized the job. Like
+    Hadoop counters, task retries can over-count on failure — use
+    for telemetry, never for results.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self._acc = spark.sparkContext.accumulator({}, _CounterDictParam())
+
+    def incr(self, group: str, name: str, amount: int = 1) -> None:
+        self._acc.add({(group, name): amount})
+
+    @property
+    def value(self) -> dict[tuple[str, str], int]:
+        return dict(self._acc.value)
+
+
 class MRJob:
     """Subclass-style job spec (the shape MR frameworks expose).
 
-    Override ``mapper`` / ``reducer`` (and optionally ``combiner``);
-    run with :func:`run_job` or chain with :func:`run_pipeline`.
+    Override ``mapper`` / ``reducer`` (and optionally ``combiner``,
+    ``mapper_init`` / ``mapper_final``); run with :func:`run_job` or
+    chain with :func:`run_pipeline`. Instance attributes assigned
+    before running (lookup tables, config, a :class:`Counters`)
+    travel to executors inside the pickled job closure — the
+    distributed-cache idiom; wrap big read-only side data with
+    ``spark.sparkContext.broadcast`` so it ships once per executor
+    instead of once per task.
     """
+
+    def mapper_init(self) -> None:
+        """Per-partition setup hook (open a model, compile a regex —
+        runs ONCE per partition before the first record)."""
 
     def mapper(self, key: Any, value: Any) -> Iterable[KV]:
         yield (key, value)
+
+    def mapper_final(self) -> Iterable[KV]:
+        """Per-partition teardown hook; may emit trailing pairs (the
+        mrjob-style in-mapper-combining flush)."""
+        return ()
 
     def combiner(self, key: Any, values: Iterable[Any]) -> Iterable[KV]:
         # default: identity pass-through (no local combine)
@@ -75,6 +133,55 @@ def _combine_partition(
     return apply
 
 
+def _input_rdd(spark, records, num_partitions):
+    sc = spark.sparkContext
+    if isinstance(records, DataFrame):
+        return records.rdd.map(lambda row: (None, row))
+    if hasattr(records, "flatMap"):  # already an RDD
+        return records
+    return sc.parallelize(list(records), num_partitions or sc.defaultParallelism)
+
+
+def _shuffle_reduce(
+    mapped,
+    reducer: Reducer,
+    combiner,
+    num_partitions: int | None,
+    associative_reduce,
+    sort_values_by,
+):
+    if associative_reduce is not None:
+        return mapped.reduceByKey(associative_reduce, numPartitions=num_partitions)
+    if combiner is not None:
+        mapped = mapped.mapPartitions(_combine_partition(combiner))
+    if sort_values_by is not None:
+        # SECONDARY SORT, the real MR shuffle contract: values arrive
+        # at the reducer in sort order WITHOUT materializing a
+        # per-key list. Composite key (k, sortkey) is range-free —
+        # partitioning hashes the NATURAL key only (all of k's
+        # values land together), the within-partition sort orders by
+        # (k, sortkey), and the reducer streams over consecutive
+        # same-k runs. This is exactly how Hadoop implements it
+        # (grouping comparator over a composite key).
+        from itertools import groupby
+
+        from pyspark.rdd import portable_hash
+
+        comp = mapped.map(lambda kv: ((kv[0], sort_values_by(kv[1])), kv[1]))
+        n = num_partitions or mapped.context.defaultParallelism
+        part = comp.repartitionAndSortWithinPartitions(
+            numPartitions=n, partitionFunc=lambda ck: portable_hash(ck[0])
+        )
+
+        def reduce_runs(it: Iterator[tuple[KV, Any]]) -> Iterator[KV]:
+            for k, grp in groupby(it, key=lambda kv: kv[0][0]):
+                yield from reducer(k, (v for _, v in grp))
+
+        return part.mapPartitions(reduce_runs)
+    grouped = mapped.groupByKey(numPartitions=num_partitions)
+    return grouped.flatMap(lambda kv: reducer(kv[0], kv[1]))
+
+
 def run_job(
     spark: SparkSession,
     records: Iterable[KV] | "DataFrame",
@@ -83,6 +190,7 @@ def run_job(
     combiner: Callable[[Any, Iterable[Any]], Iterable[KV]] | None = None,
     num_partitions: int | None = None,
     associative_reduce: Callable[[Any, Any], Any] | None = None,
+    sort_values_by: Callable[[Any], Any] | None = None,
 ):
     """Run one MapReduce job; returns an RDD of output (k, v) pairs.
 
@@ -94,29 +202,49 @@ def run_job(
     associative binary op, uses ``reduceByKey`` (map-side partial
     merge, shuffle carries one value per key per partition) instead
     of ``groupByKey``.
-    """
-    sc = spark.sparkContext
-    if isinstance(records, DataFrame):
-        rdd = records.rdd.map(lambda row: (None, row))
-    elif hasattr(records, "flatMap"):  # already an RDD
-        rdd = records
-    else:
-        rdd = sc.parallelize(list(records), num_partitions or sc.defaultParallelism)
 
+    ``sort_values_by``: secondary sort — the reducer's value iterator
+    arrives ordered by this key function, streamed (never
+    materialized per key); the shuffle sorts a composite key while
+    partitioning on the natural key, the classic Hadoop pattern.
+    """
+    rdd = _input_rdd(spark, records, num_partitions)
     mapped = rdd.flatMap(lambda kv: mapper(kv[0], kv[1]))
-    if associative_reduce is not None:
-        return mapped.reduceByKey(associative_reduce, numPartitions=num_partitions)
-    if combiner is not None:
-        mapped = mapped.mapPartitions(_combine_partition(combiner))
-    grouped = mapped.groupByKey(numPartitions=num_partitions)
-    return grouped.flatMap(lambda kv: reducer(kv[0], kv[1]))
+    return _shuffle_reduce(
+        mapped, reducer, combiner, num_partitions,
+        associative_reduce, sort_values_by,
+    )
+
+
+def _map_partitions_with_hooks(job: MRJob):
+    def apply(part: Iterator[KV]) -> Iterator[KV]:
+        job.mapper_init()
+        for k, v in part:
+            yield from job.mapper(k, v)
+        yield from job.mapper_final() or ()
+
+    return apply
 
 
 def run_mrjob(spark: SparkSession, job: MRJob, records, **kw):
-    """Run a subclass-style :class:`MRJob`."""
+    """Run a subclass-style :class:`MRJob`. ``mapper_init`` /
+    ``mapper_final`` hooks run once per partition around the map
+    phase (so in-mapper combining state lives across records and is
+    flushed at partition end)."""
+    unknown = set(kw) - {"num_partitions", "associative_reduce", "sort_values_by"}
+    if unknown:
+        raise TypeError(f"run_mrjob: unknown options {sorted(unknown)!r}")
     combiner = job.combiner if job.combiner_defined else None
-    return run_job(
-        spark, records, job.mapper, job.reducer, combiner=combiner, **kw
+    num_partitions = kw.get("num_partitions")
+    rdd = _input_rdd(spark, records, num_partitions)
+    mapped = rdd.mapPartitions(_map_partitions_with_hooks(job))
+    return _shuffle_reduce(
+        mapped,
+        job.reducer,
+        combiner,
+        num_partitions,
+        kw.get("associative_reduce"),
+        kw.get("sort_values_by"),
     )
 
 

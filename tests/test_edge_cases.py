@@ -754,3 +754,152 @@ def test_exists_chain_shipdate_ties_keep_all_tied_last(spark, tmp_path):
     dpd = con.execute(q.oracle).fetchdf()
     assert canon_frame(spd) == canon_frame(dpd)
     assert sorted(spd["s_name"]) == ["sa", "sb"]
+
+
+def test_chunk_overlap_boundary_token_counts(spark, tmp_path):
+    """Sliding-window chunker at the window boundaries: exactly SEQ
+    tokens → chunk 0 full plus a stride-aligned tail chunk whose span
+    is a strict suffix of chunk 0 (the documented emit-while-start<n
+    spec); SEQ+1 tokens → the tail chunk carries the new token. Both
+    engines must agree chunk-for-chunk, and every token must be
+    covered by at least one chunk."""
+    from mapreducepy_spark.llm.text import _CHUNK_SEQ, _CHUNK_STRIDE
+
+    from .parity_util import canon_frame
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                words(_CHUNK_SEQ),           # exactly one window
+                words(_CHUNK_SEQ + 1),       # one token past
+                words(_CHUNK_STRIDE),        # exactly one stride
+                words(2 * _CHUNK_SEQ),       # several windows
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [0] * 4,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    q = CATALOG["text_chunk_overlap"]
+    spd = q.builder(spark, str(tmp_path)).toPandas()
+    con = _duck_on(tmp_path, ("documents",))
+    dpd = con.execute(q.oracle).fetchdf()
+    assert canon_frame(spd) == canon_frame(dpd)
+    by_doc = spd.groupby("doc_id")
+    # doc 1: starts 0 and 24 → lens 32 and 8; doc 3: one chunk len 24
+    assert sorted(by_doc.get_group(1)["n_chunk_tokens"]) == [
+        _CHUNK_SEQ - _CHUNK_STRIDE, _CHUNK_SEQ,
+    ]
+    assert list(by_doc.get_group(3)["n_chunk_tokens"]) == [_CHUNK_STRIDE]
+    # coverage: per doc, max(start+len) == n_tokens (no token dropped)
+    for doc_id, n in ((1, _CHUNK_SEQ), (2, _CHUNK_SEQ + 1), (4, 2 * _CHUNK_SEQ)):
+        g = by_doc.get_group(doc_id)
+        ends = g["chunk_idx"] * _CHUNK_STRIDE + g["n_chunk_tokens"]
+        assert ends.max() == n
+
+
+def test_quantize_error_extreme_vectors(spark, tmp_path):
+    """int8 quantization card on knife-edge vectors: a constant
+    vector (every dim quantizes to ±127, zero error), a one-hot
+    vector (63 zero dims), and a max-negative component (floor(x+0.5)
+    at exactly -127 must not clamp-miss). Engines must hash-agree and
+    the zero-error claims must hold exactly."""
+    import numpy as np
+
+    from .parity_util import canon_frame
+
+    emb = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [
+                np.full(64, 0.25, dtype=np.float32),          # constant +
+                np.eye(64, dtype=np.float32)[0] * -0.5,       # one-hot −
+                np.linspace(-0.5, 0.5, 64).astype(np.float32),  # ramp
+            ],
+            "label": ["a", "b", "c"],
+        }
+    )
+    emb.to_parquet(tmp_path / "embeddings.parquet", index=False)
+    q = CATALOG["embed_quantize_error"]
+    spd = q.builder(spark, str(tmp_path)).toPandas().set_index("vec_id")
+    con = _duck_on(tmp_path, ("embeddings",))
+    dpd = con.execute(q.oracle).fetchdf()
+    assert canon_frame(spd.reset_index()) == canon_frame(dpd)
+    # constant vector: every dim is the max → q = ±127 exactly, 0 error
+    assert spd.loc[1, "sum_abs_err_u"] == 0
+    assert spd.loc[1, "n_zero_q"] == 0
+    # one-hot: the hot dim exact, the 63 others are exactly 0 → q=0
+    assert spd.loc[2, "sum_abs_err_u"] == 0
+    assert spd.loc[2, "n_zero_q"] == 63
+
+
+def test_pagerank_mass_conserved_and_hand_graph(spark, tmp_path):
+    """PageRank invariants on a hand-built 2-part/2-supplier graph:
+    (a) engines hash-agree; (b) total rank mass stays within
+    truncating-division loss of the initial mass (each node loses
+    < DEN ulps per division — mass cannot be created); (c) the
+    higher-degree node outranks the lower-degree one."""
+    from .parity_util import canon_frame
+
+    li = pd.DataFrame(
+        {
+            # part 1 shipped by suppliers 1+2; part 2 only by supplier 1
+            "l_partkey": [1, 1, 2],
+            "l_suppkey": [1, 2, 1],
+            "l_shipdate": pd.to_datetime(["1996-06-01"] * 3).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    li.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    q = CATALOG["graph_pagerank"]
+    spd = q.builder(spark, str(tmp_path)).toPandas()
+    con = _duck_on(tmp_path, ("lineitem",))
+    dpd = con.execute(q.oracle).fetchdf()
+    assert canon_frame(spd) == canon_frame(dpd)
+    assert len(spd) == 4
+    total = spd["rank_scaled"].sum()
+    # 4 nodes × 3 iterations × (2 divisions each) × loss < 100 per
+    # div; on this graph every division is exact, so loss may be 0
+    assert 0 <= 1_000_000_000_000 - total < 4 * 3 * 2 * 100 + 4
+    ranks = spd.set_index("node")["rank_scaled"]
+    assert ranks["s:1"] > ranks["s:2"]   # degree 2 vs degree 1
+    assert ranks["p:1"] > ranks["p:2"]
+
+
+def test_knn_triangles_hand_cluster(spark, tmp_path):
+    """Mutual-kNN triangle count on a planted geometry: 4 vectors in
+    a tight cluster (pairwise mutual within top-3) + 2 satellites far
+    away. The 4-clique has C(4,3)=4 triangles; engines must
+    hash-agree on the full card."""
+    import numpy as np
+
+    from .parity_util import canon_frame
+
+    rng = np.random.RandomState(7)
+    base = rng.rand(64).astype(np.float32) + 0.5
+    cluster = [base + rng.rand(64).astype(np.float32) * 0.01 for _ in range(4)]
+    # orthogonal-ish satellites: distinct directions, far from cluster
+    sat1 = np.zeros(64, dtype=np.float32); sat1[0] = 1.0
+    sat2 = np.zeros(64, dtype=np.float32); sat2[1] = 1.0
+    emb = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4, 5, 6],
+            "embedding": cluster + [sat1, sat2],
+            "label": ["c"] * 4 + ["s"] * 2,
+        }
+    )
+    emb.to_parquet(tmp_path / "embeddings.parquet", index=False)
+    q = CATALOG["graph_knn_triangles"]
+    spd = q.builder(spark, str(tmp_path)).toPandas()
+    con = _duck_on(tmp_path, ("embeddings",))
+    dpd = con.execute(q.oracle).fetchdf()
+    assert canon_frame(spd) == canon_frame(dpd)
+    row = spd.iloc[0]
+    assert row["n_nodes"] == 6
+    assert row["n_triangles"] >= 4  # the planted 4-clique

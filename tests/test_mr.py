@@ -100,3 +100,98 @@ def test_mrjob_pipeline_chains(spark, sf_dir):
     for c in wc:
         want[c] = want.get(c, 0) + 1
     assert out == want
+
+
+def test_secondary_sort_streams_values_in_order(spark, sf_dir):
+    """sort_values_by: per-user event values must arrive at the
+    reducer already ordered by timestamp WITHOUT the reducer sorting
+    — the reducer asserts monotonicity and emits first/last, checked
+    against a window-function formulation."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+
+    def mapper(_, row):
+        yield (row.user_id, (row.ts, row.event_id))
+
+    def reducer(user, values):
+        prev = None
+        first = last = None
+        for ts, eid in values:  # MUST arrive sorted; no sort() here
+            assert prev is None or (ts, eid) >= prev, "values not sorted"
+            prev = (ts, eid)
+            if first is None:
+                first = eid
+            last = eid
+        yield (user, (first, last))
+
+    got = dict(
+        mr.run_job(
+            spark, ev, mapper, reducer, sort_values_by=lambda v: v
+        ).collect()
+    )
+
+    want_df = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id")).alias("lo"),
+            F.max(F.struct("ts", "event_id")).alias("hi"),
+        )
+        .collect()
+    )
+    want = {r["user_id"]: (r["lo"]["event_id"], r["hi"]["event_id"]) for r in want_df}
+    assert got == want
+
+
+def test_counters_accumulate_across_tasks(spark):
+    counters = mr.Counters(spark)
+
+    def mapper(_, v):
+        counters.incr("records", "seen")
+        if v % 3 == 0:
+            counters.incr("records", "skipped")
+            return
+        yield (v % 2, v)
+
+    def reducer(k, vs):
+        yield (k, sum(vs))
+
+    out = dict(
+        mr.run_job(spark, [(None, i) for i in range(30)], mapper, reducer).collect()
+    )
+    assert counters.value[("records", "seen")] == 30
+    assert counters.value[("records", "skipped")] == 10
+    # the job result itself is unaffected by instrumentation
+    assert out[1] == sum(i for i in range(30) if i % 3 and i % 2 == 1)
+
+
+def test_mapper_hooks_enable_in_mapper_combining(spark):
+    """mapper_init/mapper_final: the canonical in-mapper-combining
+    wordcount — per-partition dict flushed at partition end must
+    equal the plain wordcount."""
+
+    class InMapperCombine(mr.MRJob):
+        def mapper_init(self):
+            self.buf = {}
+
+        def mapper(self, _, text):
+            for tok in text.split():
+                self.buf[tok] = self.buf.get(tok, 0) + 1
+            return ()
+
+        def mapper_final(self):
+            yield from self.buf.items()
+
+        def reducer(self, word, counts):
+            yield (word, sum(counts))
+
+    rows = [(None, "a b a"), (None, "b c"), (None, "a c c")]
+    got = dict(mr.run_mrjob(spark, InMapperCombine(), rows).collect())
+    assert got == {"a": 3, "b": 2, "c": 3}
+
+
+def test_run_mrjob_rejects_unknown_options(spark):
+    import pytest
+
+    with pytest.raises(TypeError):
+        mr.run_mrjob(spark, mr.MRJob(), [(1, 1)], bogus=True)
