@@ -1184,3 +1184,77 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("monetary"), 2).alias("total_monetary"),
         )
     )
+
+
+# --- OHLC resampling (time-series bars) -----------------------------
+
+_ORACLE_EVENTS_OHLC = """
+SELECT time_bucket(INTERVAL '30 minutes', ts) AS bar_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       (MIN(struct_pack(ts := ts, id := event_id, v := value))).v
+           AS open_value,
+       (MAX(struct_pack(ts := ts, id := event_id, v := value))).v
+           AS close_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       (floor((SUM(value)) * 100.0 + 0.5) / 100.0) AS sum_value
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("events_ohlc", _ORACLE_EVENTS_OHLC, tags=("temporal", "timeseries"))
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling into OHLC bars — per (30-minute bar,
+    event type): open/close (first/last value by event time), the
+    high/low extremes, count, and rounded sum. The classic
+    downsampler every metrics/monitoring/trading pipeline runs
+    between raw events and dashboards; the streaming twin is the
+    same aggregation under a watermark (``streaming/windows.py``
+    rule — the algebra is mode-agnostic).
+
+    Scale: one projection + one single-pass aggregate with map-side
+    combine (SortAggregate — struct-valued min/max state rules out
+    the hash-agg buffer, exactly as in ``agg_minmax_by``); each
+    partition collapses to #bars × #types rows before the ONE
+    shuffle — the ``win_tumbling`` cost envelope with argmin/argmax
+    semantics riding the same pass, never a window sort or
+    self-join.
+
+    Determinism under ties (the ``agg_minmax_by`` rule): open/close
+    are MIN/MAX over the lexicographic (ts, event_id, value) STRUCT,
+    so equal timestamps resolve by event_id on both engines —
+    ``first_value`` over an under-specified sort would be
+    engine-arbitrary. high/low/count are exact picks; the one
+    summed double is rounded with the shared ``dround`` formula.
+    NULL-timestamp rows are excluded symmetrically (Spark's
+    ``window()`` drops them silently; the oracle must not group
+    them under a NULL bar).
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    pair = F.struct(
+        F.col("ts"), F.col("event_id").alias("id"), F.col("value").alias("v")
+    )
+    return (
+        e.groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min(pair).getField("v").alias("open_value"),
+            F.max(pair).getField("v").alias("close_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            dround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bar_start"),
+            "event_type",
+            "n_events",
+            "open_value",
+            "close_value",
+            "high_value",
+            "low_value",
+            "sum_value",
+        )
+    )

@@ -101,6 +101,7 @@ _KEY_ORDER = (
     "graph_pagerank", "graph_knn_triangles",
     "agg_top_revenue", "join_nested_semi",
     "text_chunk_overlap", "embed_quantize_error", "dedup_threshold_sweep",
+    "events_ohlc",
     # new in the round-6 build session — zero driver evidence
     "join_groupagg_in", "join_disjunctive", "agg_global_share",
     "join_anti_scalar", "join_exists_chain",
@@ -126,14 +127,14 @@ _KEY_ORDER = (
     # grew the exact=False approx path; fn_regex's cast guard;
     # agg_minmax_by's struct argmin; sim_knn's shared norm predicate
     "scan_profile", "fn_regex", "agg_minmax_by",
-    "sim_knn",
-    # ---- position 50 = sim_knn: the window ends exactly here
-    # (7 new + 7 r6-new + 16 r5-new + 3 rows-only + 13 r1-stale
-    # + 4 touched = 50). Everything below is OUTSIDE the driver
+    # ---- position 50 = agg_minmax_by: the window ends exactly here
+    # (8 new + 7 r6-new + 16 r5-new + 3 rows-only + 13 r1-stale
+    # + 3 touched = 50). Everything below is OUTSIDE the driver
     # window and rests on a green round-2/3 driver row plus fresh
     # full-catalog local verify: first the rest of the round-6
-    # touched block (displaced by this session's 7 new keys — they
+    # touched block (displaced by this session's 8 new keys — they
     # lead the next refresh rotation), then the r2/r3-green tail.
+    "sim_knn",
     "dedup_embedding",
     "dedup_near", "dedup_clusters", "dedup_near_verified",
     "dedup_minhash_est", "dedup_survivors_verified",

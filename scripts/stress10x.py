@@ -90,6 +90,7 @@ OPS = (
     "text_chunk_overlap",
     "embed_quantize_error",
     "dedup_threshold_sweep",
+    "events_ohlc",
 )
 
 

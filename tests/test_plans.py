@@ -817,3 +817,18 @@ def test_threshold_sweep_never_goes_all_pairs(spark, sf_dir):
     plan = plan_of(spark, "dedup_threshold_sweep", sf_dir)
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_ohlc_is_single_pass_hash_aggregate(spark, sf_dir):
+    """events_ohlc: one projection + one hash aggregate with map-side
+    combine — the argmin/argmax open/close must ride the same pass
+    (no window sort, no join back)."""
+    plan = plan_of(spark, "events_ohlc", sf_dir)
+    assert "partial_min" in plan and "partial_max" in plan
+    # struct-state min/max buffers force SortAggregate (same shape as
+    # agg_minmax_by); the partial/final split across ONE exchange is
+    # what matters
+    assert plan.count("Aggregate") >= 2
+    assert plan.count("hashpartitioning") == 1  # the ONE keyed exchange
+    assert "Window" not in plan
+    assert "Join" not in plan
