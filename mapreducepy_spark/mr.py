@@ -151,6 +151,12 @@ def _shuffle_reduce(
     sort_values_by,
 ):
     if associative_reduce is not None:
+        if sort_values_by is not None:
+            raise TypeError(
+                "associative_reduce and sort_values_by are mutually "
+                "exclusive: an associative fold is order-free by "
+                "definition, so a sorted-values contract cannot apply"
+            )
         return mapped.reduceByKey(associative_reduce, numPartitions=num_partitions)
     if combiner is not None:
         mapped = mapped.mapPartitions(_combine_partition(combiner))
