@@ -708,8 +708,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- LSH candidates -> exact verification (the production funnel) --
 
-_ORACLE_DEDUP_NEAR_VERIFIED = f"""
-WITH {_duck_lsh_ctes()},
+# Shared CTE chain: LSH candidates -> exact shingle-set intersection.
+# ONE string feeds both dedup_near_verified and dedup_threshold_sweep
+# (this machinery has absorbed multiple parity fixes — tie-breaks,
+# NULL text, length filters — and a drifted copy would silently miss
+# the next one; same rationale as _duck_lsh_ctes / _band_table).
+_DUCK_VERIFY_CTES = f"""{_duck_lsh_ctes()},
 shset AS (
     SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS shingle
     FROM documents
@@ -724,7 +728,10 @@ inter AS (
     JOIN shset a ON a.doc_id = c.doc_a
     JOIN shset b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
     GROUP BY c.doc_a, c.doc_b
-)
+)"""
+
+_ORACLE_DEDUP_NEAR_VERIFIED = f"""
+WITH {_DUCK_VERIFY_CTES}
 SELECT i.doc_a, i.doc_b,
        (floor((CAST(i.n_common AS DOUBLE)
              / (sa.n_shingles + sb.n_shingles - i.n_common)) * 1000000.0 + 0.5)
@@ -757,8 +764,25 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact step touches only what the cheap probabilistic step
     surfaced. The shingle index is computed once and localCheckpoint-ed
     (it feeds sizes and both intersection probes); the intersection is
-    a candidate⋈shingle equi-join, shuffling on doc_id.
+    a candidate⋈shingle equi-join, shuffling on doc_id. The whole
+    core is the shared ``_candidate_jaccard`` (one parity fix serves
+    this operator and ``dedup_threshold_sweep``).
     """
+    return _candidate_jaccard(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        (F.col("jac_raw") >= _JACCARD_THRESHOLD).alias("is_dup"),
+    )
+
+
+def _candidate_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard for every LSH candidate pair — the
+    shared verification core of ``dedup_near_verified`` and
+    ``dedup_threshold_sweep`` (Spark twin of ``_DUCK_VERIFY_CTES``).
+    Emits ``jac_raw`` (full double, for threshold verdicts on the
+    unrounded value) and ``jaccard`` (micro-unit rounded, the
+    emitted/banded form)."""
     docs = load_spread(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
@@ -788,8 +812,8 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
+            jac.alias("jac_raw"),
             dround(jac, 6).alias("jaccard"),
-            (jac >= _JACCARD_THRESHOLD).alias("is_dup"),
         )
     )
 
@@ -1342,22 +1366,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Jaccard threshold sweep (the tuning card) ----------------------
 
 _ORACLE_DEDUP_THRESHOLD_SWEEP = f"""
-WITH {_duck_lsh_ctes()},
-shset AS (
-    SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS shingle
-    FROM documents
-),
-sizes AS (
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
-    FROM shset GROUP BY doc_id
-),
-inter AS (
-    SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
-    FROM cand_pairs c
-    JOIN shset a ON a.doc_id = c.doc_a
-    JOIN shset b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-    GROUP BY c.doc_a, c.doc_b
-),
+WITH {_DUCK_VERIFY_CTES},
 jacs AS (
     SELECT (floor((CAST(i.n_common AS DOUBLE)
                  / (sa.n_shingles + sb.n_shingles - i.n_common))
@@ -1395,12 +1404,15 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup threshold; the knee of the cumulative column IS the
     threshold decision.
 
-    Scale: identical machinery (and cost envelope) to
-    ``dedup_near_verified`` — the exact Jaccard only ever touches
-    LSH candidates, the shingle index is localCheckpoint-ed once —
-    plus a ≤10-row aggregate and a window over that 10-row table
-    (driver-trivial). The sweep is therefore FREE relative to the
-    verification pass a production funnel already runs.
+    Scale: IDENTICAL machinery (and cost envelope) to
+    ``dedup_near_verified`` — both operators consume the shared
+    ``_candidate_jaccard`` core, so the exact Jaccard only ever
+    touches LSH candidates and the shingle index is
+    localCheckpoint-ed once — plus a ≤10-row aggregate and a window
+    over that 10-row table (driver-trivial). The sweep is therefore
+    FREE relative to the verification pass a production funnel
+    already runs, and a parity fix to the core applies to both
+    operators by construction.
 
     Hash parity: Jaccard is rounded to micro-units (the registered
     formula) BEFORE banding, so the band boundary decision is made
@@ -1408,33 +1420,8 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; the cumulative sum is ordered on the 10 distinct band
     keys — no ties, engine-free.
     """
-    docs = load_spread(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
-    ).distinct().localCheckpoint()
-    cand = _candidate_pairs(spark, sf_dir, shingles=sh)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(
-            b,
-            (F.col("doc_b") == F.col("b.doc_id"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
-    )
-    jacs = (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(dround(jac, 6).alias("j"))
+    jacs = _candidate_jaccard(spark, sf_dir).select(
+        F.col("jaccard").alias("j")
     )
     banded = (
         jacs.select(

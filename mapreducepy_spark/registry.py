@@ -81,10 +81,10 @@ _MODULES = (
 #   whether the driver can record a rows-only pass (work order #3);
 # - then the 13 keys whose only green rows date from round 1
 #   (displaced by round 4's new operators) — oldest evidence first;
-# - the remaining 4 slots hold the head of the round-6 touched block
-#   (scan_profile, fn_regex, agg_minmax_by, sim_knn). This
-#   session's 7 new keys displaced the rest of that block
-#   (dedup_embedding + the 5 LSH-machinery riders + dedup_exact)
+# - the remaining 3 slots hold the head of the round-6 touched block
+#   (scan_profile, fn_regex, agg_minmax_by). This session's 8 new
+#   keys displaced the rest of that block (sim_knn, dedup_embedding
+#   + the 5 LSH-machinery riders + dedup_exact)
 #   past position 50 — each rests on a green r2/r3 driver row AND
 #   fresh full-catalog local parity (the /verify replay runs every
 #   key, not just the window), so what the budget cuts is
@@ -96,8 +96,8 @@ _MODULES = (
 # keys silently fell to the alphabetical tail, outside any evidence
 # window); tests/test_sql.py additionally pins the two lists equal.
 _KEY_ORDER = (
-    # new this session (round-7 build / driver round 4) — zero driver
-    # evidence: the iterated-MR graph family first
+    # the 8 keys new this session (round-7 build / driver round 4) —
+    # zero driver evidence: the iterated-MR graph family first
     "graph_pagerank", "graph_knn_triangles",
     "agg_top_revenue", "join_nested_semi",
     "text_chunk_overlap", "embed_quantize_error", "dedup_threshold_sweep",

@@ -43,8 +43,13 @@ def main() -> int:
     from parity_util import canon_frame
 
     bad = 0
+    checked = 0
     for name in keys:
-        q = cat[name]
+        q = cat.get(name)
+        if q is None:
+            print(f"{name} ERROR unknown catalog key")
+            bad += 1
+            continue
         if q.oracle is None:
             print(f"{name} SKIP (no oracle)")
             continue
@@ -52,18 +57,24 @@ def main() -> int:
         try:
             spd = q.builder(spark, sf_dir).toPandas()
             dpd = con.execute(q.oracle).fetchdf()
-            ok = canon_frame(spd) == canon_frame(dpd)
+            # column-name parity first (the driver's hash is schema-
+            # sensitive; values-only comparison would miss a rename),
+            # then the order-insensitive canonical value compare
+            ok = sorted(spd.columns) == sorted(dpd.columns) and canon_frame(
+                spd
+            ) == canon_frame(dpd)
         except Exception as ex:  # noqa: BLE001 — audit must keep going
             print(f"{name} ERROR {str(ex)[:160]}")
             bad += 1
             continue
+        checked += 1
         print(
             f"{name} {'MATCH' if ok else 'MISMATCH'} "
             f"rows={len(spd)}/{len(dpd)} {time.time() - t0:.1f}s",
             flush=True,
         )
         bad += 0 if ok else 1
-    print(f"parity_sf: {len(keys)} keys checked, {bad} failures")
+    print(f"parity_sf: {checked} keys checked, {bad} failures")
     return 1 if bad else 0
 
 
