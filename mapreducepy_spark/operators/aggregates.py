@@ -379,6 +379,7 @@ WITH ranked AS (
                               ORDER BY l_extendedprice) AS rn,
            COUNT(*) OVER (PARTITION BY l_returnflag) AS n
     FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
 )
 SELECT l_returnflag,
        MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
@@ -407,7 +408,16 @@ def agg_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        # quantiles are over OBSERVED values: NULL measures are
+        # excluded on both engines (DuckDB's own quantile_* functions
+        # skip NULLs; leaving them in also hits the engine-default
+        # NULL-ordering divergence the TPC-H adversarial sweep found
+        # — Spark ranks NULLS FIRST, DuckDB NULLS LAST)
+        .filter(F.col("l_extendedprice").isNotNull())
+    )
     w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     wn = Window.partitionBy("l_returnflag")
     ranked = li.withColumn("rn", F.row_number().over(w)).withColumn(
@@ -644,7 +654,7 @@ r AS (
     SELECT n.n_name, rev.l_suppkey, rev.revenue,
            CAST(ROW_NUMBER() OVER (
                PARTITION BY n.n_name
-               ORDER BY rev.revenue ASC, rev.l_suppkey ASC
+               ORDER BY rev.revenue ASC NULLS FIRST, rev.l_suppkey ASC
            ) AS BIGINT) AS rk
     FROM rev
     JOIN supplier s ON rev.l_suppkey = s.s_suppkey
@@ -816,7 +826,7 @@ topk AS (
     SELECT CAST(SUM(n) AS BIGINT) AS topk_rows
     FROM (
         SELECT n FROM per_key
-        ORDER BY n DESC, o_custkey ASC LIMIT {_SKEW_TOP_K}
+        ORDER BY n DESC, o_custkey ASC NULLS FIRST LIMIT {_SKEW_TOP_K}
     )
 )
 SELECT t.n_keys, t.n_rows, t.max_key_rows, t.n_singleton_keys,

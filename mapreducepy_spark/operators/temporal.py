@@ -1113,7 +1113,8 @@ scored AS (
                         user_id ASC
            ) AS r_score,
            NTILE(4) OVER (ORDER BY frequency ASC, user_id ASC) AS f_score,
-           NTILE(4) OVER (ORDER BY monetary ASC, user_id ASC) AS m_score
+           NTILE(4) OVER (ORDER BY monetary ASC NULLS FIRST, user_id ASC)
+               AS m_score
     FROM pu, m
 )
 SELECT CAST(r_score AS INT) AS r_score,

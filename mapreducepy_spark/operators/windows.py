@@ -58,12 +58,12 @@ _ORACLE_WIN_RUNNING = """
 SELECT o_custkey, o_orderkey,
        (floor((SUM(o_totalprice) OVER (
            PARTITION BY o_custkey
-           ORDER BY o_orderdate ASC, o_orderkey ASC
+           ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        )) * 100.0 + 0.5) / 100.0) AS running_spend,
        (floor((AVG(o_totalprice) OVER (
            PARTITION BY o_custkey
-           ORDER BY o_orderdate ASC, o_orderkey ASC
+           ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC
            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
        )) * 10000.0 + 0.5) / 10000.0) AS moving_avg_3
 FROM orders
@@ -80,7 +80,7 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+        F.col("o_orderdate").asc_nulls_first(), F.col("o_orderkey").asc()
     )
     return o.select(
         "o_custkey",
@@ -125,7 +125,7 @@ def win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_WIN_NTILE = """
 SELECT c_custkey, c_acctbal,
-       NTILE(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS wealth_quartile
+       NTILE(4) OVER (ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC) AS wealth_quartile
 FROM customer
 """
 
@@ -140,7 +140,9 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions or bucketed quantiles (A6) instead.
     """
     c = load(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    w = Window.orderBy(
+        F.col("c_acctbal").asc_nulls_first(), F.col("c_custkey").asc()
+    )
     return c.select(
         "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("wealth_quartile")
     )
@@ -152,7 +154,8 @@ SELECT o_custkey, o_orderkey,
        (floor((CUME_DIST() OVER w) * 1000000.0 + 0.5) / 1000000.0) AS cume,
        NTILE(4) OVER w AS quartile
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC)
 """
 
 
@@ -163,7 +166,7 @@ def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     every other ``win_*`` (total order ⇒ deterministic)."""
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+        F.col("o_totalprice").asc_nulls_first(), F.col("o_orderkey").asc()
     )
     return o.select(
         "o_custkey",

@@ -67,10 +67,11 @@ _MODULES = (
 # cosmetics. Current policy (VERDICT r3 work order #2/#3 + SURVEY §8
 # window plan):
 #
-# - the 7 keys NEW this session (round-7 build) come first: the
+# - the 8 keys NEW this session (round-7 build) come first: the
 #   iterated-MR graph family (graph_pagerank, graph_knn_triangles),
-#   the Q15/Q20 decorrelation shapes, and the chunking /
-#   quantization / threshold-sweep LLM cards — zero driver evidence;
+#   the Q15/Q20 decorrelation shapes, the chunking / quantization /
+#   threshold-sweep LLM cards, and the OHLC resampler — zero driver
+#   evidence;
 # - then the 7 round-6-build keys (5 TPC-H subquery shapes,
 #   text_bpe_pairs, embed_covariance) and the 16 round-5-build keys
 #   (agg_count_histogram … embed_bucket_purity) — also still zero
@@ -81,10 +82,12 @@ _MODULES = (
 #   whether the driver can record a rows-only pass (work order #3);
 # - then the 13 keys whose only green rows date from round 1
 #   (displaced by round 4's new operators) — oldest evidence first;
-# - the remaining 3 slots hold the head of the round-6 touched block
-#   (scan_profile, fn_regex, agg_minmax_by). This session's 8 new
-#   keys displaced the rest of that block (sim_knn, dedup_embedding
-#   + the 5 LSH-machinery riders + dedup_exact)
+# - the remaining 3 slots hold the keys whose CODE this session
+#   touched and that don't already sit above (win_running,
+#   agg_quantile_disc, agg_gini — the NULL-ordering sweep fixes).
+#   This session's 8 new + 3 touched keys displaced the round-6
+#   touched block (scan_profile, fn_regex, agg_minmax_by, sim_knn,
+#   dedup_embedding + the 5 LSH-machinery riders + dedup_exact)
 #   past position 50 — each rests on a green r2/r3 driver row AND
 #   fresh full-catalog local parity (the /verify replay runs every
 #   key, not just the window), so what the budget cuts is
@@ -123,17 +126,25 @@ _KEY_ORDER = (
     "win_ntile", "win_dist", "topk_per_group", "agg_pivot",
     "agg_cube", "agg_grouping_sets", "agg_rollup", "agg_stats",
     "join_full",
-    # code touched in the round-6 build — re-prove: scan_profile
-    # grew the exact=False approx path; fn_regex's cast guard;
-    # agg_minmax_by's struct argmin; sim_knn's shared norm predicate
-    "scan_profile", "fn_regex", "agg_minmax_by",
-    # ---- position 50 = agg_minmax_by: the window ends exactly here
+    # code touched THIS session — re-prove: the TPC-H adversarial
+    # sweep's NULL-ordering fixes (Spark ASC = NULLS FIRST vs DuckDB
+    # default NULLS LAST) pinned explicit ordering in win_running's /
+    # agg_gini's oracles and excluded NULL measures from
+    # agg_quantile_disc's rank pick. win_ntile / win_dist /
+    # agg_key_skew / events_rfm rode the same fix but already sit in
+    # the window above.
+    "win_running", "agg_quantile_disc", "agg_gini",
+    # ---- position 50 = agg_gini: the window ends exactly here
     # (8 new + 7 r6-new + 16 r5-new + 3 rows-only + 13 r1-stale
-    # + 3 touched = 50). Everything below is OUTSIDE the driver
-    # window and rests on a green round-2/3 driver row plus fresh
-    # full-catalog local verify: first the rest of the round-6
-    # touched block (displaced by this session's 8 new keys — they
-    # lead the next refresh rotation), then the r2/r3-green tail.
+    # + 3 touched-this-session = 50). Everything below is OUTSIDE
+    # the driver window and rests on a green round-2/3 driver row
+    # plus fresh full-catalog local verify: first the round-6
+    # touched block (scan_profile's approx path, fn_regex's cast
+    # guard, agg_minmax_by's struct argmin, sim_knn's norm
+    # predicate, the LSH riders — displaced by this session's 8 new
+    # keys + 3 touched; they lead the next refresh rotation), then
+    # the r2/r3-green tail.
+    "scan_profile", "fn_regex", "agg_minmax_by",
     "sim_knn",
     "dedup_embedding",
     "dedup_near", "dedup_clusters", "dedup_near_verified",
@@ -153,14 +164,14 @@ _KEY_ORDER = (
     "filter_pred", "project_expr", "distinct_rows",
     "fn_string", "fn_date", "fn_conditional", "fn_json",
     "fn_levenshtein", "fn_math", "fn_array",
-    "agg_having", "win_rank", "win_running",
+    "agg_having", "win_rank",
     "join_theta_range", "win_lead_lag", "win_range_frame",
     # r3-green (fresh driver evidence from the round-4 window)
-    "agg_histogram", "agg_quantile_disc", "dedup_keep_first",
+    "agg_histogram", "dedup_keep_first",
     "join_skew_salted", "text_decontaminate",
     "join_left", "join_multi", "join_semi", "join_anti",
     "agg_collect",
-    "events_entropy", "events_session_stats", "agg_gini",
+    "events_entropy", "events_session_stats",
     "text_charlm", "text_zipf", "text_length_profile",
     "dedup_cross_source", "pipeline_clean_corpus",
     "events_inter_arrival", "text_hapax", "events_attribution",

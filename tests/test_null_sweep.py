@@ -211,3 +211,144 @@ def test_operator_survives_empty_tables(spark, empty_tables, name):
         assert len(spd) == 0 and len(dpd) == 1
     else:
         assert canon_frame(spd) == canon_frame(dpd), name
+
+
+# --- TPC-H relational tables: NULL keys / dates / money -------------
+
+_TPCH_TABLES = (
+    "lineitem", "orders", "customer", "supplier", "part",
+    "nation", "region",
+)
+
+TPCH_ONLY = [
+    name
+    for name, q in CATALOG.items()
+    if q.oracle is not None
+    and any(t in q.oracle for t in _TPCH_TABLES)
+    and not any(t in q.oracle for t in ("documents", "events", "embeddings"))
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_tpch(tmp_path_factory):
+    """Tiny TPC-H tables with every reachable-through-ingestion NULL
+    shape the fixtures never carry: NULL join keys (both sides), NULL
+    dates, NULL money/quantity, NULL categorical columns, a customer
+    with no orders, an order with no lineitems. Known divergence
+    classes this hunts: ANSI cast crashes (the fn_regex class),
+    engine-default NULL ordering in windows (Spark ASC = NULLS
+    FIRST, DuckDB ASC = NULLS LAST), NULL-key join/group behavior."""
+    import numpy as np
+
+    d = tmp_path_factory.mktemp("nullsweep_tpch")
+    li = pd.DataFrame(
+        [
+            # ok rows across two orders / parts / suppliers
+            (1, 1, 1, 1, 10.0, 100.0, 0.1, 0.02, "N", "O", "1996-02-01"),
+            (1, 2, 2, 2, 20.0, 200.0, 0.0, 0.05, "R", "F", "1996-03-01"),
+            (2, 1, 2, 1, 30.0, 300.0, 0.2, 0.00, "A", "F", "1997-01-01"),
+            (2, 2, 1, 2, 40.0, 150.0, 0.1, 0.03, "N", "O", "1997-02-01"),
+            # NULL part / supplier keys (join keys)
+            (3, None, 1, 1, 5.0, 50.0, 0.0, 0.01, "N", "O", "1996-06-01"),
+            (3, 1, None, 2, 6.0, 60.0, 0.1, 0.02, "R", "F", "1996-06-02"),
+            # NULL date, NULL quantity, NULL price, NULL discount
+            (4, 2, 2, 1, 7.0, 70.0, 0.0, 0.04, "A", "F", None),
+            (4, 1, 1, 2, None, 80.0, 0.1, 0.01, "N", "O", "1996-07-01"),
+            (5, 2, 1, 1, 8.0, None, 0.0, 0.02, "R", "F", "1996-08-01"),
+            (5, 1, 2, 2, 9.0, 90.0, None, 0.03, "N", "O", "1996-09-01"),
+            # NULL flag/status
+            (6, 2, 2, 1, 11.0, 110.0, 0.1, 0.05, None, None, "1996-10-01"),
+            # supplier 3's ONLY lineitem has a NULL price -> its
+            # grouped revenue is NULL, exercising the pinned
+            # ASC NULLS FIRST rank order in agg_gini
+            (7, 2, 3, 1, 3.0, None, 0.0, 0.01, "N", "O", "1996-11-01"),
+        ],
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    )
+    li["l_shipdate"] = pd.to_datetime(li["l_shipdate"]).astype("datetime64[us]")
+    li["l_linenumber"] = li["l_linenumber"].astype("int32")
+    li.to_parquet(d / "lineitem.parquet", index=False)
+
+    od = pd.DataFrame(
+        [
+            (1, 1, "F", 1000.0, "1996-01-15", "1-URGENT"),
+            (2, 2, "O", 2000.0, "1996-12-20", "3-MEDIUM"),
+            (3, 1, "F", 500.0, "1996-05-05", "5-LOW"),
+            (4, None, "O", 750.0, "1996-06-15", None),      # NULL custkey
+            (5, 2, None, None, None, "2-HIGH"),             # NULL status/price/date
+            (6, 3, "F", 1200.0, "2000-12-01", "1-URGENT"),  # recent order
+            (7, 1, "O", 300.0, None, "4-NOT SPECIFIED"),    # NULL date
+        ],
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    )
+    od["o_orderdate"] = pd.to_datetime(od["o_orderdate"]).astype("datetime64[us]")
+    od.to_parquet(d / "orders.parquet", index=False)
+
+    cu = pd.DataFrame(
+        [
+            (1, "cust-a", 0, 100.0, "BUILDING"),
+            (2, "cust-b", 1, None, "MACHINERY"),        # NULL balance
+            (3, "cust-c", None, -50.0, None),           # NULL nation/segment
+            (4, "cust-idle", 0, 900.0, "BUILDING"),     # no orders at all
+        ],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    cu["c_nationkey"] = cu["c_nationkey"].astype("Int32")
+    cu.to_parquet(d / "customer.parquet", index=False)
+
+    su = pd.DataFrame(
+        [
+            (1, "supp-a", 0, 10.0),
+            (2, "supp-b", 1, None),                     # NULL balance
+            (3, "supp-c", None, 30.0),                  # NULL nation
+        ],
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    su["s_nationkey"] = su["s_nationkey"].astype("Int32")
+    su.to_parquet(d / "supplier.parquet", index=False)
+
+    pa = pd.DataFrame(
+        [
+            (1, "part one", "Brand#11", "TYPE A", 5, 10.0),
+            (2, "part two", "Brand#22", None, None, None),  # NULL type/size/price
+        ],
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    )
+    pa["p_size"] = pa["p_size"].astype("Int32")
+    pa.to_parquet(d / "part.parquet", index=False)
+
+    na = pd.DataFrame(
+        [(0, "ALPHA", 0), (1, "BETA", 0)],
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).astype({"n_nationkey": "int32", "n_regionkey": "int32"})
+    na.to_parquet(d / "nation.parquet", index=False)
+
+    re = pd.DataFrame(
+        [(0, "R-EAST")], columns=["r_regionkey", "r_name"]
+    ).astype({"r_regionkey": "int32"})
+    re.to_parquet(d / "region.parquet", index=False)
+
+    con = duckdb.connect()
+    for t in _TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet')"
+        )
+    return str(d), con
+
+
+@pytest.mark.parametrize("name", TPCH_ONLY)
+def test_tpch_operator_survives_adversarial_rows(
+    spark, adversarial_tpch, name
+):
+    sf_dir, con = adversarial_tpch
+    spd = CATALOG[name].builder(spark, sf_dir).toPandas()
+    dpd = con.execute(CATALOG[name].oracle).fetchdf()
+    assert canon_frame(spd) == canon_frame(dpd), name
