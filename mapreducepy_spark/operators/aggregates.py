@@ -577,7 +577,7 @@ WITH rev AS (
 c AS (
     SELECT l_suppkey, revenue,
            SUM(revenue) OVER (
-               ORDER BY revenue DESC, l_suppkey ASC
+               ORDER BY revenue DESC NULLS LAST, l_suppkey ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS cum
     FROM rev

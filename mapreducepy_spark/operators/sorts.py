@@ -18,7 +18,7 @@ from ..registry import register
 _ORACLE_SORT_LIMIT = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
-ORDER BY o_totalprice DESC, o_orderkey ASC
+ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC
 LIMIT 25
 """
 
@@ -44,7 +44,8 @@ FROM (
     SELECT l.l_suppkey AS s_suppkey, l.l_orderkey, l.l_linenumber, l.l_extendedprice,
            ROW_NUMBER() OVER (
                PARTITION BY l.l_suppkey
-               ORDER BY l.l_extendedprice DESC, l.l_orderkey ASC, l.l_linenumber ASC
+               ORDER BY l.l_extendedprice DESC NULLS LAST,
+                        l.l_orderkey ASC, l.l_linenumber ASC
            ) AS rn
     FROM lineitem l
 ) t

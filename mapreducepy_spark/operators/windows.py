@@ -28,7 +28,8 @@ FROM (
            RANK() OVER w AS rnk,
            ROW_NUMBER() OVER w AS rn
     FROM orders o
-    WINDOW w AS (PARTITION BY o.o_custkey ORDER BY o.o_totalprice DESC, o.o_orderkey ASC)
+    WINDOW w AS (PARTITION BY o.o_custkey
+                 ORDER BY o.o_totalprice DESC NULLS LAST, o.o_orderkey ASC)
 ) t
 WHERE rnk <= 3
 """
