@@ -189,3 +189,17 @@ def test_last_touch_compact_agrees_with_events_attribution(spark, sf_dir):
     )
     assert len(want) > 0
     assert canon_frame(got) == canon_frame(want)
+
+
+def test_ohlc_stream_matches_batch_operator(spark, sf_dir, events_dir):
+    """The watermarked streaming OHLC bars must equal the registered
+    batch events_ohlc on the same data — the mode-agnostic-algebra
+    rule, proven for the struct-argmin open/close semantics."""
+    from mapreducepy_spark.registry import load_catalog
+
+    stream = sw.read_events_stream(spark, events_dir)
+    got = sw.run_available_now(
+        sw.ohlc_bars(sw.with_watermark(stream)), "t_ohlc", spark
+    ).toPandas()
+    want = load_catalog()["events_ohlc"].builder(spark, sf_dir).toPandas()
+    assert canon_frame(got) == canon_frame(want)
