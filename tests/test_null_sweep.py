@@ -116,6 +116,11 @@ def adversarial_events_embeddings(tmp_path_factory):
             (6, "2024-03-01 00:00:00", 3, "error", -4.0, '{"k":3}'),
             (7, "2024-03-01 00:00:01", None, "view", 2.0, None),
             (8, "2024-03-01 00:00:02", 4, None, 2.0, None),
+            # user 5 purchases ONLY with NULL values -> NULL monetary
+            # in events_rfm, exercising the pinned ASC NULLS FIRST
+            # ntile order (and NULL-sum paths in session/value ops)
+            (9, "2024-03-02 08:00:00", 5, "purchase", None, None),
+            (10, "2024-03-02 08:10:00", 5, "purchase", None, "{}"),
         ],
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )
