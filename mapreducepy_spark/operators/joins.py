@@ -267,7 +267,15 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("struct<o_orderdate:timestamp,o_orderkey:bigint>")
         .alias("ord"),
     )
-    od = o.filter(F.col("o_orderdate").isNotNull()).select(
+    od = o.filter(
+        # a NULL custkey can never equi-match any event under SQL
+        # join semantics, but the window PARTITION BY groups NULL
+        # keys into one partition — without this filter a NULL-key
+        # order silently carries onto NULL-user events (found by the
+        # multi-table adversarial sweep); NULL dates likewise cannot
+        # satisfy date <= ts
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
         F.col("o_custkey").alias("user_id"),
         F.col("o_orderdate").alias("t"),
         F.lit(0).alias("is_event"),

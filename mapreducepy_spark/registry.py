@@ -84,7 +84,7 @@ _MODULES = (
 #   (displaced by round 4's new operators) — oldest evidence first;
 # - the remaining 3 slots hold the keys whose CODE this session
 #   touched and that don't already sit above (win_running,
-#   agg_quantile_disc, agg_gini — the NULL-ordering sweep fixes).
+#   agg_quantile_disc, join_asof — the adversarial-sweep fixes).
 #   This session's 8 new + 3 touched keys displaced the round-6
 #   touched block (scan_profile, fn_regex, agg_minmax_by, sim_knn,
 #   dedup_embedding + the 5 LSH-machinery riders + dedup_exact)
@@ -133,8 +133,12 @@ _KEY_ORDER = (
     # agg_quantile_disc's rank pick. win_ntile / win_dist /
     # agg_key_skew / events_rfm rode the same fix but already sit in
     # the window above.
-    "win_running", "agg_quantile_disc", "agg_gini",
-    # ---- position 50 = agg_gini: the window ends exactly here
+    # join_asof carries the one REAL behavior fix of the sweep hunt
+    # (NULL-key orders no longer carry onto NULL-user events);
+    # agg_gini's change was an oracle-text ordering pin only and it
+    # holds a green r3 row, so it yields its slot to the fresher risk
+    "win_running", "agg_quantile_disc", "join_asof",
+    # ---- position 50 = join_asof: the window ends exactly here
     # (8 new + 7 r6-new + 16 r5-new + 3 rows-only + 13 r1-stale
     # + 3 touched-this-session = 50). Everything below is OUTSIDE
     # the driver window and rests on a green round-2/3 driver row
@@ -144,6 +148,7 @@ _KEY_ORDER = (
     # predicate, the LSH riders — displaced by this session's 8 new
     # keys + 3 touched; they lead the next refresh rotation), then
     # the r2/r3-green tail.
+    "agg_gini",
     "scan_profile", "fn_regex", "agg_minmax_by",
     "sim_knn",
     "dedup_embedding",
@@ -156,7 +161,7 @@ _KEY_ORDER = (
     "agg_group",
     "multimodal_cols",
     "text_quality", "text_langid", "text_tokens", "text_fingerprint",
-    "join_asof", "win_session", "win_tumbling", "win_sliding",
+    "win_session", "win_tumbling", "win_sliding",
     "events_funnel", "rollup_multires", "join_range_binned",
     "sample_hash_fraction", "sample_hash_stratified",
     "join_inner", "agg_count_distinct",

@@ -30,23 +30,31 @@ from .parity_util import canon_frame
 
 CATALOG = load_catalog()
 
-_OTHER_TABLES = (
+_ALL_TABLES = (
     "lineitem", "orders", "customer", "supplier", "nation",
-    "region", "part", "events", "embeddings",
+    "region", "part", "events", "documents", "embeddings",
 )
 
-_OTHER_TABLES_NO_EVENTS = (
-    "lineitem", "orders", "customer", "supplier", "nation",
-    "region", "part", "documents",
-)
 
-DOCS_ONLY = [
-    name
-    for name, q in CATALOG.items()
-    if q.oracle is not None
-    and "documents" in q.oracle
-    and not any(t in q.oracle for t in _OTHER_TABLES)
-]
+def _tables_of(sql: str) -> frozenset[str]:
+    """Word-boundary table references of an oracle. A naive substring
+    scan silently dropped ``text_contamination_ngram`` from the docs
+    sweep for rounds (a word in its SQL contains 'part'), so the
+    match must be exact-token."""
+    import re
+
+    return frozenset(t for t in _ALL_TABLES if re.search(rf"\b{t}\b", sql))
+
+
+def _sweep(tables: frozenset[str]) -> list[str]:
+    return [
+        name
+        for name, q in CATALOG.items()
+        if q.oracle is not None and _tables_of(q.oracle) == tables
+    ]
+
+
+DOCS_ONLY = _sweep(frozenset({"documents"}))
 
 
 @pytest.fixture(scope="module")
@@ -81,23 +89,9 @@ def test_docs_operator_survives_adversarial_rows(
     assert canon_frame(spd) == canon_frame(dpd), name
 
 
-EVENTS_ONLY = [
-    name
-    for name, q in CATALOG.items()
-    if q.oracle is not None
-    and "events" in q.oracle
-    and "embeddings" not in q.oracle
-    and not any(t in q.oracle for t in _OTHER_TABLES_NO_EVENTS)
-]
+EVENTS_ONLY = _sweep(frozenset({"events"}))
 
-EMBEDDINGS_ONLY = [
-    name
-    for name, q in CATALOG.items()
-    if q.oracle is not None
-    and "embeddings" in q.oracle
-    and "events" not in q.oracle
-    and not any(t in q.oracle for t in _OTHER_TABLES_NO_EVENTS)
-]
+EMBEDDINGS_ONLY = _sweep(frozenset({"embeddings"}))
 
 
 @pytest.fixture(scope="module")
@@ -229,8 +223,8 @@ TPCH_ONLY = [
     name
     for name, q in CATALOG.items()
     if q.oracle is not None
-    and any(t in q.oracle for t in _TPCH_TABLES)
-    and not any(t in q.oracle for t in ("documents", "events", "embeddings"))
+    and _tables_of(q.oracle)
+    and _tables_of(q.oracle) <= frozenset(_TPCH_TABLES)
 ]
 
 
@@ -354,6 +348,68 @@ def test_tpch_operator_survives_adversarial_rows(
     spark, adversarial_tpch, name
 ):
     sf_dir, con = adversarial_tpch
+    spd = CATALOG[name].builder(spark, sf_dir).toPandas()
+    dpd = con.execute(CATALOG[name].oracle).fetchdf()
+    assert canon_frame(spd) == canon_frame(dpd), name
+
+
+# --- multi-table operators: union of all adversarial tables ---------
+
+_SINGLE_SWEPT = (
+    set(DOCS_ONLY) | set(EVENTS_ONLY) | set(EMBEDDINGS_ONLY) | set(TPCH_ONLY)
+)
+
+# every oracle-backed key must be adversarially swept SOMEWHERE —
+# multi-table ops (as-of join over events+orders, the documents⋈
+# embeddings multimodal join) run on the union of all four
+# adversarial fixtures
+MULTI_TABLE = [
+    name
+    for name, q in CATALOG.items()
+    if q.oracle is not None and name not in _SINGLE_SWEPT
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_all(
+    tmp_path_factory,
+    adversarial_docs,
+    adversarial_events_embeddings,
+    adversarial_tpch,
+):
+    import pathlib
+    import shutil
+
+    d = tmp_path_factory.mktemp("nullsweep_all")
+    for src, _ in (
+        adversarial_docs,
+        adversarial_events_embeddings,
+        adversarial_tpch,
+    ):
+        for f in pathlib.Path(src).glob("*.parquet"):
+            shutil.copy(f, d / f.name)
+    con = duckdb.connect()
+    for f in pathlib.Path(d).glob("*.parquet"):
+        con.execute(
+            f"CREATE VIEW {f.stem} AS SELECT * FROM read_parquet('{f}')"
+        )
+    return str(d), con
+
+
+def test_every_oracle_key_is_swept_somewhere():
+    """Coverage invariant: a future multi-table operator lands in
+    MULTI_TABLE automatically; an operator referencing no known
+    table at all would escape every sweep and must not exist."""
+    for name, q in CATALOG.items():
+        if q.oracle is not None:
+            assert _tables_of(q.oracle), f"{name}: oracle references no table"
+
+
+@pytest.mark.parametrize("name", MULTI_TABLE)
+def test_multi_table_operator_survives_adversarial_rows(
+    spark, adversarial_all, name
+):
+    sf_dir, con = adversarial_all
     spd = CATALOG[name].builder(spark, sf_dir).toPandas()
     dpd = con.execute(CATALOG[name].oracle).fetchdf()
     assert canon_frame(spd) == canon_frame(dpd), name
