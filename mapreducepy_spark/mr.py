@@ -133,6 +133,58 @@ def _combine_partition(
     return apply
 
 
+def _total_order_key(x: Any):
+    """A total order over arbitrary mixed-type keys: None first (the
+    NULLS FIRST convention), then all numerics by value (bool/int/
+    float interleave naturally), then everything else grouped by
+    class name and compared within class. Python3 refuses e.g.
+    None < 'a', so sorting raw mixed keys would crash only when they
+    happen to share a partition — a data-layout-dependent failure."""
+    if x is None:
+        return (0,)
+    if isinstance(x, (int, float)):  # bool included (int subclass)
+        return (1, x)
+    if isinstance(x, (tuple, list)):
+        return (2, type(x).__name__, tuple(_total_order_key(e) for e in x))
+    return (2, type(x).__name__, x)
+
+
+class _OneShotValues:
+    """Single-pass value iterator for the secondary-sort reducer.
+
+    The ``groupByKey`` path hands reducers a RE-ITERABLE
+    ResultIterable; a streamed sorted run fundamentally cannot be
+    re-wound. Silently yielding nothing on a second pass would turn
+    a twice-iterating reducer's output subtly wrong — so the second
+    ``__iter__`` raises instead (fail loud, the fn_regex lesson).
+    """
+
+    def __init__(self, first, rest):
+        self._first = first
+        self._rest = rest
+        self._consumed = False
+
+    def __iter__(self):
+        if self._consumed:
+            raise RuntimeError(
+                "secondary-sort values are single-pass (streamed in "
+                "sort order); buffer them yourself if the reducer "
+                "needs two passes"
+            )
+        self._consumed = True
+        yield self._first[1][1]
+        for row in self._rest:
+            yield row[1][1]
+
+    def drain(self) -> None:
+        """Exhaust any unread tail so itertools.groupby can advance
+        to the next key run even when the reducer returned early."""
+        if not self._consumed:
+            self._consumed = True
+        for _ in self._rest:
+            pass
+
+
 def _input_rdd(spark, records, num_partitions):
     sc = spark.sparkContext
     if isinstance(records, DataFrame):
@@ -168,20 +220,34 @@ def _shuffle_reduce(
         # values land together), the within-partition sort orders by
         # (k, sortkey), and the reducer streams over consecutive
         # same-k runs. This is exactly how Hadoop implements it
-        # (grouping comparator over a composite key).
+        # (grouping comparator over a composite key). Keys and sort
+        # keys are wrapped in a cross-type total order
+        # (_total_order_key) so mixed None/str/int keys in one
+        # partition sort instead of raising data-layout-dependent
+        # TypeErrors (the groupByKey path only hashes, so it never
+        # had the constraint).
         from itertools import groupby
 
         from pyspark.rdd import portable_hash
 
-        comp = mapped.map(lambda kv: ((kv[0], sort_values_by(kv[1])), kv[1]))
+        comp = mapped.map(
+            lambda kv: (
+                (_total_order_key(kv[0]), _total_order_key(sort_values_by(kv[1]))),
+                kv,
+            )
+        )
         n = num_partitions or mapped.context.defaultParallelism
         part = comp.repartitionAndSortWithinPartitions(
             numPartitions=n, partitionFunc=lambda ck: portable_hash(ck[0])
         )
 
-        def reduce_runs(it: Iterator[tuple[KV, Any]]) -> Iterator[KV]:
-            for k, grp in groupby(it, key=lambda kv: kv[0][0]):
-                yield from reducer(k, (v for _, v in grp))
+        def reduce_runs(it: Iterator[tuple[Any, KV]]) -> Iterator[KV]:
+            for _, grp in groupby(it, key=lambda row: row[0][0]):
+                first = next(grp)
+                k = first[1][0]  # the ORIGINAL natural key, untagged
+                values = _OneShotValues(first, grp)
+                yield from reducer(k, values)
+                values.drain()  # keep the groupby cursor consistent
 
         return part.mapPartitions(reduce_runs)
     grouped = mapped.groupByKey(numPartitions=num_partitions)

@@ -1189,13 +1189,24 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- OHLC resampling (time-series bars) -----------------------------
 
+# The argmin/argmax struct carries a NULL-flag field BEFORE the value:
+# if two rows tie on (ts, event_id) — duplicate event ids are out of
+# contract (dedup_events exists to remove them) but reachable — the
+# engines would otherwise decide the tie on the value field itself,
+# where Spark orders NULL fields first and DuckDB last. The flag is a
+# never-NULL int, so the tie-break is engine-free: the non-NULL-value
+# row wins MIN (open), the NULL-value row wins MAX (close) —
+# arbitrary but DETERMINISTIC, and v is only ever compared between
+# two non-NULLs.
 _ORACLE_EVENTS_OHLC = """
 SELECT time_bucket(INTERVAL '30 minutes', ts) AS bar_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       (MIN(struct_pack(ts := ts, id := event_id, v := value))).v
+       (MIN(struct_pack(ts := ts, id := event_id,
+                        vn := CAST(value IS NULL AS INT), v := value))).v
            AS open_value,
-       (MAX(struct_pack(ts := ts, id := event_id, v := value))).v
+       (MAX(struct_pack(ts := ts, id := event_id,
+                        vn := CAST(value IS NULL AS INT), v := value))).v
            AS close_value,
        MAX(value) AS high_value,
        MIN(value) AS low_value,
@@ -1204,6 +1215,42 @@ FROM events
 WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+def ohlc_aggregate(events: DataFrame) -> DataFrame:
+    """The ONE OHLC aggregation expression tree, shared by the batch
+    ``events_ohlc`` operator and the streaming ``ohlc_bars`` twin —
+    a drifted copy would silently miss the next tie-break or
+    rounding fix (the ``_candidate_jaccard`` rule). Caller provides
+    an events-shaped frame (batch or watermarked stream)."""
+    pair = F.struct(
+        F.col("ts"),
+        F.col("event_id").alias("id"),
+        F.col("value").isNull().cast("int").alias("vn"),
+        F.col("value").alias("v"),
+    )
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min(pair).getField("v").alias("open_value"),
+            F.max(pair).getField("v").alias("close_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            dround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bar_start"),
+            "event_type",
+            "n_events",
+            "open_value",
+            "close_value",
+            "high_value",
+            "low_value",
+            "sum_value",
+        )
+    )
 
 
 @register("events_ohlc", _ORACLE_EVENTS_OHLC, tags=("temporal", "timeseries"))
@@ -1234,28 +1281,4 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``window()`` drops them silently; the oracle must not group
     them under a NULL bar).
     """
-    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    pair = F.struct(
-        F.col("ts"), F.col("event_id").alias("id"), F.col("value").alias("v")
-    )
-    return (
-        e.groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.min(pair).getField("v").alias("open_value"),
-            F.max(pair).getField("v").alias("close_value"),
-            F.max("value").alias("high_value"),
-            F.min("value").alias("low_value"),
-            dround(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").alias("bar_start"),
-            "event_type",
-            "n_events",
-            "open_value",
-            "close_value",
-            "high_value",
-            "low_value",
-            "sum_value",
-        )
-    )
+    return ohlc_aggregate(load(spark, sf_dir, "events"))

@@ -68,42 +68,21 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
 
 
 def ohlc_bars(events: DataFrame) -> DataFrame:
-    """Streaming twin of ``events_ohlc`` — per (30-minute bar, event
-    type): open/close by the tie-deterministic (ts, event_id, value)
-    struct argmin/argmax, high/low extremes, count, rounded sum.
+    """Streaming twin of ``events_ohlc`` — delegates to the SHARED
+    ``ohlc_aggregate`` expression tree (one place for every
+    tie-break/rounding fix; the ``_candidate_jaccard`` rule), applied
+    to a watermarked stream.
 
     State-bounded the same way every windowed aggregate here is: the
     watermark closes bars, so the store holds only open bars; the
-    struct min/max combine state is 3 fields per (bar, type) — the
-    same incremental merge the batch SortAggregate does map-side.
+    struct min/max combine state is 4 small fields per (bar, type) —
+    the same incremental merge the batch SortAggregate does map-side.
     NULL event times never reach the operator (the watermark drops
-    them — the batch twin filters them for the same contract).
+    them — the shared helper also filters them for the batch path).
     """
-    pair = F.struct(
-        F.col("ts"), F.col("event_id").alias("id"), F.col("value").alias("v")
-    )
-    return (
-        events.filter(F.col("ts").isNotNull())
-        .groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.min(pair).getField("v").alias("open_value"),
-            F.max(pair).getField("v").alias("close_value"),
-            F.max("value").alias("high_value"),
-            F.min("value").alias("low_value"),
-            dround(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").alias("bar_start"),
-            "event_type",
-            "n_events",
-            "open_value",
-            "close_value",
-            "high_value",
-            "low_value",
-            "sum_value",
-        )
-    )
+    from ..operators.temporal import ohlc_aggregate
+
+    return ohlc_aggregate(events)
 
 
 def sliding_sums(events: DataFrame) -> DataFrame:

@@ -39,8 +39,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
-    from parity_util import canon_frame
+    # the canonical comparator (column-set + dtype-kind + canonical
+    # values, with per-mismatch diagnostics) — never re-implemented
+    # here, so it cannot drift from the test suite's gate
+    from tests.parity_util import assert_frames_match
 
     bad = 0
     checked = 0
@@ -57,17 +59,17 @@ def main() -> int:
         try:
             spd = q.builder(spark, sf_dir).toPandas()
             dpd = con.execute(q.oracle).fetchdf()
-            # column-name parity first (the driver's hash is schema-
-            # sensitive; values-only comparison would miss a rename),
-            # then the order-insensitive canonical value compare
-            ok = sorted(spd.columns) == sorted(dpd.columns) and canon_frame(
-                spd
-            ) == canon_frame(dpd)
         except Exception as ex:  # noqa: BLE001 — audit must keep going
             print(f"{name} ERROR {str(ex)[:160]}")
             bad += 1
             continue
         checked += 1
+        try:
+            assert_frames_match(spd, dpd, name)
+            ok = True
+        except AssertionError as ex:
+            ok = False
+            print(f"{name} MISMATCH DETAIL {str(ex)[:400]}")
         print(
             f"{name} {'MATCH' if ok else 'MISMATCH'} "
             f"rows={len(spd)}/{len(dpd)} {time.time() - t0:.1f}s",

@@ -195,3 +195,57 @@ def test_run_mrjob_rejects_unknown_options(spark):
 
     with pytest.raises(TypeError):
         mr.run_mrjob(spark, mr.MRJob(), [(1, 1)], bogus=True)
+
+
+def test_secondary_sort_handles_mixed_type_keys(spark):
+    """Mixed None/str/int natural keys in ONE partition must sort
+    (cross-type total order) instead of raising a layout-dependent
+    TypeError; per-key value order must still hold."""
+
+    def mapper(_, kv):
+        yield kv
+
+    def reducer(k, values):
+        yield (k, list(values))
+
+    data = [
+        (None, ("a", 1)), (None, ("a", 3)),
+        (None, (2, 5)), (None, (2, 7)),
+        (None, (None, 9)), (None, (None, 4)),
+        (None, (1.5, 0)),
+    ]
+    got = dict(
+        mr.run_job(
+            spark, data, mapper, reducer,
+            sort_values_by=lambda v: v, num_partitions=1,
+        ).collect()
+    )
+    assert got["a"] == [1, 3]
+    assert got[2] == [5, 7]
+    assert got[None] == [4, 9]
+    assert got[1.5] == [0]
+
+
+def test_secondary_sort_values_are_loudly_single_pass(spark):
+    """A reducer iterating its streamed values twice must get a
+    RuntimeError, never a silent empty second pass."""
+
+    def mapper(_, v):
+        yield (v % 2, v)
+
+    def reducer(k, values):
+        total = sum(values)
+        try:
+            list(values)  # second pass — must raise
+        except RuntimeError:
+            yield (k, total)
+        else:  # pragma: no cover - the bug this test pins
+            yield (k, -1)
+
+    got = dict(
+        mr.run_job(
+            spark, [(None, i) for i in range(10)], mapper, reducer,
+            sort_values_by=lambda v: v,
+        ).collect()
+    )
+    assert got == {0: 20, 1: 25}

@@ -115,6 +115,13 @@ def adversarial_events_embeddings(tmp_path_factory):
             # ntile order (and NULL-sum paths in session/value ops)
             (9, "2024-03-02 08:00:00", 5, "purchase", None, None),
             (10, "2024-03-02 08:10:00", 5, "purchase", None, "{}"),
+            # DUPLICATE event_id at the SAME ts, one NULL value —
+            # out of contract (dedup_events removes dup ids) but
+            # reachable; pins the NULL-flagged struct tie-break in
+            # events_ohlc (engines would otherwise decide the tie on
+            # the value field, where NULL ordering diverges)
+            (99, "2024-03-03 10:00:00", 6, "view", None, None),
+            (99, "2024-03-03 10:00:00", 6, "view", 7.5, "{}"),
         ],
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )
