@@ -214,15 +214,27 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The as-of match is per event OCCURRENCE (physical row), not per
+# event_id: the oracle partitions on a synthesized per-row id so
+# duplicate event_ids — out of contract (dedup_events exists) but
+# reachable — keep their multiplicity exactly as the Spark timeline
+# does (each dup row matches independently and emits an identical
+# output row). The rid assignment is arbitrary but each row's match
+# depends only on (user_id, ts), so the result is deterministic.
 _ORACLE_JOIN_ASOF = """
+WITH e AS (
+    SELECT event_id, user_id, ts,
+           row_number() OVER (ORDER BY event_id, user_id, ts) AS rid
+    FROM events
+)
 SELECT event_id, user_id, ts, o_orderkey, o_orderdate
 FROM (
     SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
            ROW_NUMBER() OVER (
-               PARTITION BY e.event_id
+               PARTITION BY e.rid
                ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
            ) AS rn
-    FROM events e
+    FROM e
     LEFT JOIN orders o
       ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
 ) t
