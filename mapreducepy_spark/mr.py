@@ -36,6 +36,8 @@ actually an aggregation should graduate to ``reduceByKey`` via
 
 from __future__ import annotations
 
+import datetime as _dt
+import numbers
 from collections import defaultdict
 from collections.abc import Callable, Iterable, Iterator
 from typing import Any
@@ -135,17 +137,41 @@ def _combine_partition(
 
 def _total_order_key(x: Any):
     """A total order over arbitrary mixed-type keys: None first (the
-    NULLS FIRST convention), then all numerics by value (bool/int/
-    float interleave naturally), then everything else grouped by
-    class name and compared within class. Python3 refuses e.g.
-    None < 'a', so sorting raw mixed keys would crash only when they
-    happen to share a partition — a data-layout-dependent failure."""
+    NULLS FIRST convention), then all numerics by value, then
+    everything else grouped by a CANONICAL class and compared within
+    class. Python3 refuses e.g. None < 'a', so sorting raw mixed keys
+    would crash only when they happen to share a partition — a
+    data-layout-dependent failure.
+
+    Equality contract (ADVICE r4): the transformed key defines both
+    the partition hash and the reducer grouping on the secondary-sort
+    path, while the ``groupByKey`` path groups by raw-key ``==`` — so
+    transformed-key equality must match Python ``==`` or the two
+    ``run_job`` paths silently emit different groups. Hence the class
+    tag is CANONICALIZED, not ``type(x).__name__``: any
+    ``numbers.Number`` (Decimal, Fraction, numpy scalars, bool —
+    complex excluded, it has no order) joins the one numeric branch
+    where Decimal(1) == 1 == 1.0 group together exactly as a dict
+    would merge them; str/bytes subclasses collapse to their base;
+    datetime subclasses (e.g. pandas Timestamp) tag as "datetime".
+    For classes outside these families, grouping is (class-name,
+    value) — a documented, deliberate narrowing of ``==``."""
     if x is None:
         return (0,)
-    if isinstance(x, (int, float)):  # bool included (int subclass)
+    if isinstance(x, numbers.Number) and not isinstance(x, complex):
         return (1, x)
-    if isinstance(x, (tuple, list)):
-        return (2, type(x).__name__, tuple(_total_order_key(e) for e in x))
+    if isinstance(x, tuple):
+        return (2, "tuple", tuple(_total_order_key(e) for e in x))
+    if isinstance(x, list):
+        return (2, "list", tuple(_total_order_key(e) for e in x))
+    if isinstance(x, str):
+        return (2, "str", str(x))
+    if isinstance(x, bytes):
+        return (2, "bytes", bytes(x))
+    if isinstance(x, _dt.datetime):  # before date: datetime IS a date
+        return (2, "datetime", x)
+    if isinstance(x, _dt.date):
+        return (2, "date", x)
     return (2, type(x).__name__, x)
 
 

@@ -328,11 +328,19 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The struct carries a never-NULL idn flag ahead of the nullable id
+# (the events_ohlc rule, ADVICE r4): two rows tied on ts where one
+# id is NULL would otherwise be decided on the NULL field itself,
+# where Spark orders NULL struct fields first and DuckDB last.
 _ORACLE_AGG_MINMAX_BY = """
 SELECT event_type,
-       CAST((MIN(struct_pack(ts := ts, id := event_id))).id AS BIGINT)
+       CAST((MIN(struct_pack(ts := ts,
+                             idn := CAST(event_id IS NULL AS INT),
+                             id := event_id))).id AS BIGINT)
            AS first_event_id,
-       CAST((MAX(struct_pack(ts := ts, id := event_id))).id AS BIGINT)
+       CAST((MAX(struct_pack(ts := ts,
+                             idn := CAST(event_id IS NULL AS INT),
+                             id := event_id))).id AS BIGINT)
            AS last_event_id,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events
@@ -347,16 +355,23 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, no window sort (the two classic slower formulations).
 
     Determinism under ties, by construction: the aggregate is
-    MIN/MAX over the lexicographic (ts, event_id) STRUCT — both
-    engines order structs field-wise — so equal timestamps resolve
-    to the smallest/largest event_id instead of engine-arbitrary
-    ``min_by``/``arg_min`` picks. (The adversarial events sweep
-    produced exactly such a tie and the plain arg_min formulation
-    diverged; the struct form is the same one-pass plan with a
-    2-field combine state.)
+    MIN/MAX over the lexicographic (ts, idn, event_id) STRUCT —
+    both engines order structs field-wise, and the never-NULL idn
+    flag ahead of the nullable id keeps a NULL id from being the
+    deciding field (Spark orders NULL struct fields first, DuckDB
+    last) — so equal timestamps resolve deterministically instead
+    of engine-arbitrary ``min_by``/``arg_min`` picks. (The
+    adversarial events sweep produced exactly such ties — first an
+    equal-ts pair, then in round 5 a NULL-id-at-equal-ts pair —
+    and both plain formulations diverged; the flagged struct form
+    is the same one-pass plan with a 3-field combine state.)
     """
     e = load(spark, sf_dir, "events")
-    pair = F.struct(F.col("ts"), F.col("event_id").alias("id"))
+    pair = F.struct(
+        F.col("ts"),
+        F.col("event_id").isNull().cast("int").alias("idn"),
+        F.col("event_id").alias("id"),
+    )
     return e.groupBy("event_type").agg(
         F.min(pair).getField("id").cast("bigint").alias("first_event_id"),
         F.max(pair).getField("id").cast("bigint").alias("last_event_id"),

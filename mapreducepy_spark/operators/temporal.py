@@ -102,11 +102,11 @@ WITH flagged AS (
                   OR date_diff('microsecond', LAG(ts) OVER w, ts) > {_SESSION_GAP_US}
                 THEN 1 ELSE 0 END AS new_sess
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC NULLS FIRST)
 ), sess AS (
     SELECT user_id, ts, value,
            SUM(new_sess) OVER (
-               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS session_seq
     FROM flagged
@@ -131,7 +131,7 @@ def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the partitioning for the second window and any downstream
     user-keyed groupBy."""
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc_nulls_first())
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     flagged = e.withColumn(
         "new_sess",
@@ -360,7 +360,7 @@ _ORACLE_EVENTS_PATHS = """
 WITH ordered AS (
     SELECT user_id, event_type,
            LEAD(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC NULLS FIRST
            ) AS next_type
     FROM events
 )
@@ -386,7 +386,7 @@ def events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
+        F.col("ts").asc(), F.col("event_id").asc_nulls_first()
     )
     return (
         e.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
@@ -722,11 +722,11 @@ WITH flagged AS (
                   OR date_diff('microsecond', LAG(ts) OVER w, ts) > {_SESSION_GAP_US}
                 THEN 1 ELSE 0 END AS new_sess
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC NULLS FIRST)
 ), sess AS (
     SELECT user_id, ts,
            SUM(new_sess) OVER (
-               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS session_seq
     FROM flagged
@@ -811,7 +811,7 @@ WITH gaps AS (
     SELECT user_id,
            date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC NULLS FIRST)
 )
 SELECT user_id,
        CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
@@ -850,7 +850,7 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
+        F.col("ts").asc(), F.col("event_id").asc_nulls_first()
     )
     gaps = e.select(
         "user_id",
@@ -931,7 +931,7 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("user_id")
         .orderBy(
-            F.col("ts").asc(), is_view.desc(), F.col("event_id").asc()
+            F.col("ts").asc(), is_view.desc(), F.col("event_id").asc_nulls_first()
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -971,11 +971,11 @@ WITH flagged AS (
                   OR date_diff('microsecond', LAG(ts) OVER w, ts) > {_SESSION_GAP_US}
                 THEN 1 ELSE 0 END AS new_sess
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC NULLS FIRST)
 ), sess AS (
     SELECT user_id, event_type,
            SUM(new_sess) OVER (
-               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS session_seq
     FROM flagged
@@ -1189,28 +1189,40 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- OHLC resampling (time-series bars) -----------------------------
 
-# The argmin/argmax struct carries a NULL-flag field BEFORE the value:
-# if two rows tie on (ts, event_id) — duplicate event ids are out of
-# contract (dedup_events exists to remove them) but reachable — the
-# engines would otherwise decide the tie on the value field itself,
-# where Spark orders NULL fields first and DuckDB last. The flag is a
-# never-NULL int, so the tie-break is engine-free: the non-NULL-value
-# row wins MIN (open), the NULL-value row wins MAX (close) —
-# arbitrary but DETERMINISTIC, and v is only ever compared between
-# two non-NULLs.
+# The argmin/argmax struct carries a NULL-flag field BEFORE every
+# nullable field it might have to compare (idn before id, vn before
+# v): if two rows tie on ts where one has a NULL event_id — duplicate
+# event ids are out of contract (dedup_events exists to remove them)
+# but reachable, and a NULL id is plain nullable-column reality — the
+# engines would otherwise decide the tie on the NULL field itself,
+# where Spark orders NULL struct fields first and DuckDB last. Each
+# flag is a never-NULL int, so every comparison either resolves on a
+# flag or compares two non-NULLs — engine-free, arbitrary but
+# DETERMINISTIC (ADVICE r4: the vn treatment, applied one field
+# earlier to id as well).
+#
+# sum_value is summed in exact integer centi-units per row (the
+# agg_top_revenue discipline): float addition is non-associative, so
+# rounding a double SUM after the fact lets Spark's partition-order
+# partials land an ulp away from DuckDB's sequential sum and flip the
+# final cent at scale. floor(v*100+0.5) per row is exact BIGINT; the
+# one division by 100.0 at the end is deterministic IEEE.
 _ORACLE_EVENTS_OHLC = """
 SELECT time_bucket(INTERVAL '30 minutes', ts) AS bar_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       (MIN(struct_pack(ts := ts, id := event_id,
+       (MIN(struct_pack(ts := ts,
+                        idn := CAST(event_id IS NULL AS INT), id := event_id,
                         vn := CAST(value IS NULL AS INT), v := value))).v
            AS open_value,
-       (MAX(struct_pack(ts := ts, id := event_id,
+       (MAX(struct_pack(ts := ts,
+                        idn := CAST(event_id IS NULL AS INT), id := event_id,
                         vn := CAST(value IS NULL AS INT), v := value))).v
            AS close_value,
        MAX(value) AS high_value,
        MIN(value) AS low_value,
-       (floor((SUM(value)) * 100.0 + 0.5) / 100.0) AS sum_value
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+           AS sum_value
 FROM events
 WHERE ts IS NOT NULL
 GROUP BY 1, 2
@@ -1225,10 +1237,12 @@ def ohlc_aggregate(events: DataFrame) -> DataFrame:
     an events-shaped frame (batch or watermarked stream)."""
     pair = F.struct(
         F.col("ts"),
+        F.col("event_id").isNull().cast("int").alias("idn"),
         F.col("event_id").alias("id"),
         F.col("value").isNull().cast("int").alias("vn"),
         F.col("value").alias("v"),
     )
+    val_cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
     return (
         events.filter(F.col("ts").isNotNull())
         .groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
@@ -1238,7 +1252,7 @@ def ohlc_aggregate(events: DataFrame) -> DataFrame:
             F.max(pair).getField("v").alias("close_value"),
             F.max("value").alias("high_value"),
             F.min("value").alias("low_value"),
-            dround(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(val_cents).cast("double") / 100.0).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("bar_start"),
@@ -1272,11 +1286,13 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join.
 
     Determinism under ties (the ``agg_minmax_by`` rule): open/close
-    are MIN/MAX over the lexicographic (ts, event_id, value) STRUCT,
-    so equal timestamps resolve by event_id on both engines —
-    ``first_value`` over an under-specified sort would be
-    engine-arbitrary. high/low/count are exact picks; the one
-    summed double is rounded with the shared ``dround`` formula.
+    are MIN/MAX over the lexicographic (ts, idn, event_id, vn, value)
+    STRUCT — NULL-flag ints ahead of each nullable field, so equal
+    timestamps resolve by event_id on both engines even when an id is
+    NULL — ``first_value`` over an under-specified sort would be
+    engine-arbitrary. high/low/count are exact picks; sum_value is
+    summed in exact integer cents per row (never a rounded double
+    SUM — partition-order float addition could flip the last cent).
     NULL-timestamp rows are excluded symmetrically (Spark's
     ``window()`` drops them silently; the oracle must not group
     them under a NULL bar).

@@ -100,7 +100,8 @@ SELECT event_id, user_id, ts,
        LAG(event_id) OVER w AS prev_event_id,
        date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC NULLS FIRST)
 """
 
 
@@ -111,9 +112,14 @@ def win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     The gap is computed in integer microseconds (``unix_micros``)
     because the fixture ``ts`` is ns-precision parquet truncated to
     µs by both engines — integer math sidesteps float epoch issues.
+    The event_id tie-break is pinned NULLS FIRST on both engines
+    (Spark's ASC default vs DuckDB's NULLS LAST — the r5 sweep's
+    NULL-id-at-equal-ts rows diverged here before the pin).
     """
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc_nulls_first()
+    )
     prev_ts = F.lag("ts").over(w)
     return e.select(
         "event_id",

@@ -226,6 +226,40 @@ def test_secondary_sort_handles_mixed_type_keys(spark):
     assert got[1.5] == [0]
 
 
+def test_secondary_sort_key_equality_matches_python_eq(spark):
+    """ADVICE r4: keys of different classes that compare equal under
+    Python == (Decimal(1) vs 1 vs True, a str subclass vs str) must
+    land in ONE group on the secondary-sort path, exactly as the
+    groupByKey path merges them — the two run_job paths may not
+    silently emit different groups for the same logical key."""
+    from decimal import Decimal
+
+    class MyStr(str):
+        pass
+
+    def mapper(_, kv):
+        yield kv
+
+    def reducer(k, values):
+        yield (k, sorted(values))
+
+    data = [
+        (None, (Decimal(1), "d")), (None, (1, "i")), (None, (1.0, "f")),
+        (None, (True, "b")),
+        (None, (MyStr("x"), "sub")), (None, ("x", "plain")),
+    ]
+    sorted_path = dict(
+        mr.run_job(
+            spark, data, mapper, reducer,
+            sort_values_by=lambda v: v, num_partitions=4,
+        ).collect()
+    )
+    grouped_path = dict(mr.run_job(spark, data, mapper, reducer).collect())
+    assert sorted_path == grouped_path
+    assert sorted_path[1] == ["b", "d", "f", "i"]
+    assert sorted_path["x"] == ["plain", "sub"]
+
+
 def test_secondary_sort_values_are_loudly_single_pass(spark):
     """A reducer iterating its streamed values twice must get a
     RuntimeError, never a silent empty second pass."""

@@ -122,9 +122,19 @@ def adversarial_events_embeddings(tmp_path_factory):
             # the value field, where NULL ordering diverges)
             (99, "2024-03-03 10:00:00", 6, "view", None, None),
             (99, "2024-03-03 10:00:00", 6, "view", 7.5, "{}"),
+            # TWO rows tied on ts where ONE has a NULL event_id —
+            # ADVICE r4: without the idn flag the events_ohlc struct
+            # tie would be decided on the NULL id field itself, where
+            # Spark orders NULL struct fields first and DuckDB last.
+            # DIFFERENT types/values so order-dependent outputs
+            # (paths, lead/lag, streaks) actually diverge when an
+            # ORDER BY ts, event_id lacks the NULLS FIRST pin.
+            (None, "2024-03-04 11:00:00", 7, "view", 3.0, None),
+            (100, "2024-03-04 11:00:00", 7, "click", 9.0, "{}"),
         ],
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )
+    ev["event_id"] = ev["event_id"].astype("Int64")  # int64 + NULL, not float
     ev["ts"] = pd.to_datetime(ev["ts"])
     ev.to_parquet(d / "events.parquet", index=False)
     emb = pd.DataFrame(
