@@ -106,17 +106,58 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a table, guaranteeing at least one partition per core.
+# Below this input size the spread can never pay for itself for a
+# ~single-pass operator: the round-robin exchange + extra stage +
+# the plan→RDD partition probe cost a fixed ~0.5–0.7 s here, while
+# tokenizing this many SOURCE bytes single-core costs less (measured
+# round 5, sf0.1 documents = 594 KB single-row-group: spreading
+# DOUBLED text_tfidf, 1.59 s vs 0.83 s, and cost 1.3–1.6× across the
+# whole text family and embed_covariance; interleaved min-of-5).
+_SPREAD_MIN_BYTES = 32 << 20  # 32 MiB
+
+
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str, min_bytes: int = _SPREAD_MIN_BYTES
+) -> DataFrame:
+    """Load a table, guaranteeing at least one partition per core —
+    but only when the input is big enough for the spread to win.
 
     CPU-heavy operators (shingling, hashing, explode) must never run
     single-task just because the input arrived as one small file /
     one parquet row-group. If the scan already splits wide — the
     normal case at scale, where `maxPartitionBytes` gives thousands
     of splits — this is a no-op; the round-robin repartition only
-    fires for narrow scans, where its shuffle is trivially cheap.
+    fires for narrow scans.
+
+    ``min_bytes`` gates the spread on the on-disk input size:
+
+    - default (``_SPREAD_MIN_BYTES``): a narrow scan SMALLER than
+      this skips the spread entirely (including the plan→RDD
+      partition probe) — for ~single-CPU-pass-per-byte operators
+      (tokenize, profile, fingerprint) the exchange costs more than
+      the single task it parallelizes at that size;
+    - ``min_bytes=0``: always spread a narrow scan — for operators
+      whose CPU cost per input byte is large and super-linear in the
+      fan-out (MinHash: 64 hashes × every shingle; shingle-pair
+      joins), where even a 600 KB input carries multi-second CPU
+      work (measured: the MinHash/LSH family runs 2–3× FASTER with
+      the spread at sf0.1).
+
+    When the size is unknowable cheaply (directory datasets at real
+    scale), fall through to the partition probe — those scans split
+    wide on their own and the probe returns the no-op path.
     """
     df = load(spark, sf_dir, name)
+    if min_bytes:
+        try:
+            import os
+
+            path = f"{sf_dir}/{name}.parquet"
+            size = os.path.getsize(path) if os.path.isfile(path) else None
+        except OSError:
+            size = None
+        if size is not None and size < min_bytes:
+            return df
     n_cores = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < n_cores:
         df = df.repartition(n_cores)

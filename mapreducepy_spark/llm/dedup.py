@@ -133,7 +133,10 @@ def _minhash_table(
     if shingles is not None:
         sh = shingles.select("doc_id", F.md5("shingle").alias("h"))
     else:
-        docs = load_spread(spark, sf_dir, "documents")
+        # min_bytes=0: MinHash/shingle fan-out is CPU-dense per input
+        # byte (8 hash rotations x every shingle / pair joins) — spread
+        # always (measured 2–3x faster even on a 594 KB input)
+        docs = load_spread(spark, sf_dir, "documents", min_bytes=0)
         # no .distinct() before the min-aggregation: min() is duplicate-
         # insensitive, so deduplicating (doc_id, h) first would only add
         # a full shuffle of the exploded shingle set for the same result
@@ -487,7 +490,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra corpus explode passes with block reads — same rationale as
     ``dedup_jaccard_capped``.
     """
-    docs = load_spread(spark, sf_dir, "documents")
+    # min_bytes=0: MinHash/shingle fan-out is CPU-dense per input
+    # byte (8 hash rotations x every shingle / pair joins) — spread
+    # always (measured 2–3x faster even on a 594 KB input)
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=0)
     sh = docs.select(
         "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
     ).distinct().localCheckpoint()
@@ -593,7 +599,10 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncapped operator's 1.97 s, from exactly this recompute —
     VERDICT.md r2 "What's wrong" #3).
     """
-    docs = load_spread(spark, sf_dir, "documents")
+    # min_bytes=0: MinHash/shingle fan-out is CPU-dense per input
+    # byte (8 hash rotations x every shingle / pair joins) — spread
+    # always (measured 2–3x faster even on a 594 KB input)
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=0)
     sh0 = docs.select(
         "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
     ).distinct().localCheckpoint()
@@ -783,7 +792,10 @@ def _candidate_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits ``jac_raw`` (full double, for threshold verdicts on the
     unrounded value) and ``jaccard`` (micro-unit rounded, the
     emitted/banded form)."""
-    docs = load_spread(spark, sf_dir, "documents")
+    # min_bytes=0: MinHash/shingle fan-out is CPU-dense per input
+    # byte (8 hash rotations x every shingle / pair joins) — spread
+    # always (measured 2–3x faster even on a 594 KB input)
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=0)
     sh = docs.select(
         "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
     ).distinct().localCheckpoint()
@@ -864,7 +876,10 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregate. Same blocklist-broadcast shape as
     ``text_decontaminate``, with counts instead of existence.
     """
-    docs = load_spread(spark, sf_dir, "documents")
+    # min_bytes=0: the shingle explode + distinct is CPU-dense per
+    # input byte — spreading wins 2x even on a 594 KB input
+    # (round-5 interleaved measurement)
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=0)
     h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     tagged = docs.withColumn("is_eval", h2 < _EVAL_CUT)
     # The index is materialized ONCE: it feeds both the eval
@@ -1310,7 +1325,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-int-divided-once, dround 1e-6, and the threshold compare
     runs on the UNROUNDED double on both engines.
     """
-    docs = load_spread(spark, sf_dir, "documents")
+    # min_bytes=0: MinHash/shingle fan-out is CPU-dense per input
+    # byte (8 hash rotations x every shingle / pair joins) — spread
+    # always (measured 2–3x faster even on a 594 KB input)
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=0)
     # the raw index is checkpointed ONCE and the capped join is
     # recomputed per subtree from block reads — the exact
     # dedup_jaccard_capped structure (its docstring has the measured

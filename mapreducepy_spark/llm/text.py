@@ -80,11 +80,16 @@ CROSS JOIN n
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 — TF-IDF per (document, term): tf × ln(N/df).
 
-    Scale: ONE token explode. The tf table already holds one row per
-    (doc, word), so document frequency is a plain count over tf —
-    deriving df from tf instead of a second explode+countDistinct
-    halves the tokenization work and shrinks the df aggregation's
-    input from all tokens to distinct (doc, word) pairs. The
+    Scale: df derives from the tf table (one row per (doc, word)),
+    so the df aggregation's input is distinct pairs, not all tokens.
+    The corpus-sharing story is SIZE-DEPENDENT, by measurement:
+    above ``load_spread``'s gate the round-robin exchange is the
+    shared subtree both consumers reuse (ReusedExchange — one scan,
+    plan-pinned in tests/test_plans.py under a forced spread), which
+    is the plan you want at 100 TB; below the gate Catalyst prunes
+    tf's count out of the df subtree and re-tokenizes — and the
+    second pass over a sub-32-MiB input is measurably cheaper than
+    the exchange it would avoid (0.51 s vs 1.31 s at sf0.1). The
     vocabulary-sized df table broadcasts to the tf side (no shuffle
     of the big side); N is a scalar cross join (1 row).
     """
@@ -316,7 +321,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a cheap near-dup blocking key. Scale: explode + min-aggregate,
     shuffle O(docs).
     """
-    docs = load_spread(spark, sf_dir, "documents")
+    # min_bytes=0: the n-gram/rolling-hash explode is CPU-dense
+    # per input byte — spreading wins ~3x even on a 594 KB input
+    # (round-5 bench diff)
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=0)
     sh = docs.select("doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle"))
     return sh.groupBy("doc_id").agg(
         F.substring(F.min(F.md5("shingle")), 1, 16).alias("fingerprint")
@@ -567,7 +575,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically smallest bigram among those at the max count,
     identical on both engines.
     """
-    docs = load_spread(spark, sf_dir, "documents")
+    # min_bytes=0: the n-gram/rolling-hash explode is CPU-dense
+    # per input byte — spreading wins ~3x even on a 594 KB input
+    # (round-5 bench diff)
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=0)
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
     d = d.withColumn(
@@ -879,7 +890,10 @@ def text_charlm(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded identically on both sides (Spark's sequence(1, 0) would
     count DOWN — the guard is semantic, not cosmetic).
     """
-    docs = load_spread(spark, sf_dir, "documents").filter(
+    # min_bytes=0: the char-bigram explode fans every input byte into
+    # a row — CPU-dense enough that spreading wins 2x even on a
+    # 594 KB input (round-5 interleaved measurement)
+    docs = load_spread(spark, sf_dir, "documents", min_bytes=0).filter(
         F.length("text") >= 2
     )
     tb = (

@@ -64,126 +64,86 @@ _MODULES = (
 # Explicit catalog order. The driver evaluates ``queries()`` front to
 # back under a bounded budget (every round so far stopped at exactly
 # the first 50 catalog keys), so ordering is evidence policy, not
-# cosmetics. Current policy (VERDICT r3 work order #2/#3 + SURVEY §8
-# window plan):
+# cosmetics. Current policy (VERDICT r4 work orders #1/#3 + SURVEY §8
+# round-8 window plan):
 #
-# - the 8 keys NEW this session (round-7 build) come first: the
-#   iterated-MR graph family (graph_pagerank, graph_knn_triangles),
-#   the Q15/Q20 decorrelation shapes, the chunking / quantization /
-#   threshold-sweep LLM cards, and the OHLC resampler — zero driver
-#   evidence;
-# - then the 7 round-6-build keys (5 TPC-H subquery shapes,
-#   text_bpe_pairs, embed_covariance) and the 16 round-5-build keys
-#   (agg_count_histogram … embed_bucket_purity) — also still zero
-#   driver evidence;
-# - then the 3 rows-only-by-design keys (agg_approx_distinct,
-#   sample_fraction, sample_stratified): their only driver rows ever
-#   are r1 ``err: "no_oracle"`` — one window slot each to learn
-#   whether the driver can record a rows-only pass (work order #3);
-# - then the 13 keys whose only green rows date from round 1
-#   (displaced by round 4's new operators) — oldest evidence first;
-# - the remaining 3 slots hold the keys whose CODE this session
-#   touched and that don't already sit above (win_running,
-#   agg_quantile_disc, join_asof — the adversarial-sweep fixes).
-#   This session's 8 new + 3 touched keys displaced the round-6
-#   touched block (scan_profile, fn_regex, agg_minmax_by, sim_knn,
-#   dedup_embedding + the 5 LSH-machinery riders + dedup_exact)
-#   past position 50 — each rests on a green r2/r3 driver row AND
-#   fresh full-catalog local parity (the /verify replay runs every
-#   key, not just the window), so what the budget cuts is
-#   locally-proven ground; they lead the next refresh rotation;
-# - the tail holds only keys with green round-2/3 rows.
+# - first, every key whose CODE or ORACLE this session touched
+#   (zero evidence newer than the code): the NULL-event_id hardening
+#   family — idn-flagged argmin/argmax structs (events_ohlc,
+#   agg_minmax_by), NULLS FIRST pins on every ts,event_id ordering
+#   (win_lead_lag, win_session, events_session_stats, events_paths,
+#   events_inter_arrival, events_attribution, events_cooccurrence),
+#   and the OHLC exact-cents sum;
+# - then the 4 keys whose code was touched in PRIOR sessions but
+#   displaced before the driver re-reached them (scan_profile's
+#   approx param, fn_regex's cast guard, sim_knn's and
+#   dedup_embedding's norm-validity predicate);
+# - then the 6 LSH-machinery riders displaced two sessions ago
+#   (shared _candidate_jaccard refactor) — green r2/r3 rows + fresh
+#   local parity, but the code is newer than the driver evidence;
+# - the remaining slots refresh the oldest round-2-evidence block,
+#   in its long-standing order (dedup_simhash … fn_json). The 7 r2
+#   keys that don't fit (fn_levenshtein … win_range_frame) plus the
+#   r3/r4-green tail rotate next round.
+# - PARKED AT THE VERY TAIL, permanently: the 3 rows-only-by-design
+#   keys (agg_approx_distinct, sample_fraction, sample_stratified).
+#   Rounds 1 AND 4 both recorded ``err: "no_oracle"`` with live
+#   spark_rows — the protocol structurally cannot express a
+#   rows-only pass, so windowing them again only burns evidence
+#   slots (VERDICT r4 work order #3). Their correctness lives in
+#   pytest (seeded-RNG determinism + bound checks).
 #
 # ``load_catalog`` reorders the registry to this sequence and RAISES
 # if any registered key is missing from it (round-2 postmortem: five
 # keys silently fell to the alphabetical tail, outside any evidence
 # window); tests/test_sql.py additionally pins the two lists equal.
 _KEY_ORDER = (
-    # the 8 keys new this session (round-7 build / driver round 4) —
-    # zero driver evidence: the iterated-MR graph family first
-    "graph_pagerank", "graph_knn_triangles",
-    "agg_top_revenue", "join_nested_semi",
-    "text_chunk_overlap", "embed_quantize_error", "dedup_threshold_sweep",
-    "events_ohlc",
-    # new in the round-6 build session — zero driver evidence
-    "join_groupagg_in", "join_disjunctive", "agg_global_share",
-    "join_anti_scalar", "join_exists_chain",
-    "text_bpe_pairs", "embed_covariance",
-    # new in the previous session — zero driver evidence
-    "agg_count_histogram", "embed_dim_stats", "corpus_mixture_apply",
-    "dedup_containment", "events_rfm", "docs_corpus_card",
-    "sim_ann_recall", "agg_key_skew", "agg_correlated_scalar",
-    "pipeline_mixture_manifest",
-    "lsh_band_stats", "docs_source_profile", "corpus_mixture_plan",
-    "text_vocab_coverage", "dedup_prefix", "embed_bucket_purity",
-    # rows-only by design (approximation / RNG — no DuckDB oracle
-    # possible): windowed once to convert r1 "err: no_oracle" into
-    # recorded driver evidence, or to document that the protocol
-    # cannot express a rows-only pass
-    "agg_approx_distinct", "sample_fraction", "sample_stratified",
-    # round-1-only evidence — the oldest rows in the ledger
-    "sort_limit", "set_union", "set_intersect", "set_except",
-    "win_ntile", "win_dist", "topk_per_group", "agg_pivot",
-    "agg_cube", "agg_grouping_sets", "agg_rollup", "agg_stats",
-    "join_full",
-    # code touched THIS session — re-prove: the TPC-H adversarial
-    # sweep's NULL-ordering fixes (Spark ASC = NULLS FIRST vs DuckDB
-    # default NULLS LAST) pinned explicit ordering in win_running's /
-    # agg_gini's oracles and excluded NULL measures from
-    # agg_quantile_disc's rank pick. win_ntile / win_dist /
-    # agg_key_skew / events_rfm rode the same fix but already sit in
-    # the window above.
-    # join_asof carries the one REAL behavior fix of the sweep hunt
-    # (NULL-key orders no longer carry onto NULL-user events);
-    # agg_gini's change was an oracle-text ordering pin only and it
-    # holds a green r3 row, so it yields its slot to the fresher risk
-    "win_running", "agg_quantile_disc", "join_asof",
-    # ---- position 50 = join_asof: the window ends exactly here
-    # (8 new + 7 r6-new + 16 r5-new + 3 rows-only + 13 r1-stale
-    # + 3 touched-this-session = 50). Everything below is OUTSIDE
-    # the driver window and rests on a green round-2/3 driver row
-    # plus fresh full-catalog local verify: first the round-6
-    # touched block (scan_profile's approx path, fn_regex's cast
-    # guard, agg_minmax_by's struct argmin, sim_knn's norm
-    # predicate, the LSH riders — displaced by this session's 8 new
-    # keys + 3 touched; they lead the next refresh rotation), then
-    # the r2/r3-green tail.
-    "agg_gini",
-    "scan_profile", "fn_regex", "agg_minmax_by",
-    "sim_knn",
-    "dedup_embedding",
+    # touched THIS session (round-8 build / driver round 5): the
+    # NULL-event_id hardening — re-prove before anything else
+    "events_ohlc", "agg_minmax_by", "win_lead_lag",
+    "win_session", "events_session_stats", "events_paths",
+    "events_inter_arrival", "events_attribution", "events_cooccurrence",
+    # touched in prior sessions, displaced before the driver
+    # re-reached them — code newer than last driver row
+    "scan_profile", "fn_regex", "sim_knn", "dedup_embedding",
+    # the LSH-machinery riders (shared _candidate_jaccard refactor)
     "dedup_near", "dedup_clusters", "dedup_near_verified",
-    "dedup_minhash_est", "dedup_survivors_verified",
-    "dedup_exact",
+    "dedup_minhash_est", "dedup_survivors_verified", "dedup_exact",
+    # oldest round-2-evidence block, long-standing refresh order
     "dedup_simhash", "dedup_ngram_jaccard",
     "sim_ann_lsh", "sim_ann_ivf",
     "text_stats", "text_tfidf",
     "agg_group",
     "multimodal_cols",
     "text_quality", "text_langid", "text_tokens", "text_fingerprint",
-    "win_session", "win_tumbling", "win_sliding",
+    "win_tumbling", "win_sliding",
     "events_funnel", "rollup_multires", "join_range_binned",
     "sample_hash_fraction", "sample_hash_stratified",
     "join_inner", "agg_count_distinct",
     "scan_project", "scan_count", "json_extract",
     "filter_pred", "project_expr", "distinct_rows",
     "fn_string", "fn_date", "fn_conditional", "fn_json",
+    # ---- position 50 = fn_json: the window ends exactly here
+    # (9 touched + 4 prior-touched + 6 riders + 31 r2-refresh = 50).
+    # Everything below is OUTSIDE the driver window: first the 7 r2
+    # keys that didn't fit (they lead the round-6 refresh), then the
+    # r3/r4-green tail, then the parked no-oracle keys.
     "fn_levenshtein", "fn_math", "fn_array",
     "agg_having", "win_rank",
-    "join_theta_range", "win_lead_lag", "win_range_frame",
-    # r3-green (fresh driver evidence from the round-4 window)
+    "join_theta_range", "win_range_frame",
+    # r3/r4-green (fresh driver evidence from the r3/r4 windows)
+    "agg_gini",
     "agg_histogram", "dedup_keep_first",
     "join_skew_salted", "text_decontaminate",
     "join_left", "join_multi", "join_semi", "join_anti",
     "agg_collect",
-    "events_entropy", "events_session_stats",
+    "events_entropy",
     "text_charlm", "text_zipf", "text_length_profile",
     "dedup_cross_source", "pipeline_clean_corpus",
-    "events_inter_arrival", "text_hapax", "events_attribution",
-    "events_cooccurrence",
+    "text_hapax",
     "text_pack_sequences", "text_bigrams", "text_quality_filter",
     "embed_norm_bins",
-    "events_retention", "events_paths", "win_streak",
+    "events_retention", "win_streak",
     "agg_weighted_avg", "agg_mode",
     "text_contamination_ngram", "sample_split",
     "text_repetition", "text_oov_rate", "events_anomaly",
@@ -191,6 +151,26 @@ _KEY_ORDER = (
     "text_keywords", "text_perplexity_proxy",
     "agg_pareto", "events_user_lifecycle",
     "dedup_jaccard_capped",
+    "graph_pagerank", "graph_knn_triangles",
+    "agg_top_revenue", "join_nested_semi",
+    "text_chunk_overlap", "embed_quantize_error", "dedup_threshold_sweep",
+    "join_groupagg_in", "join_disjunctive", "agg_global_share",
+    "join_anti_scalar", "join_exists_chain",
+    "text_bpe_pairs", "embed_covariance",
+    "agg_count_histogram", "embed_dim_stats", "corpus_mixture_apply",
+    "dedup_containment", "events_rfm", "docs_corpus_card",
+    "sim_ann_recall", "agg_key_skew", "agg_correlated_scalar",
+    "pipeline_mixture_manifest",
+    "lsh_band_stats", "docs_source_profile", "corpus_mixture_plan",
+    "text_vocab_coverage", "dedup_prefix", "embed_bucket_purity",
+    "sort_limit", "set_union", "set_intersect", "set_except",
+    "win_ntile", "win_dist", "topk_per_group", "agg_pivot",
+    "agg_cube", "agg_grouping_sets", "agg_rollup", "agg_stats",
+    "join_full",
+    "win_running", "agg_quantile_disc", "join_asof",
+    # parked permanently (see policy comment above): the protocol
+    # records "err: no_oracle" for these — proven in r1 AND r4
+    "agg_approx_distinct", "sample_fraction", "sample_stratified",
 )
 
 
