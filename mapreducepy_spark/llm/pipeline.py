@@ -26,7 +26,9 @@ from .text import (
     _QF_MAX_AVG_LEN,
     _QF_MIN_TOKENS,
     _QF_MIN_TTR,
+    quality_gate_pred,
     quality_kept_docs,
+    quality_signals,
 )
 
 # CTE chain ending in ``clean`` (survivors of quality gate + eval
@@ -171,6 +173,154 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return clean.select(
         "doc_id", "lang", "source", "n_tokens", split.alias("split")
+    )
+
+
+# --- drop-decision audit trail --------------------------------------
+
+# Reason priority mirrors the cleaning pipeline's stage order exactly
+# (quality inner-join first, then eval exclusion, then blocklist
+# anti-join, then the dedup keeper pick) so the 'kept' rows of this
+# audit are BY CONSTRUCTION the rows `pipeline_clean_corpus` emits —
+# pinned by a test, not convention.
+_ORACLE_PIPELINE_DROP_EXPLAIN = f"""
+WITH ptoks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT word) AS DOUBLE) / COUNT(*) AS ttr,
+           AVG(CAST(length(word) AS DOUBLE)) AS avg_len
+    FROM ptoks WHERE word <> ''
+    GROUP BY doc_id
+),
+sig AS (
+    SELECT d.doc_id, d.source,
+           substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) AS h2,
+           md5(d.text) AS text_hash,
+           COALESCE(p.n_tokens >= {_QF_MIN_TOKENS}
+                    AND p.ttr >= {_QF_MIN_TTR}
+                    AND p.avg_len <= {_QF_MAX_AVG_LEN}, FALSE) AS q_ok
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+),
+block AS (
+    SELECT DISTINCT md5(text) AS text_hash
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_EVAL_CUT}'
+),
+flags AS (
+    SELECT s.*,
+           s.h2 < '{_EVAL_CUT}' AS is_eval,
+           EXISTS (SELECT 1 FROM block b WHERE b.text_hash = s.text_hash)
+               AS is_contam
+    FROM sig s
+),
+ranked AS (
+    SELECT f.*,
+           MIN(CASE WHEN q_ok AND NOT is_eval AND NOT is_contam
+                    THEN doc_id END)
+               OVER (PARTITION BY text_hash) AS keeper_id
+    FROM flags f
+)
+SELECT doc_id, source,
+       CASE WHEN NOT q_ok THEN 'quality'
+            WHEN is_eval THEN 'eval_split'
+            WHEN is_contam THEN 'contaminated'
+            WHEN doc_id <> keeper_id THEN 'exact_dup'
+            ELSE 'kept' END AS reason,
+       CASE WHEN q_ok AND NOT is_eval AND NOT is_contam
+                 AND doc_id <> keeper_id THEN keeper_id END AS dup_of,
+       CASE WHEN q_ok AND NOT is_eval AND NOT is_contam
+                 AND doc_id = keeper_id THEN {_SPLIT_CASE} END AS split
+FROM ranked
+"""
+
+
+@register(
+    "pipeline_drop_explain", _ORACLE_PIPELINE_DROP_EXPLAIN,
+    tags=("llm", "pipeline", "audit"),
+)
+def pipeline_drop_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document drop-decision audit: for EVERY document, the
+    first cleaning rule that removes it from the training manifest —
+    ``quality`` (fails the C4 gate, including empty/NULL text),
+    ``eval_split`` (held out by hash), ``contaminated`` (text digest
+    collides with the eval set), ``exact_dup`` (a kept doc owns its
+    digest — ``dup_of`` names the keeper), or ``kept`` (with its
+    train/val/test split). This is the audit trail a production
+    pipeline ships beside the manifest: "why did my document
+    disappear" answered per row, and the reason histogram is one
+    groupBy away. The 'kept' rows are BY CONSTRUCTION exactly
+    ``pipeline_clean_corpus``'s output (same shared gate expressions,
+    same stage priority, keeper = min doc_id per digest ≡ the rn=1
+    window pick) — pinned by a test.
+
+    Scale: the same ledger as ``pipeline_clean_corpus`` — one
+    corpus explode+agg for the quality signals (LEFT-joined back so
+    failures stay visible), one broadcast blocklist probe (flagged
+    left join instead of anti-join — same broadcast-size argument),
+    and ONE digest-keyed window carrying the keeper pick (an
+    orderBy-free MIN frame — hash shuffle, no sort needed beyond the
+    window's partition clustering). The reason/priority logic is a
+    zero-shuffle narrow projection. NULL text hashes to a NULL
+    digest, which no equality can match (both engines) — such docs
+    are 'quality' failures before the digest ever matters, and the
+    keeper MIN over the NULL-digest partition is NULL because
+    no-token docs are never eligible.
+
+    Hash parity: md5 digests, integer thresholds on identically
+    computed doubles (the quality_kept_docs precedent), MIN over
+    BIGINT doc_id, and string CASE labels — no floats emitted.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_spread(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    sig = (
+        docs.select("doc_id", "source", "text")
+        .join(quality_signals(docs), "doc_id", "left")
+        .withColumn("q_ok", F.coalesce(quality_gate_pred(), F.lit(False)))
+        .withColumn("h2", h2)
+        .withColumn("text_hash", F.md5("text"))
+    )
+    block = (
+        docs.filter(h2 < _EVAL_CUT)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+        .withColumn("in_block", F.lit(True))
+    )
+    flags = (
+        sig.withColumn("is_eval", F.col("h2") < _EVAL_CUT)
+        .join(F.broadcast(block), "text_hash", "left")
+        .withColumn("is_contam", F.coalesce(F.col("in_block"), F.lit(False)))
+    )
+    eligible = F.col("q_ok") & ~F.col("is_eval") & ~F.col("is_contam")
+    keeper = F.min(F.when(eligible, F.col("doc_id"))).over(
+        Window.partitionBy("text_hash")
+    )
+    ranked = flags.withColumn("keeper_id", keeper)
+    reason = (
+        F.when(~F.col("q_ok"), "quality")
+        .when(F.col("is_eval"), "eval_split")
+        .when(F.col("is_contam"), "contaminated")
+        .when(F.col("doc_id") != F.col("keeper_id"), "exact_dup")
+        .otherwise("kept")
+    )
+    split = (
+        F.when(F.col("h2") < _SPLIT_TRAIN_CUT, "train")
+        .when(F.col("h2") < _SPLIT_VAL_CUT, "val")
+        .otherwise("test")
+    )
+    is_dup = eligible & (F.col("doc_id") != F.col("keeper_id"))
+    is_kept = eligible & (F.col("doc_id") == F.col("keeper_id"))
+    return ranked.select(
+        "doc_id",
+        "source",
+        reason.alias("reason"),
+        F.when(is_dup, F.col("keeper_id")).alias("dup_of"),
+        F.when(is_kept, split).alias("split"),
     )
 
 

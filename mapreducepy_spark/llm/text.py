@@ -473,29 +473,45 @@ WHERE p.n_tokens >= {_QF_MIN_TOKENS}
 """
 
 
-def quality_kept_docs(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, ttr, avg_len) of the documents that survive
-    the C4-style quality gate — the ONE definition of the gate's
-    expression shape, shared by ``text_quality_filter`` and
-    ``pipeline_clean_corpus`` so the hash-parity-sensitive signal
-    expressions cannot drift between the standalone operator and the
-    composed pipeline (the ``_term_counts``/``_sessionized``
-    shared-stage rule)."""
+def quality_signals(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, ttr, avg_len) for every document with at
+    least one nonempty token — the gate's signal pass WITHOUT the
+    filter, so audit consumers (``pipeline_drop_explain``) can flag
+    failures instead of silently dropping them. Documents with no
+    tokens (empty/NULL text) have no row here — a LEFT join +
+    COALESCE(…, FALSE) is the caller's contract for them."""
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
-    per_doc = words.groupBy("doc_id").agg(
+    return words.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         (F.countDistinct("word").cast("double") / F.count(F.lit(1))).alias(
             "ttr"
         ),
         F.avg(F.length("word")).alias("avg_len"),
     )
-    return per_doc.filter(
+
+
+def quality_gate_pred():
+    """The C4-style gate predicate over ``quality_signals`` columns —
+    the ONE definition of the thresholds' expression shape."""
+    return (
         (F.col("n_tokens") >= _QF_MIN_TOKENS)
         & (F.col("ttr") >= _QF_MIN_TTR)
         & (F.col("avg_len") <= _QF_MAX_AVG_LEN)
     )
+
+
+def quality_kept_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, ttr, avg_len) of the documents that survive
+    the C4-style quality gate — the ONE definition of the gate's
+    expression shape (``quality_signals`` + ``quality_gate_pred``),
+    shared by ``text_quality_filter``, ``pipeline_clean_corpus`` and
+    ``pipeline_drop_explain`` so the hash-parity-sensitive signal
+    expressions cannot drift between the standalone operator and the
+    composed pipeline (the ``_term_counts``/``_sessionized``
+    shared-stage rule)."""
+    return quality_signals(docs).filter(quality_gate_pred())
 
 
 @register(

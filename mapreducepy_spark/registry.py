@@ -82,9 +82,11 @@ _MODULES = (
 #   (shared _candidate_jaccard refactor) — green r2/r3 rows + fresh
 #   local parity, but the code is newer than the driver evidence;
 # - the remaining slots refresh the oldest round-2-evidence block,
-#   in its long-standing order (dedup_simhash … fn_json). The 7 r2
-#   keys that don't fit (fn_levenshtein … win_range_frame) plus the
-#   r3/r4-green tail rotate next round.
+#   in its long-standing order (dedup_simhash … fn_conditional). The
+#   8 r2 keys that don't fit (fn_json … win_range_frame) plus the
+#   r3/r4-green tail rotate next round. The one NEW key this session
+#   (pipeline_drop_explain — the dedup-decision audit trail) sits at
+#   position 1, zero-evidence-first.
 # - PARKED AT THE VERY TAIL, permanently: the 3 rows-only-by-design
 #   keys (agg_approx_distinct, sample_fraction, sample_stratified).
 #   Rounds 1 AND 4 both recorded ``err: "no_oracle"`` with live
@@ -98,6 +100,8 @@ _MODULES = (
 # keys silently fell to the alphabetical tail, outside any evidence
 # window); tests/test_sql.py additionally pins the two lists equal.
 _KEY_ORDER = (
+    # NEW this session — zero driver evidence, head of the window
+    "pipeline_drop_explain",
     # touched THIS session (round-8 build / driver round 5): the
     # NULL-event_id hardening — re-prove before anything else
     "events_ohlc", "agg_minmax_by", "win_lead_lag",
@@ -122,13 +126,14 @@ _KEY_ORDER = (
     "join_inner", "agg_count_distinct",
     "scan_project", "scan_count", "json_extract",
     "filter_pred", "project_expr", "distinct_rows",
-    "fn_string", "fn_date", "fn_conditional", "fn_json",
-    # ---- position 50 = fn_json: the window ends exactly here
-    # (9 touched + 4 prior-touched + 6 riders + 31 r2-refresh = 50).
-    # Everything below is OUTSIDE the driver window: first the 7 r2
-    # keys that didn't fit (they lead the round-6 refresh), then the
-    # r3/r4-green tail, then the parked no-oracle keys.
-    "fn_levenshtein", "fn_math", "fn_array",
+    "fn_string", "fn_date", "fn_conditional",
+    # ---- position 50 = fn_conditional: the window ends exactly here
+    # (1 new + 9 touched + 4 prior-touched + 6 riders + 30
+    # r2-refresh = 50). Everything below is OUTSIDE the driver
+    # window: first the 8 r2 keys that didn't fit (they lead the
+    # round-6 refresh), then the r3/r4-green tail, then the parked
+    # no-oracle keys.
+    "fn_json", "fn_levenshtein", "fn_math", "fn_array",
     "agg_having", "win_rank",
     "join_theta_range", "win_range_frame",
     # r3/r4-green (fresh driver evidence from the r3/r4 windows)

@@ -39,6 +39,9 @@ OPS = (
     # round 4: the composed pipeline + the char-level LM +
     # session/entropy rollups + the provenance matrix
     "pipeline_clean_corpus",
+    # round 8: the drop-decision audit (same ledger as clean_corpus,
+    # dedup window replaced by an orderBy-free MIN frame)
+    "pipeline_drop_explain",
     "text_charlm",
     "events_session_stats",
     "events_entropy",

@@ -903,3 +903,72 @@ def test_knn_triangles_hand_cluster(spark, tmp_path):
     row = spd.iloc[0]
     assert row["n_nodes"] == 6
     assert row["n_triangles"] >= 4  # the planted 4-clique
+
+
+def test_drop_explain_kept_rows_equal_clean_corpus(spark, sf_dir):
+    """pipeline_drop_explain's 'kept' rows must be EXACTLY the rows
+    pipeline_clean_corpus emits — the audit and the pipeline share
+    the gate expressions and stage priority, and this pins that they
+    stay fused (a drifted threshold or reordered stage would split
+    the sets)."""
+    from mapreducepy_spark.llm.pipeline import (
+        pipeline_clean_corpus,
+        pipeline_drop_explain,
+    )
+
+    exp = pipeline_drop_explain(spark, sf_dir).toPandas()
+    kept = exp[exp.reason == "kept"]
+    clean = pipeline_clean_corpus(spark, sf_dir).toPandas()
+    assert set(kept.doc_id) == set(clean.doc_id)
+    # split labels agree row-for-row with the manifest
+    merged = kept.merge(clean, on="doc_id", suffixes=("_exp", "_clean"))
+    assert (merged.split_exp == merged.split_clean).all()
+    # every non-kept reason implies its column contract
+    dup = exp[exp.reason == "exact_dup"]
+    assert dup.dup_of.notna().all()
+    assert exp[exp.reason != "exact_dup"].dup_of.isna().all()
+    assert exp[exp.reason != "kept"].split.isna().all()
+
+
+def test_drop_explain_dup_points_to_kept_doc(spark, tmp_path):
+    """An exact_dup row's dup_of must name a doc whose own reason is
+    'kept' (the keeper), and a contaminated doc must never be blamed
+    as a duplicate — priority order is the contract."""
+    import pandas as pd
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    rows = []
+    # enough filler tokens to pass the quality gate
+    body = " ".join(f"tok{i}" for i in range(30))
+    # find doc_ids whose md5 h2 puts them in train side (>= eval cut)
+    from mapreducepy_spark.llm.dedup import _EVAL_CUT
+    import hashlib
+
+    def h2(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:2]
+
+    train_ids = [i for i in range(100) if h2(i) >= _EVAL_CUT]
+    eval_ids = [i for i in range(100) if h2(i) < _EVAL_CUT]
+    a, b, c = train_ids[:3]
+    e = eval_ids[0]
+    rows.append((a, body + " unique_a", "en", "web", 1))   # kept
+    rows.append((b, body + " dup_text", "en", "web", 1))   # keeper of the dup pair
+    rows.append((c, body + " dup_text", "en", "web", 1))   # exact_dup of b
+    rows.append((e, body + " leaked", "en", "web", 1))     # eval_split
+    # training doc sharing the eval doc's text -> contaminated
+    f = train_ids[3]
+    rows.append((f, body + " leaked", "en", "web", 1))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(d / "documents.parquet", index=False)
+
+    from mapreducepy_spark.llm.pipeline import pipeline_drop_explain
+
+    out = pipeline_drop_explain(spark, str(d)).toPandas().set_index("doc_id")
+    assert out.loc[a, "reason"] == "kept"
+    assert out.loc[b, "reason"] == "kept"
+    assert out.loc[c, "reason"] == "exact_dup"
+    assert out.loc[c, "dup_of"] == min(b, c)
+    assert out.loc[e, "reason"] == "eval_split"
+    assert out.loc[f, "reason"] == "contaminated"

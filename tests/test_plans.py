@@ -845,3 +845,14 @@ def test_ohlc_is_single_pass_hash_aggregate(spark, sf_dir):
     assert plan.count("hashpartitioning") == 1  # the ONE keyed exchange
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_drop_explain_blocklist_broadcasts_no_python(spark, sf_dir):
+    """pipeline_drop_explain: the eval-digest blocklist reaches the
+    corpus as a broadcast (never a shuffled join of the big side for
+    a megabytes-sized digest set), the keeper pick is ONE window, and
+    no Python ever touches the row path."""
+    plan = plan_of(spark, "pipeline_drop_explain", sf_dir, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Window") == 1
