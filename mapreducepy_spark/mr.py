@@ -20,6 +20,11 @@ Execution mapping (SURVEY.md §1.2):
   partitioned on the natural key; the reducer STREAMS values in sort
   order (``sort_values_by=``), never materializing a per-key list
 - counters       → :class:`Counters` over a dict-merging accumulator
+- multi-step     → ``MRJob.steps()`` returning :class:`MRStep` list
+  (per-step mapper/combiner/reducer + shuffle options; a
+  reducer-less step is MAP-ONLY and plans no shuffle); the chained
+  steps stay one lazy RDD lineage — no driver round-trip between
+  passes
 
 This is the engine's ONE deliberate RDD surface: arbitrary Python
 objects as keys/values are exactly what DataFrames can't type. Jobs
@@ -86,18 +91,75 @@ class Counters:
         return dict(self._acc.value)
 
 
+class MRStep:
+    """One step of a multi-step job — the classic ``steps()`` shape
+    multi-pass MR programs are written in (wordcount → count-of-
+    counts as ONE job class). Any subset of the three phases:
+
+    - ``mapper=None`` — identity map (pairs pass through unchanged);
+    - ``reducer=None`` — a MAP-ONLY step: no shuffle is planned at
+      all, the mapped pairs flow straight into the next step (the
+      real MR map-only-job semantics, not an identity reduce);
+    - ``combiner`` — optional per-partition local combine.
+
+    Per-step shuffle options (``num_partitions``,
+    ``associative_reduce``, ``sort_values_by``) carry the same
+    contracts as :func:`run_job`. Steps are hook-free by design:
+    ``mapper_init``/``mapper_final`` are a single-step :class:`MRJob`
+    feature — a multi-step program needing per-partition state splits
+    into MRJob instances chained with :func:`run_pipeline`.
+    """
+
+    def __init__(
+        self,
+        mapper: Mapper | None = None,
+        combiner: Callable[[Any, Iterable[Any]], Iterable[KV]] | None = None,
+        reducer: Reducer | None = None,
+        *,
+        num_partitions: int | None = None,
+        associative_reduce: Callable[[Any, Any], Any] | None = None,
+        sort_values_by: Callable[[Any], Any] | None = None,
+    ):
+        if reducer is None and (
+            combiner is not None
+            or associative_reduce is not None
+            or sort_values_by is not None
+        ):
+            raise TypeError(
+                "MRStep: a map-only step (reducer=None) plans no "
+                "shuffle, so combiner/associative_reduce/"
+                "sort_values_by cannot apply"
+            )
+        self.mapper = mapper
+        self.combiner = combiner
+        self.reducer = reducer
+        self.num_partitions = num_partitions
+        self.associative_reduce = associative_reduce
+        self.sort_values_by = sort_values_by
+
+
 class MRJob:
     """Subclass-style job spec (the shape MR frameworks expose).
 
     Override ``mapper`` / ``reducer`` (and optionally ``combiner``,
     ``mapper_init`` / ``mapper_final``); run with :func:`run_job` or
-    chain with :func:`run_pipeline`. Instance attributes assigned
+    chain with :func:`run_pipeline`. Multi-pass programs may instead
+    override :meth:`steps` to return a list of :class:`MRStep` — the
+    steps run back-to-back, each step's output pairs feeding the
+    next, with no driver round-trip between them (the chained RDD
+    lineage is one lazy plan). Instance attributes assigned
     before running (lookup tables, config, a :class:`Counters`)
     travel to executors inside the pickled job closure — the
     distributed-cache idiom; wrap big read-only side data with
     ``spark.sparkContext.broadcast`` so it ships once per executor
     instead of once per task.
     """
+
+    def steps(self) -> "list[MRStep] | None":
+        """Multi-step programs return a list of :class:`MRStep`;
+        the default ``None`` means the classic single-step shape
+        (``mapper``/``combiner``/``reducer`` methods + hooks)."""
+        return None
 
     def mapper_init(self) -> None:
         """Per-partition setup hook (open a model, compile a regex —
@@ -324,14 +386,50 @@ def _map_partitions_with_hooks(job: MRJob):
     return apply
 
 
+def _run_step(spark: SparkSession, step: MRStep, records):
+    """Execute one :class:`MRStep`: map (identity when absent), then
+    either the full shuffle+reduce or — for a map-only step — no
+    shuffle at all (the mapped pairs ARE the step's output)."""
+    rdd = _input_rdd(spark, records, step.num_partitions)
+    if step.mapper is not None:
+        mapper = step.mapper
+        rdd = rdd.flatMap(lambda kv: mapper(kv[0], kv[1]))
+    if step.reducer is None:
+        return rdd  # map-only: no shuffle planned
+    return _shuffle_reduce(
+        rdd,
+        step.reducer,
+        step.combiner,
+        step.num_partitions,
+        step.associative_reduce,
+        step.sort_values_by,
+    )
+
+
 def run_mrjob(spark: SparkSession, job: MRJob, records, **kw):
     """Run a subclass-style :class:`MRJob`. ``mapper_init`` /
     ``mapper_final`` hooks run once per partition around the map
     phase (so in-mapper combining state lives across records and is
-    flushed at partition end)."""
+    flushed at partition end). A job overriding :meth:`MRJob.steps`
+    runs its steps back-to-back instead (options then live ON the
+    steps — passing ``**kw`` here would be ambiguous and raises)."""
     unknown = set(kw) - {"num_partitions", "associative_reduce", "sort_values_by"}
     if unknown:
         raise TypeError(f"run_mrjob: unknown options {sorted(unknown)!r}")
+    steps = job.steps()
+    if steps is not None:
+        if kw:
+            raise TypeError(
+                "run_mrjob: a multi-step job carries its options on "
+                "each MRStep; per-run options would silently apply "
+                "to every step"
+            )
+        if not steps:
+            raise ValueError("run_mrjob: steps() returned an empty list")
+        out = records
+        for step in steps:
+            out = _run_step(spark, step, out)
+        return out
     combiner = job.combiner if job.combiner_defined else None
     num_partitions = kw.get("num_partitions")
     rdd = _input_rdd(spark, records, num_partitions)

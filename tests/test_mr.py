@@ -283,3 +283,92 @@ def test_secondary_sort_values_are_loudly_single_pass(spark):
         ).collect()
     )
     assert got == {0: 20, 1: 25}
+
+
+def test_multi_step_job_equals_manual_chain(spark):
+    """The steps()-style multi-pass job (wordcount -> count-of-counts
+    in ONE class) must equal chaining two single-step jobs by hand."""
+
+    def wc_map(_, text):
+        for tok in text.split():
+            yield (tok, 1)
+
+    def wc_red(word, counts):
+        yield (word, sum(counts))
+
+    def coc_map(_, count):
+        yield (count, 1)
+
+    def coc_red(count, ones):
+        yield (count, sum(ones))
+
+    class CountOfCounts(mr.MRJob):
+        def steps(self):
+            return [
+                mr.MRStep(mapper=wc_map, reducer=wc_red),
+                mr.MRStep(mapper=coc_map, reducer=coc_red),
+            ]
+
+    rows = [(None, "a b a"), (None, "b c"), (None, "a c c b b")]
+    got = dict(mr.run_mrjob(spark, CountOfCounts(), rows).collect())
+
+    first = mr.run_job(spark, rows, wc_map, wc_red)
+    want = dict(
+        mr.run_job(
+            spark,
+            first.map(lambda kv: (None, kv[1])),
+            lambda _, c: [(c, 1)],
+            coc_red,
+        ).collect()
+    )
+    assert got == want == {3: 2, 4: 1}  # a:3, c:3 -> two words at 3; b:4
+
+
+def test_multi_step_map_only_step_plans_no_shuffle(spark):
+    """A reducer-less MRStep is map-only: pairs flow into the next
+    step with NO shuffle — pinned by the absence of a new stage
+    boundary (the chained RDD's debug string shows one shuffle for
+    the reduce step, none for the map-only step)."""
+
+    class Normalize(mr.MRJob):
+        def steps(self):
+            return [
+                mr.MRStep(mapper=lambda _, s: [(w.lower(), 1) for w in s.split()]),
+                mr.MRStep(mapper=lambda k, v: [(k.strip(".,"), v)]),  # map-only
+                mr.MRStep(reducer=lambda k, vs: [(k, sum(vs))]),
+            ]
+
+    rows = [(None, "Foo foo, BAR."), (None, "bar foo.")]
+    out = mr.run_mrjob(spark, Normalize(), rows)
+    got = dict(out.collect())
+    assert got == {"foo": 3, "bar": 2}
+    # exactly ONE shuffle in the lineage (the final reduce step);
+    # the two map steps never repartition
+    debug = out.toDebugString().decode()
+    assert debug.count("ShuffledRDD") == 1
+
+
+def test_multi_step_step_options_and_kw_rejection(spark):
+    """Options live on the steps (per-step sort_values_by works);
+    per-run **kw on a steps() job is ambiguous and must raise."""
+
+    class Sorted(mr.MRJob):
+        def steps(self):
+            return [
+                mr.MRStep(
+                    mapper=lambda _, kv: [kv],
+                    reducer=lambda k, vs: [(k, list(vs))],
+                    sort_values_by=lambda v: v,
+                ),
+            ]
+
+    rows = [(None, ("u", 3)), (None, ("u", 1)), (None, ("u", 2))]
+    got = dict(mr.run_mrjob(spark, Sorted(), rows).collect())
+    assert got == {"u": [1, 2, 3]}
+
+    import pytest
+
+    with pytest.raises(TypeError, match="multi-step"):
+        mr.run_mrjob(spark, Sorted(), rows, num_partitions=4)
+    with pytest.raises(TypeError, match="map-only"):
+        mr.MRStep(reducer=None, combiner=lambda k, vs: [(k, 1)])
