@@ -80,6 +80,18 @@ _SPLIT_CASE = f"""CASE WHEN h2 < '{_SPLIT_TRAIN_CUT}' THEN 'train'
             WHEN h2 < '{_SPLIT_VAL_CUT}' THEN 'val'
             ELSE 'test' END"""
 
+
+def _split_col():
+    """The train/val/test label over an ``h2`` column — the ONE Spark
+    twin of ``_SPLIT_CASE`` (shared by ``pipeline_clean_corpus`` and
+    ``pipeline_drop_explain`` so the split thresholds cannot drift
+    between the manifest and the audit — the quality_gate_pred rule)."""
+    return (
+        F.when(F.col("h2") < _SPLIT_TRAIN_CUT, "train")
+        .when(F.col("h2") < _SPLIT_VAL_CUT, "val")
+        .otherwise("test")
+    )
+
 _ORACLE_PIPELINE_CLEAN = f"""
 WITH {_CLEAN_CTES}
 SELECT doc_id, lang, source, n_tokens,
@@ -166,13 +178,8 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
     )
-    split = (
-        F.when(F.col("h2") < _SPLIT_TRAIN_CUT, "train")
-        .when(F.col("h2") < _SPLIT_VAL_CUT, "val")
-        .otherwise("test")
-    )
     return clean.select(
-        "doc_id", "lang", "source", "n_tokens", split.alias("split")
+        "doc_id", "lang", "source", "n_tokens", _split_col().alias("split")
     )
 
 
@@ -221,7 +228,11 @@ ranked AS (
     SELECT f.*,
            MIN(CASE WHEN q_ok AND NOT is_eval AND NOT is_contam
                     THEN doc_id END)
-               OVER (PARTITION BY text_hash) AS keeper_id
+               OVER (PARTITION BY
+                     CASE WHEN q_ok AND NOT is_eval AND NOT is_contam
+                          THEN text_hash
+                          ELSE '!' || CAST(doc_id AS VARCHAR) END)
+               AS keeper_id
     FROM flags f
 )
 SELECT doc_id, source,
@@ -263,12 +274,14 @@ def pipeline_drop_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join instead of anti-join — same broadcast-size argument),
     and ONE digest-keyed window carrying the keeper pick (an
     orderBy-free MIN frame — hash shuffle, no sort needed beyond the
-    window's partition clustering). The reason/priority logic is a
-    zero-shuffle narrow projection. NULL text hashes to a NULL
-    digest, which no equality can match (both engines) — such docs
-    are 'quality' failures before the digest ever matters, and the
-    keeper MIN over the NULL-digest partition is NULL because
-    no-token docs are never eligible.
+    window's partition clustering). Ineligible rows ride that
+    shuffle under per-row synthetic keys, NOT their digest — at
+    crawl scale every empty document shares md5('') and would
+    otherwise flood one window partition (see the inline comment).
+    The reason/priority logic is a zero-shuffle narrow projection.
+    NULL text hashes to a NULL digest, which no equality can match
+    (both engines) — such docs are 'quality' failures before the
+    digest ever matters.
 
     Hash parity: md5 digests, integer thresholds on identically
     computed doubles (the quality_kept_docs precedent), MIN over
@@ -297,8 +310,19 @@ def pipeline_drop_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_contam", F.coalesce(F.col("in_block"), F.lit(False)))
     )
     eligible = F.col("q_ok") & ~F.col("is_eval") & ~F.col("is_contam")
+    # Skew guard (round-8 review): ineligible rows never consult the
+    # keeper, so they must not ride the digest shuffle — at crawl
+    # scale, millions of empty documents all hash to the ONE md5('')
+    # digest and would flood a single window partition. Ineligible
+    # rows partition under a per-row synthetic key instead ('!' can
+    # never collide with md5 hex), so the only rows sharing a window
+    # partition are eligible same-digest candidates — exactly the
+    # population pipeline_clean_corpus's rn-window shuffles.
+    part_key = F.when(eligible, F.col("text_hash")).otherwise(
+        F.concat(F.lit("!"), F.col("doc_id").cast("string"))
+    )
     keeper = F.min(F.when(eligible, F.col("doc_id"))).over(
-        Window.partitionBy("text_hash")
+        Window.partitionBy(part_key)
     )
     ranked = flags.withColumn("keeper_id", keeper)
     reason = (
@@ -308,11 +332,6 @@ def pipeline_drop_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") != F.col("keeper_id"), "exact_dup")
         .otherwise("kept")
     )
-    split = (
-        F.when(F.col("h2") < _SPLIT_TRAIN_CUT, "train")
-        .when(F.col("h2") < _SPLIT_VAL_CUT, "val")
-        .otherwise("test")
-    )
     is_dup = eligible & (F.col("doc_id") != F.col("keeper_id"))
     is_kept = eligible & (F.col("doc_id") == F.col("keeper_id"))
     return ranked.select(
@@ -320,7 +339,7 @@ def pipeline_drop_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         reason.alias("reason"),
         F.when(is_dup, F.col("keeper_id")).alias("dup_of"),
-        F.when(is_kept, split).alias("split"),
+        F.when(is_kept, _split_col()).alias("split"),
     )
 
 

@@ -124,11 +124,15 @@ class MRStep:
             combiner is not None
             or associative_reduce is not None
             or sort_values_by is not None
+            or num_partitions is not None
         ):
             raise TypeError(
                 "MRStep: a map-only step (reducer=None) plans no "
                 "shuffle, so combiner/associative_reduce/"
-                "sort_values_by cannot apply"
+                "sort_values_by/num_partitions cannot apply "
+                "(num_partitions would be silently ignored mid-chain "
+                "— set it on a reduce step, or pre-partition the "
+                "job's input)"
             )
         self.mapper = mapper
         self.combiner = combiner
@@ -217,11 +221,29 @@ def _total_order_key(x: Any):
     would merge them; str/bytes subclasses collapse to their base;
     datetime subclasses (e.g. pandas Timestamp) tag as "datetime".
     For classes outside these families, grouping is (class-name,
-    value) — a documented, deliberate narrowing of ``==``."""
+    value) — a documented, deliberate narrowing of ``==``.
+
+    NaN keys (float or Decimal NaN — ``x != x``) get their own
+    transformed class: a raw NaN in the numeric branch would violate
+    the sort's total-order requirement (every comparison False), and
+    Python's ``sorted`` can then legally interleave a NaN between
+    equal keys, silently SPLITTING those keys' reducer runs. All
+    NaNs map to ONE transformed key, so the sorted path groups them
+    together — the groupByKey path cannot merge them at all
+    (``nan != nan`` is Python semantics), which is documented
+    divergence for a key class that is already outside any sane MR
+    contract. complex keys order by (re, im) — arbitrary but total,
+    and distinct complex values stay distinct."""
     if x is None:
         return (0,)
-    if isinstance(x, numbers.Number) and not isinstance(x, complex):
-        return (1, x)
+    if isinstance(x, numbers.Number):
+        if x != x:  # NaN of any numeric class (incl. complex NaN)
+            return (1, "nan")
+        if isinstance(x, complex):
+            if x.imag == 0:  # complex(1, 0) == 1 under Python ==
+                return (1, "", x.real)
+            return (1, "complex", x.real, x.imag)
+        return (1, "", x)
     if isinstance(x, tuple):
         return (2, "tuple", tuple(_total_order_key(e) for e in x))
     if isinstance(x, list):

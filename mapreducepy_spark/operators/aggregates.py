@@ -331,16 +331,24 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The struct carries a never-NULL idn flag ahead of the nullable id
 # (the events_ohlc rule, ADVICE r4): two rows tied on ts where one
 # id is NULL would otherwise be decided on the NULL field itself,
-# where Spark orders NULL struct fields first and DuckDB last.
+# where Spark orders NULL struct fields first and DuckDB last. The
+# struct's FIRST field ts is nullable too (reachable via read_jsonl;
+# the NULL-ts carve-out covers only the temporal family) — instead
+# of a tsn flag, NULL-ts rows are excluded from the argmin/argmax
+# PICK entirely (an event without a time cannot be first or last;
+# MIN/MAX skip the CASE's NULLs identically on both engines) while
+# n_events still counts every row.
 _ORACLE_AGG_MINMAX_BY = """
 SELECT event_type,
-       CAST((MIN(struct_pack(ts := ts,
+       CAST((MIN(CASE WHEN ts IS NOT NULL THEN
+                 struct_pack(ts := ts,
                              idn := CAST(event_id IS NULL AS INT),
-                             id := event_id))).id AS BIGINT)
+                             id := event_id) END)).id AS BIGINT)
            AS first_event_id,
-       CAST((MAX(struct_pack(ts := ts,
+       CAST((MAX(CASE WHEN ts IS NOT NULL THEN
+                 struct_pack(ts := ts,
                              idn := CAST(event_id IS NULL AS INT),
-                             id := event_id))).id AS BIGINT)
+                             id := event_id) END)).id AS BIGINT)
            AS last_event_id,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events
@@ -365,12 +373,19 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal-ts pair, then in round 5 a NULL-id-at-equal-ts pair —
     and both plain formulations diverged; the flagged struct form
     is the same one-pass plan with a 3-field combine state.)
+    NULL-ts rows count toward ``n_events`` but are excluded from
+    the first/last pick (both engines' MIN/MAX skip NULLs, so the
+    exclusion is symmetric by construction; a tsn flag would
+    instead crown a time-less event "last", which is nonsense).
     """
     e = load(spark, sf_dir, "events")
-    pair = F.struct(
-        F.col("ts"),
-        F.col("event_id").isNull().cast("int").alias("idn"),
-        F.col("event_id").alias("id"),
+    pair = F.when(
+        F.col("ts").isNotNull(),
+        F.struct(
+            F.col("ts"),
+            F.col("event_id").isNull().cast("int").alias("idn"),
+            F.col("event_id").alias("id"),
+        ),
     )
     return e.groupBy("event_type").agg(
         F.min(pair).getField("id").cast("bigint").alias("first_event_id"),

@@ -107,6 +107,11 @@ _KEY_ORDER = (
     "events_ohlc", "agg_minmax_by", "win_lead_lag",
     "win_session", "events_session_stats", "events_paths",
     "events_inter_arrival", "events_attribution", "events_cooccurrence",
+    # touched late in the session by the review pass: the shared
+    # _split_col helper (clean_corpus + the audit + the manifest
+    # that composes on clean_corpus — the _candidate_jaccard
+    # both-rotate rule)
+    "pipeline_clean_corpus", "pipeline_mixture_manifest",
     # touched in prior sessions, displaced before the driver
     # re-reached them — code newer than last driver row
     "scan_profile", "fn_regex", "sim_knn", "dedup_embedding",
@@ -126,13 +131,14 @@ _KEY_ORDER = (
     "join_inner", "agg_count_distinct",
     "scan_project", "scan_count", "json_extract",
     "filter_pred", "project_expr", "distinct_rows",
-    "fn_string", "fn_date", "fn_conditional",
-    # ---- position 50 = fn_conditional: the window ends exactly here
-    # (1 new + 9 touched + 4 prior-touched + 6 riders + 30
-    # r2-refresh = 50). Everything below is OUTSIDE the driver
-    # window: first the 8 r2 keys that didn't fit (they lead the
-    # round-6 refresh), then the r3/r4-green tail, then the parked
-    # no-oracle keys.
+    "fn_string",
+    # ---- position 50 = fn_string: the window ends exactly here
+    # (1 new + 9 touched + 2 split-helper riders + 4 prior-touched
+    # + 6 LSH riders + 28 r2-refresh = 50). Everything below is
+    # OUTSIDE the driver window: first the 10 r2 keys that didn't
+    # fit (they lead the round-6 refresh), then the r3/r4-green
+    # tail, then the parked no-oracle keys.
+    "fn_date", "fn_conditional",
     "fn_json", "fn_levenshtein", "fn_math", "fn_array",
     "agg_having", "win_rank",
     "join_theta_range", "win_range_frame",
@@ -144,7 +150,7 @@ _KEY_ORDER = (
     "agg_collect",
     "events_entropy",
     "text_charlm", "text_zipf", "text_length_profile",
-    "dedup_cross_source", "pipeline_clean_corpus",
+    "dedup_cross_source",
     "text_hapax",
     "text_pack_sequences", "text_bigrams", "text_quality_filter",
     "embed_norm_bins",
@@ -165,7 +171,6 @@ _KEY_ORDER = (
     "agg_count_histogram", "embed_dim_stats", "corpus_mixture_apply",
     "dedup_containment", "events_rfm", "docs_corpus_card",
     "sim_ann_recall", "agg_key_skew", "agg_correlated_scalar",
-    "pipeline_mixture_manifest",
     "lsh_band_stats", "docs_source_profile", "corpus_mixture_plan",
     "text_vocab_coverage", "dedup_prefix", "embed_bucket_purity",
     "sort_limit", "set_union", "set_intersect", "set_except",

@@ -972,3 +972,51 @@ def test_drop_explain_dup_points_to_kept_doc(spark, tmp_path):
     assert out.loc[c, "dup_of"] == min(b, c)
     assert out.loc[e, "reason"] == "eval_split"
     assert out.loc[f, "reason"] == "contaminated"
+
+
+def test_minmax_by_null_ts_rows_count_but_never_win(spark, tmp_path):
+    """agg_minmax_by (round-8 review): a NULL-ts event must count in
+    n_events but can never be first/last — without the exclusion the
+    struct's FIRST field decides the pick, where Spark orders NULL
+    struct fields first (NULL-ts wins MIN) and DuckDB last (it wins
+    MAX): both engines would answer, differently. NULL ts is
+    reachable (read_jsonl ingestion), so this is contract, not
+    theory."""
+    import duckdb
+    import pandas as pd
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    ev = pd.DataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0, None),
+            (2, "2024-01-01 11:00:00", 1, "view", 2.0, None),
+            (3, None, 1, "view", 3.0, None),  # NULL ts
+            (4, None, 2, "click", 4.0, None),  # all-NULL-ts group
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    ev["event_id"] = ev["event_id"].astype("Int64")
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    ev.to_parquet(d / "events.parquet", index=False)
+
+    from mapreducepy_spark.registry import load_catalog
+
+    q = load_catalog()["agg_minmax_by"]
+    spd = q.builder(spark, str(d)).toPandas().set_index("event_type")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    dpd = con.execute(q.oracle).fetchdf().set_index("event_type")
+    assert spd.loc["view", "first_event_id"] == 1
+    assert spd.loc["view", "last_event_id"] == 2  # never the NULL-ts row 3
+    assert spd.loc["view", "n_events"] == 3  # but it counts
+    assert pd.isna(spd.loc["click", "first_event_id"])  # all-NULL-ts group
+    assert spd.loc["click", "n_events"] == 1
+    import sys
+
+    sys.path.insert(0, "tests")
+    from parity_util import canon_frame
+
+    assert canon_frame(spd.reset_index()) == canon_frame(dpd.reset_index())

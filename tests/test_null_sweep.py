@@ -122,15 +122,20 @@ def adversarial_events_embeddings(tmp_path_factory):
             # the value field, where NULL ordering diverges)
             (99, "2024-03-03 10:00:00", 6, "view", None, None),
             (99, "2024-03-03 10:00:00", 6, "view", 7.5, "{}"),
-            # TWO rows tied on ts where ONE has a NULL event_id —
-            # ADVICE r4: without the idn flag the events_ohlc struct
-            # tie would be decided on the NULL id field itself, where
-            # Spark orders NULL struct fields first and DuckDB last.
-            # DIFFERENT types/values so order-dependent outputs
-            # (paths, lead/lag, streaks) actually diverge when an
-            # ORDER BY ts, event_id lacks the NULLS FIRST pin.
+            # Rows tied on ts where ONE has a NULL event_id —
+            # ADVICE r4. Two coverage axes, both needed (the round-8
+            # review found the two-row version covered only one):
+            # the DIFFERENT-type pair (view vs click) makes
+            # order-dependent outputs (paths, lead/lag) diverge when
+            # an ORDER BY ts, event_id lacks the NULLS FIRST pin;
+            # the SAME-type pair (two views, latest view ts in the
+            # fixture) makes the events_ohlc / agg_minmax_by struct
+            # MIN/MAX tie land on the id field, where only the idn
+            # flag keeps Spark (NULL struct fields first) and DuckDB
+            # (NULLs last) agreeing.
             (None, "2024-03-04 11:00:00", 7, "view", 3.0, None),
             (100, "2024-03-04 11:00:00", 7, "click", 9.0, "{}"),
+            (101, "2024-03-04 11:00:00", 7, "view", 5.0, "{}"),
         ],
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )
