@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_spread
-from ..operators.sampling import _SPLIT_TRAIN_CUT, _SPLIT_VAL_CUT
+from ..operators.sampling import split_case_sql, split_col
 from ..registry import register
 from ..rounding import dround
 from . import DUCK_TOKEN_COUNT, SPARK_TOKEN_COUNT
@@ -75,22 +75,15 @@ clean AS (
 )
 """
 
-# The split label as a SQL fragment (shared by both consumers).
-_SPLIT_CASE = f"""CASE WHEN h2 < '{_SPLIT_TRAIN_CUT}' THEN 'train'
-            WHEN h2 < '{_SPLIT_VAL_CUT}' THEN 'val'
-            ELSE 'test' END"""
+# The split label fragments — defined ONCE in operators/sampling.py
+# beside the cut constants (round-8 second review: a local copy here
+# left sample_split on its own chain; now the split operator, the
+# manifest, and the audit all read the same two definitions).
+_SPLIT_CASE = split_case_sql("h2")
 
 
 def _split_col():
-    """The train/val/test label over an ``h2`` column — the ONE Spark
-    twin of ``_SPLIT_CASE`` (shared by ``pipeline_clean_corpus`` and
-    ``pipeline_drop_explain`` so the split thresholds cannot drift
-    between the manifest and the audit — the quality_gate_pred rule)."""
-    return (
-        F.when(F.col("h2") < _SPLIT_TRAIN_CUT, "train")
-        .when(F.col("h2") < _SPLIT_VAL_CUT, "val")
-        .otherwise("test")
-    )
+    return split_col(F.col("h2"))
 
 _ORACLE_PIPELINE_CLEAN = f"""
 WITH {_CLEAN_CTES}

@@ -124,15 +124,11 @@ class MRStep:
             combiner is not None
             or associative_reduce is not None
             or sort_values_by is not None
-            or num_partitions is not None
         ):
             raise TypeError(
                 "MRStep: a map-only step (reducer=None) plans no "
                 "shuffle, so combiner/associative_reduce/"
-                "sort_values_by/num_partitions cannot apply "
-                "(num_partitions would be silently ignored mid-chain "
-                "— set it on a reduce step, or pre-partition the "
-                "job's input)"
+                "sort_values_by cannot apply"
             )
         self.mapper = mapper
         self.combiner = combiner
@@ -237,7 +233,13 @@ def _total_order_key(x: Any):
     if x is None:
         return (0,)
     if isinstance(x, numbers.Number):
-        if x != x:  # NaN of any numeric class (incl. complex NaN)
+        try:
+            nan = x != x  # NaN of any numeric class (incl. complex NaN)
+        except ArithmeticError:
+            # Decimal('sNaN'): comparisons SIGNAL rather than return
+            # False — it is still a NaN for grouping purposes
+            nan = True
+        if nan:
             return (1, "nan")
         if isinstance(x, complex):
             if x.imag == 0:  # complex(1, 0) == 1 under Python ==
@@ -411,7 +413,27 @@ def _map_partitions_with_hooks(job: MRJob):
 def _run_step(spark: SparkSession, step: MRStep, records):
     """Execute one :class:`MRStep`: map (identity when absent), then
     either the full shuffle+reduce or — for a map-only step — no
-    shuffle at all (the mapped pairs ARE the step's output)."""
+    shuffle at all (the mapped pairs ARE the step's output).
+
+    ``num_partitions`` on a map-only step is meaningful exactly when
+    the step PARALLELIZES raw iterable input (the first step of a
+    chain fed a plain list) — there it sizes ``sc.parallelize``.
+    Mid-chain (RDD input) or on a DataFrame input there is no
+    repartition point, so it would be silently ignored — that case
+    raises instead (round-8 review: the constructor-time rejection
+    over-reached and broke the legitimate first-step use)."""
+    if (
+        step.reducer is None
+        and step.num_partitions is not None
+        and (hasattr(records, "flatMap") or isinstance(records, DataFrame))
+    ):
+        raise TypeError(
+            "MRStep: num_partitions on a map-only step only applies "
+            "when the step parallelizes raw iterable input; this "
+            "step's input is already an RDD/DataFrame, so the "
+            "setting would be silently ignored — set it on a reduce "
+            "step or on the chain's first (iterable-fed) step"
+        )
     rdd = _input_rdd(spark, records, step.num_partitions)
     if step.mapper is not None:
         mapper = step.mapper

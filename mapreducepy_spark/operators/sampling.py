@@ -30,7 +30,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -153,15 +153,39 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_TRAIN_CUT = "cc"
 _SPLIT_VAL_CUT = "e6"
 
+
+def split_col(h2) -> Column:
+    """The train/val/test label over an md5-prefix column — the ONE
+    Spark expression of the split chain, living beside the cut
+    constants it reads. Shared by ``sample_split`` and the pipeline
+    keys (``pipeline_clean_corpus`` / ``pipeline_drop_explain``) so
+    the thresholds and chain structure cannot drift between the
+    split operator, the manifest, and the audit (the
+    quality_gate_pred rule)."""
+    return (
+        F.when(h2 < _SPLIT_TRAIN_CUT, "train")
+        .when(h2 < _SPLIT_VAL_CUT, "val")
+        .otherwise("test")
+    )
+
+
+def split_case_sql(col: str = "h2") -> str:
+    """The identical chain as oracle SQL text (DuckDB twin of
+    :func:`split_col`)."""
+    return (
+        f"CASE WHEN {col} < '{_SPLIT_TRAIN_CUT}' THEN 'train'\n"
+        f"            WHEN {col} < '{_SPLIT_VAL_CUT}' THEN 'val'\n"
+        f"            ELSE 'test' END"
+    )
+
+
 _ORACLE_SAMPLE_SPLIT = f"""
 WITH k AS (
     SELECT lang,
            substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
     FROM documents
 )
-SELECT CASE WHEN h2 < '{_SPLIT_TRAIN_CUT}' THEN 'train'
-            WHEN h2 < '{_SPLIT_VAL_CUT}' THEN 'val'
-            ELSE 'test' END AS split,
+SELECT {split_case_sql()} AS split,
        lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM k
@@ -185,11 +209,6 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(h2 < _SPLIT_TRAIN_CUT, "train")
-        .when(h2 < _SPLIT_VAL_CUT, "val")
-        .otherwise("test")
-    )
-    return docs.groupBy(split.alias("split"), "lang").agg(
+    return docs.groupBy(split_col(h2).alias("split"), "lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )

@@ -107,11 +107,12 @@ _KEY_ORDER = (
     "events_ohlc", "agg_minmax_by", "win_lead_lag",
     "win_session", "events_session_stats", "events_paths",
     "events_inter_arrival", "events_attribution", "events_cooccurrence",
-    # touched late in the session by the review pass: the shared
-    # _split_col helper (clean_corpus + the audit + the manifest
-    # that composes on clean_corpus — the _candidate_jaccard
+    # touched late in the session by the review passes: the shared
+    # split_col/split_case_sql helpers now live in sampling.py and
+    # feed sample_split + clean_corpus + the audit + the manifest
+    # that composes on clean_corpus (the _candidate_jaccard
     # both-rotate rule)
-    "pipeline_clean_corpus", "pipeline_mixture_manifest",
+    "pipeline_clean_corpus", "pipeline_mixture_manifest", "sample_split",
     # touched in prior sessions, displaced before the driver
     # re-reached them — code newer than last driver row
     "scan_profile", "fn_regex", "sim_knn", "dedup_embedding",
@@ -131,14 +132,13 @@ _KEY_ORDER = (
     "join_inner", "agg_count_distinct",
     "scan_project", "scan_count", "json_extract",
     "filter_pred", "project_expr", "distinct_rows",
-    "fn_string",
-    # ---- position 50 = fn_string: the window ends exactly here
-    # (1 new + 9 touched + 2 split-helper riders + 4 prior-touched
-    # + 6 LSH riders + 28 r2-refresh = 50). Everything below is
-    # OUTSIDE the driver window: first the 10 r2 keys that didn't
+    # ---- position 50 = distinct_rows: the window ends exactly here
+    # (1 new + 9 touched + 3 split-helper riders + 4 prior-touched
+    # + 6 LSH riders + 27 r2-refresh = 50). Everything below is
+    # OUTSIDE the driver window: first the 11 r2 keys that didn't
     # fit (they lead the round-6 refresh), then the r3/r4-green
     # tail, then the parked no-oracle keys.
-    "fn_date", "fn_conditional",
+    "fn_string", "fn_date", "fn_conditional",
     "fn_json", "fn_levenshtein", "fn_math", "fn_array",
     "agg_having", "win_rank",
     "join_theta_range", "win_range_frame",
@@ -156,7 +156,7 @@ _KEY_ORDER = (
     "embed_norm_bins",
     "events_retention", "win_streak",
     "agg_weighted_avg", "agg_mode",
-    "text_contamination_ngram", "sample_split",
+    "text_contamination_ngram",
     "text_repetition", "text_oov_rate", "events_anomaly",
     "events_dau_rolling",
     "text_keywords", "text_perplexity_proxy",

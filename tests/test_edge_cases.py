@@ -1014,9 +1014,6 @@ def test_minmax_by_null_ts_rows_count_but_never_win(spark, tmp_path):
     assert spd.loc["view", "n_events"] == 3  # but it counts
     assert pd.isna(spd.loc["click", "first_event_id"])  # all-NULL-ts group
     assert spd.loc["click", "n_events"] == 1
-    import sys
-
-    sys.path.insert(0, "tests")
-    from parity_util import canon_frame
+    from .parity_util import canon_frame
 
     assert canon_frame(spd.reset_index()) == canon_frame(dpd.reset_index())

@@ -372,3 +372,72 @@ def test_multi_step_step_options_and_kw_rejection(spark):
         mr.run_mrjob(spark, Sorted(), rows, num_partitions=4)
     with pytest.raises(TypeError, match="map-only"):
         mr.MRStep(reducer=None, combiner=lambda k, vs: [(k, 1)])
+
+
+def test_sort_keys_nan_and_complex_are_total(spark):
+    """Round-8 second review: NaN sort keys must not violate the
+    sort's total-order requirement (a raw NaN lets sorted() legally
+    interleave it between equal keys, silently splitting their
+    reducer runs), Decimal NaN — quiet OR signaling — must not
+    crash, and complex keys must order totally with complex(x, 0)
+    merging with x exactly as Python == does."""
+    from decimal import Decimal
+
+    k = mr._total_order_key
+    # all NaN flavors collapse to one transformed key
+    assert k(float("nan")) == k(Decimal("NaN")) == k(Decimal("sNaN"))
+    assert k(complex("nan")) == k(float("nan"))
+    # zero-imag complex joins the numeric branch (complex(2,0) == 2)
+    assert k(complex(2, 0)) == k(2) == k(2.0) == k(Decimal(2))
+    # distinct complex keys are ordered, not crashing
+    assert k(1 + 2j) != k(3 + 4j)
+    assert sorted([k(3 + 4j), k(1 + 2j)]) == [k(1 + 2j), k(3 + 4j)]
+    # end-to-end: a NaN key must not split the 2.0 runs on the
+    # sorted path
+    data = [(None, (2.0, "a")), (None, (float("nan"), "b")), (None, (2.0, "c"))]
+
+    def mapper(_, kv):
+        yield kv
+
+    def reducer(key, values):
+        yield (repr(key), sorted(values))
+
+    out = dict(
+        mr.run_job(
+            spark, data, mapper, reducer,
+            sort_values_by=lambda v: v, num_partitions=1,
+        ).collect()
+    )
+    assert out["2.0"] == ["a", "c"]  # one run, not two
+
+
+def test_map_only_num_partitions_first_step_ok_midchain_raises(spark):
+    """num_partitions on a map-only step sizes sc.parallelize when
+    the step is fed a raw iterable (legitimate, previously broken by
+    an over-reaching constructor check); mid-chain it has no effect
+    point and raises at run time instead of being silently ignored."""
+    import pytest
+
+    first = mr.MRStep(
+        mapper=lambda _, v: [(v % 2, v)], num_partitions=4
+    )
+    red = mr.MRStep(reducer=lambda key, vs: [(key, sum(vs))])
+
+    class FirstStepJob(mr.MRJob):
+        def steps(self):
+            return [first, red]
+
+    got = dict(
+        mr.run_mrjob(spark, FirstStepJob(), [(None, i) for i in range(10)]).collect()
+    )
+    assert got == {0: 20, 1: 25}
+
+    class MidChainJob(mr.MRJob):
+        def steps(self):
+            return [
+                mr.MRStep(mapper=lambda _, v: [(v, 1)]),
+                mr.MRStep(mapper=lambda key, v: [(key, v)], num_partitions=8),
+            ]
+
+    with pytest.raises(TypeError, match="already an RDD"):
+        mr.run_mrjob(spark, MidChainJob(), [(None, 1)]).collect()
