@@ -441,3 +441,56 @@ def test_map_only_num_partitions_first_step_ok_midchain_raises(spark):
 
     with pytest.raises(TypeError, match="already an RDD"):
         mr.run_mrjob(spark, MidChainJob(), [(None, 1)]).collect()
+
+
+def test_total_order_key_properties():
+    """Property test for the sort-key transform (touched twice in
+    round 8): over arbitrary mixed-type keys, (1) any two transformed
+    keys must be ORDERABLE (no data-layout-dependent TypeError),
+    (2) keys equal under Python == must transform equal (the
+    groupByKey-vs-sorted-path contract), and (3) the transform must
+    be deterministic."""
+    from decimal import Decimal
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(),
+        st.floats(allow_nan=True, allow_infinity=True),
+        st.decimals(allow_nan=True, allow_infinity=True),
+        st.fractions(),
+        st.complex_numbers(allow_nan=True, allow_infinity=True),
+        st.text(max_size=8),
+        st.binary(max_size=8),
+        st.dates(),
+        st.datetimes(),
+    )
+    keys = st.one_of(
+        scalars, st.lists(scalars, max_size=3), st.tuples(scalars, scalars)
+    )
+
+    def eq(a, b):
+        try:
+            return bool(a == b)
+        except Exception:
+            return False  # signaling comparisons: not equal for our purposes
+
+    @settings(max_examples=300, deadline=None)
+    @given(keys, keys)
+    def check(a, b):
+        ka, kb = mr._total_order_key(a), mr._total_order_key(b)
+        # determinism
+        assert ka == mr._total_order_key(a)
+        # totality: comparable both ways without raising
+        assert (ka < kb) or (kb < ka) or (ka == kb)
+        # == consistency: Python-equal keys never split
+        if eq(a, b) and not isinstance(a, (list, tuple)):
+            # NaN is the documented exception (nan != nan anyway, so
+            # eq() is False and this branch never fires for NaN)
+            assert ka == kb, (a, b)
+
+    check()
