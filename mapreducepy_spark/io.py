@@ -143,25 +143,49 @@ def load_spread(
       work (measured: the MinHash/LSH family runs 2–3× FASTER with
       the spread at sf0.1).
 
-    When the size is unknowable cheaply (directory datasets at real
-    scale), fall through to the partition probe — those scans split
-    wide on their own and the probe returns the no-op path.
+    When the size is unknowable even via the filesystem APIs, fall
+    through to the partition probe — those scans split wide on their
+    own and the probe returns the no-op path.
     """
     df = load(spark, sf_dir, name)
     if min_bytes:
-        try:
-            import os
-
-            path = f"{sf_dir}/{name}.parquet"
-            size = os.path.getsize(path) if os.path.isfile(path) else None
-        except OSError:
-            size = None
+        size = _input_size_bytes(spark, f"{sf_dir}/{name}.parquet")
         if size is not None and size < min_bytes:
             return df
     n_cores = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < n_cores:
         df = df.repartition(n_cores)
     return df
+
+
+def _input_size_bytes(spark: SparkSession, path: str) -> int | None:
+    """On-disk size of a dataset path, or None if unknowable.
+
+    Local single file → ``os.path`` (no JVM round-trip, the common
+    fixture layout). Anything else — local directory, remote URI,
+    partitioned dataset — resolves through the Hadoop FileSystem API
+    (``getContentSummary`` is recursive), so the ``load_spread`` size
+    gate short-circuits small DIRECTORY/remote inputs too instead of
+    silently falling through to the plan→RDD partition probe it was
+    measured to avoid (ADVICE r5, io.py:146)."""
+    import os
+
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+    except OSError:
+        pass
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            return int(fs.getContentSummary(hpath).getLength())
+    except Exception:
+        # py4j errors for unreachable/unsupported schemes: size is
+        # simply unknowable — the caller falls back to the probe
+        return None
+    return None
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

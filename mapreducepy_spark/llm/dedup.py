@@ -473,22 +473,30 @@ WHERE CAST(i.n_common AS DOUBLE)
 
 
 @register("dedup_ngram_jaccard", _ORACLE_DEDUP_JACCARD, tags=("llm", "dedup"))
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, *, df_cap: int | None = None
+) -> DataFrame:
     """Exact 3-gram Jaccard similarity ≥ 0.5 between document pairs.
 
     The pair space is generated by an inverted-index self-join on the
     shingle (only pairs sharing ≥1 shingle are ever materialized),
     then |A∩B| via count and |A∪B| = |A|+|B|−|A∩B|.
 
-    Scale: shuffle on shingle; stop-shingle skew is bounded by
-    dropping shingles with document-frequency above a cap (the same
-    pairs surface via their rarer shingles). Used as the verifier
+    Scale: shuffle on shingle. The REGISTERED form (``df_cap=None``,
+    the oracle's contract) keeps every shingle in the index, so a
+    boilerplate shingle shared by d documents costs O(d²) pairs —
+    fine at fixture scale, a hot key on a power-law corpus. For
+    production, pass ``df_cap`` (same machinery as
+    ``dedup_jaccard_capped``, which is this operator with the cap
+    baked into its contract): shingles with document frequency above
+    the cap are dropped from the index BEFORE the self-join, bounding
+    the worst shingle's fan-out at O(cap²). Used as the verifier
     behind ``dedup_near``'s candidates.
 
     The index is ``localCheckpoint``-ed: it feeds three plan subtrees
-    (sizes + both join sides), and materializing it once replaces two
-    extra corpus explode passes with block reads — same rationale as
-    ``dedup_jaccard_capped``.
+    (sizes + both join sides; four with the cap's df aggregation),
+    and materializing it once replaces extra corpus explode passes
+    with block reads — same rationale as ``dedup_jaccard_capped``.
     """
     # min_bytes=0: MinHash/shingle fan-out is CPU-dense per input
     # byte (8 hash rotations x every shingle / pair joins) — spread
@@ -497,7 +505,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
     ).distinct().localCheckpoint()
+    if df_cap is not None:
+        sh = _df_capped_index(sh, df_cap)
     return _jaccard_pairs(sh)
+
+
+def _df_capped_index(sh: DataFrame, df_cap: int) -> DataFrame:
+    """Drop shingles with document frequency above ``df_cap`` from a
+    distinct (doc_id, shingle) index — the stop-shingle skew bound
+    shared by ``dedup_jaccard_capped`` and ``dedup_ngram_jaccard``'s
+    production form. One vocabulary-sized aggregation, then a
+    self-semi-join on the surviving shingles; Jaccard downstream is
+    computed over the capped index on BOTH sides (sizes and
+    intersections) — the standard drop-stopword-shingles-then-exact
+    near-dup pipeline."""
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    return sh.join(rare, "shingle").select("doc_id", "shingle")
 
 
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
@@ -606,13 +634,7 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh0 = docs.select(
         "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
     ).distinct().localCheckpoint()
-    rare = (
-        sh0.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _DF_CAP)
-        .select("shingle")
-    )
-    return _jaccard_pairs(sh0.join(rare, "shingle").select("doc_id", "shingle"))
+    return _jaccard_pairs(_df_capped_index(sh0, _DF_CAP))
 
 
 # --- canonical-record selection ------------------------------------

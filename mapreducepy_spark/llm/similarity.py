@@ -489,7 +489,9 @@ WHERE cos_sim >= {_DUP_THRESHOLD}
     "dedup_embedding", _ORACLE_DEDUP_EMBEDDING, tags=("llm", "dedup", "similarity")
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.9).
+    """Embedding-cosine near-dup pairs (cos ≥ ``_DUP_THRESHOLD``,
+    0.4 here — deliberately low for the random-vector fixture, see
+    the threshold comment; a production corpus would run ≥ 0.9).
 
     Chunked broadcast-GEMM like ``sim_knn``; each chunk's pairs are
     independent (the threshold is per-pair), so the merge is a plain

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import numbers
+import warnings
 from collections import defaultdict
 from collections.abc import Callable, Iterable, Iterator
 from typing import Any
@@ -255,9 +256,19 @@ def _total_order_key(x: Any):
     if isinstance(x, bytes):
         return (2, "bytes", bytes(x))
     if isinstance(x, _dt.datetime):  # before date: datetime IS a date
-        return (2, "datetime", x)
+        # Sub-tag by tz-AWARENESS (ADVICE r5): aware vs naive datetime
+        # comparison raises TypeError, so one mixed partition would
+        # crash the sort — while aware == naive is already False under
+        # Python ==, so splitting the classes preserves the equality
+        # contract exactly. Awareness per the stdlib definition:
+        # tzinfo set AND utcoffset() non-None (a tzinfo returning a
+        # None offset is semantically naive and compares as such).
+        return (2, "datetime", x.utcoffset() is not None, x)
     if isinstance(x, _dt.date):
         return (2, "date", x)
+    if isinstance(x, _dt.time):
+        # same aware/naive split as datetime, same rationale
+        return (2, "time", x.utcoffset() is not None, x)
     return (2, type(x).__name__, x)
 
 
@@ -450,13 +461,54 @@ def _run_step(spark: SparkSession, step: MRStep, records):
     )
 
 
+def _warn_ignored_overrides(job: MRJob, steps) -> None:
+    """A job that returns ``steps()`` AND overrides the classic
+    single-step surface is an easy migration mistake: the steps path
+    never calls ``mapper``/``combiner``/``reducer`` (unless a step
+    explicitly references them) and NEVER runs the per-partition
+    ``mapper_init``/``mapper_final`` hooks — so in-mapper-combining
+    state or Counters setup would quietly not happen. Mirror the loud
+    kw rejection with a loud warning (ADVICE r5). A warning, not a
+    raise: a step may legitimately wrap an overridden method in a
+    closure we cannot see through."""
+    step_fns = set()
+    for s in steps:
+        for fn in (s.mapper, s.combiner, s.reducer):
+            if fn is not None:
+                step_fns.add(getattr(fn, "__func__", fn))
+    cls = type(job)
+    ignored = [
+        name
+        for name in ("mapper", "combiner", "reducer")
+        if getattr(cls, name) is not getattr(MRJob, name)
+        and getattr(cls, name) not in step_fns
+    ]
+    # hooks run ONLY on the classic path — referenced or not
+    ignored += [
+        name
+        for name in ("mapper_init", "mapper_final")
+        if getattr(cls, name) is not getattr(MRJob, name)
+    ]
+    if ignored:
+        warnings.warn(
+            f"run_mrjob: {cls.__name__}.steps() is in effect, so the "
+            f"overridden {ignored!r} will NOT run (steps carry their "
+            "own mapper/combiner/reducer; per-partition hooks only "
+            "apply on the classic single-step path). Reference them "
+            "from an MRStep or drop the overrides.",
+            stacklevel=3,
+        )
+
+
 def run_mrjob(spark: SparkSession, job: MRJob, records, **kw):
     """Run a subclass-style :class:`MRJob`. ``mapper_init`` /
     ``mapper_final`` hooks run once per partition around the map
     phase (so in-mapper combining state lives across records and is
     flushed at partition end). A job overriding :meth:`MRJob.steps`
     runs its steps back-to-back instead (options then live ON the
-    steps — passing ``**kw`` here would be ambiguous and raises)."""
+    steps — passing ``**kw`` here would be ambiguous and raises, and
+    an overridden classic surface the steps don't reference warns
+    loudly instead of silently never running)."""
     unknown = set(kw) - {"num_partitions", "associative_reduce", "sort_values_by"}
     if unknown:
         raise TypeError(f"run_mrjob: unknown options {sorted(unknown)!r}")
@@ -470,6 +522,7 @@ def run_mrjob(spark: SparkSession, job: MRJob, records, **kw):
             )
         if not steps:
             raise ValueError("run_mrjob: steps() returned an empty list")
+        _warn_ignored_overrides(job, steps)
         out = records
         for step in steps:
             out = _run_step(spark, step, out)

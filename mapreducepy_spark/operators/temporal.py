@@ -1207,6 +1207,16 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partials land an ulp away from DuckDB's sequential sum and flip the
 # final cent at scale. floor(v*100+0.5) per row is exact BIGINT; the
 # one division by 100.0 at the end is deterministic IEEE.
+#
+# INVARIANT (ADVICE r5): per-row cent rounding is LOSSLESS only
+# because events.value is cent-aligned — verified against the fixture
+# (10000/10000 values at sf0.01 satisfy v*100 == round(v*100); min
+# 0.01) — so floor(v*100+0.5) is the identity in cents and the total
+# is the exact sum. For a feed that is NOT cent-aligned this would
+# quantize per row (250 × 0.004 → 0.00, not 1.00); there, sum exact
+# integer MICRO-units per row (floor(v*1e6+0.5) BIGINT), round the
+# one integer total to cents, and change the oracle in the same
+# commit — determinism without per-row quantization loss.
 _ORACLE_EVENTS_OHLC = """
 SELECT time_bucket(INTERVAL '30 minutes', ts) AS bar_start,
        event_type,
@@ -1292,7 +1302,10 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL — ``first_value`` over an under-specified sort would be
     engine-arbitrary. high/low/count are exact picks; sum_value is
     summed in exact integer cents per row (never a rounded double
-    SUM — partition-order float addition could flip the last cent).
+    SUM — partition-order float addition could flip the last cent);
+    lossless because the value feed is cent-aligned (fixture-verified
+    invariant — see the oracle comment for the micro-unit recipe a
+    non-cent-aligned feed needs).
     NULL-timestamp rows are excluded symmetrically (Spark's
     ``window()`` drops them silently; the oracle must not group
     them under a NULL bar).

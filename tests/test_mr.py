@@ -467,7 +467,10 @@ def test_total_order_key_properties():
         st.text(max_size=8),
         st.binary(max_size=8),
         st.dates(),
-        st.datetimes(),
+        # naive AND tz-aware (ADVICE r5: a mixed aware/naive partition
+        # must still sort — the transform sub-tags by awareness)
+        st.datetimes(timezones=st.none() | st.timezones()),
+        st.times(timezones=st.none() | st.timezones()),
     )
     keys = st.one_of(
         scalars, st.lists(scalars, max_size=3), st.tuples(scalars, scalars)
@@ -494,3 +497,77 @@ def test_total_order_key_properties():
             assert ka == kb, (a, b)
 
     check()
+
+
+def test_total_order_key_mixed_tz_awareness():
+    """ADVICE r5 regression: naive + aware datetimes (and times) in
+    one partition used to raise TypeError inside the sort — the exact
+    data-layout-dependent crash the transform exists to prevent."""
+    import datetime as dt
+
+    utc = dt.timezone.utc
+    keys = [
+        dt.datetime(2026, 1, 1, 12, 0),
+        dt.datetime(2026, 1, 1, 12, 0, tzinfo=utc),
+        dt.datetime(2025, 6, 1, 0, 0),
+        dt.datetime(2025, 6, 1, 0, 0, tzinfo=dt.timezone(dt.timedelta(hours=5))),
+        dt.time(8, 30),
+        dt.time(8, 30, tzinfo=utc),
+    ]
+    transformed = sorted(keys, key=mr._total_order_key)  # must not raise
+    assert len(transformed) == len(keys)
+    # naive sorts before aware within each class (False < True subtag)
+    assert transformed[0].tzinfo is None
+    # equality contract: aware != naive under Python ==, and the
+    # transforms differ too (no accidental merge)
+    assert mr._total_order_key(keys[0]) != mr._total_order_key(keys[1])
+    # determinism + within-class order still by value
+    naive = [k for k in transformed if isinstance(k, dt.datetime) and k.utcoffset() is None]
+    assert naive == sorted(naive)
+
+
+def test_run_mrjob_warns_on_ignored_overrides(spark):
+    """ADVICE r5: steps() + an unreferenced classic override warns
+    loudly instead of silently never running the override/hooks."""
+    import warnings as _w
+
+    class BothJob(mr.MRJob):
+        def steps(self):
+            return [mr.MRStep(mapper=lambda k, v: [(v % 2, 1)],
+                              reducer=lambda k, vs: [(k, sum(vs))])]
+
+        def mapper(self, key, value):  # ignored by the steps path
+            yield (value, 1)
+
+        def mapper_init(self):  # hooks NEVER run on the steps path
+            raise AssertionError("must not run")
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = dict(
+            mr.run_mrjob(spark, BothJob(), [(None, i) for i in range(4)]).collect()
+        )
+    assert out == {0: 2, 1: 2}
+    msgs = [str(w.message) for w in caught if "will NOT run" in str(w.message)]
+    assert msgs and "mapper" in msgs[0] and "mapper_init" in msgs[0]
+
+    class StepsReferencingJob(mr.MRJob):
+        """Referencing the overridden mapper FROM a step is the
+        legitimate mrjob idiom — no warning."""
+
+        def steps(self):
+            return [mr.MRStep(mapper=self.mapper,
+                              reducer=lambda k, vs: [(k, sum(vs))])]
+
+        def mapper(self, key, value):
+            yield (value % 2, 1)
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = dict(
+            mr.run_mrjob(
+                spark, StepsReferencingJob(), [(None, i) for i in range(4)]
+            ).collect()
+        )
+    assert out == {0: 2, 1: 2}
+    assert not [w for w in caught if "will NOT run" in str(w.message)]
