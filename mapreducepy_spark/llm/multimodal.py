@@ -281,3 +281,108 @@ def resize_images(
             )
 
     return decoded.mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------- #
+# multimodal_payload_stats — the binary plumbing, oracle-checked
+# ---------------------------------------------------------------- #
+
+# VERDICT r5 flagged the binary path as the one L-family component
+# with no end-to-end exercise (the fixtures carry no binary column).
+# This key closes the gap WITHOUT a codec: the payload is the UTF-8
+# byte twin of each document (attach_payload's deterministic fake for
+# an object-store fetch), and the per-row stats — byte length, the
+# fake decoder's (width, height), and an md5 of the bytes computed
+# INSIDE the Python worker — round-trip through the real Arrow
+# mapInPandas pipeline. DuckDB predicts every value from the text
+# column alone (octet_length/md5 over the same UTF-8 bytes), so a
+# hash-green row proves the binary bytes crossed JVM → Arrow →
+# pandas → JVM unmangled. md5 here is a payload-integrity register,
+# not the digest-dedup key (that is ``dedup_exact``'s md5(text)).
+
+PAYLOAD_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("payload_bytes", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload_md5", StringType(), True),
+    ]
+)
+
+
+def payload_stats(payloads: DataFrame) -> DataFrame:
+    """Per-payload stats over Arrow batches: byte length, fake-decoded
+    (width, height), and the md5 of the raw bytes. NULL payload ⇒ all
+    stats NULL (octet_length/md5-of-NULL semantics, matching the
+    oracle's natural SQL NULL propagation — NOT the 0-filled shape
+    ``decode_images`` uses for its feature rows)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        dec = DeterministicFakeDecoder.decode
+        for pdf in batches:
+            nb, ws, hs, md = [], [], [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    nb.append(None), ws.append(None)
+                    hs.append(None), md.append(None)
+                    continue
+                b = bytes(p)
+                w, h, _feat = dec(b)
+                nb.append(len(b)), ws.append(w), hs.append(h)
+                md.append(hashlib.md5(b).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "payload_bytes": nb,
+                    "width": ws,
+                    "height": hs,
+                    "payload_md5": md,
+                }
+            )
+
+    return payloads.mapInPandas(run, PAYLOAD_STATS_SCHEMA)
+
+
+_ORACLE_PAYLOAD_STATS = """
+SELECT doc_id,
+       'image' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       CAST((octet_length(encode(text)) % 640) + 1 AS INT) AS width,
+       CAST((octet_length(encode(text)) % 480) + 1 AS INT) AS height,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+@register(
+    "multimodal_payload_stats", _ORACLE_PAYLOAD_STATS, tags=("llm", "multimodal")
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6, binary leg — per-document payload statistics through the
+    REAL binary pipeline: ``attach_payload`` (binary column + typed
+    metadata) → ``payload_stats`` (Arrow-batched ``mapInPandas``:
+    length, fake-decode dims, md5-of-bytes). The oracle recomputes
+    all of it from the text column (same UTF-8 bytes), so parity
+    certifies byte-exact Arrow transport, not just the arithmetic.
+
+    Scale: the payload never reaches a shuffle — attach, decode, and
+    stat extraction are all narrow; what leaves the stage is the
+    fixed-width stats row (the module rule: metadata travels, bytes
+    don't). Python cost is one C-speed md5 per payload over Arrow
+    batches, not a per-row UDF round-trip. ``media_meta`` is pruned
+    BEFORE the kernel — mapInPandas ships every input column over
+    Arrow, so unused columns must be dropped upstream (Catalyst then
+    prunes them out of the scan as well).
+    """
+    docs = load(spark, sf_dir, "documents")
+    payloads = attach_payload(docs, modality="image").select(
+        "doc_id", "modality", "payload"
+    )
+    return payload_stats(payloads)

@@ -51,6 +51,7 @@ _MODULES = (
     "mapreducepy_spark.operators.sampling",
     "mapreducepy_spark.operators.subqueries",
     "mapreducepy_spark.operators.graph",
+    "mapreducepy_spark.sources.jsonl",
     "mapreducepy_spark.functions.scalar",
     "mapreducepy_spark.llm.dedup",
     "mapreducepy_spark.llm.similarity",
@@ -64,85 +65,48 @@ _MODULES = (
 # Explicit catalog order. The driver evaluates ``queries()`` front to
 # back under a bounded budget (every round so far stopped at exactly
 # the first 50 catalog keys), so ordering is evidence policy, not
-# cosmetics. Current policy (VERDICT r4 work orders #1/#3 + SURVEY §8
-# round-8 window plan):
+# cosmetics. Round-6 policy (VERDICT r5 work orders #1/#5/#9):
 #
-# - first, every key whose CODE or ORACLE this session touched
-#   (zero evidence newer than the code): the NULL-event_id hardening
-#   family — idn-flagged argmin/argmax structs (events_ohlc,
-#   agg_minmax_by), NULLS FIRST pins on every ts,event_id ordering
-#   (win_lead_lag, win_session, events_session_stats, events_paths,
-#   events_inter_arrival, events_attribution, events_cooccurrence),
-#   and the OHLC exact-cents sum;
-# - then the 4 keys whose code was touched in PRIOR sessions but
-#   displaced before the driver re-reached them (scan_profile's
-#   approx param, fn_regex's cast guard, sim_knn's and
-#   dedup_embedding's norm-validity predicate);
-# - then the 6 LSH-machinery riders displaced two sessions ago
-#   (shared _candidate_jaccard refactor) — green r2/r3 rows + fresh
-#   local parity, but the code is newer than the driver evidence;
-# - the remaining slots refresh the oldest round-2-evidence block,
-#   in its long-standing order (dedup_simhash … fn_conditional). The
-#   8 r2 keys that don't fit (fn_json … win_range_frame) plus the
-#   r3/r4-green tail rotate next round. The one NEW key this session
-#   (pipeline_drop_explain — the dedup-decision audit trail) sits at
-#   position 1, zero-evidence-first.
-# - PARKED AT THE VERY TAIL, permanently: the 3 rows-only-by-design
-#   keys (agg_approx_distinct, sample_fraction, sample_stratified).
-#   Rounds 1 AND 4 both recorded ``err: "no_oracle"`` with live
+# - first the 2 NEW keys (zero driver evidence): jsonl_quarantine
+#   (the corrupt-record ingestion census — the only implemented
+#   source with no driver rows, work order #5) and
+#   multimodal_payload_stats (binary plumbing end-to-end through
+#   mapInPandas, md5-certified — the growth slot of work order #9);
+# - then the 2 keys whose CODE this session touched (the df-cap
+#   parameter + shared _df_capped_index refactor, work order #4):
+#   dedup_ngram_jaccard, dedup_jaccard_capped;
+# - then the 11 keys still resting on ROUND-2 driver evidence
+#   (work order #1 — win_rank's oracle text changed after its last
+#   driver row, so it is the most urgent of these);
+# - the remaining 35 slots refresh the oldest round-3-evidence block
+#   (33 keys, long-standing order) and the 2 oldest round-4 keys
+#   (graph_pagerank, graph_knn_triangles). After this window lands
+#   green, no catalog key rests on sub-r4 driver evidence.
+# - BELOW the 50-key line: the rest of the r4-evidence block (next
+#   round's refresh candidates), then the r5-green block, then —
+#   PARKED AT THE VERY TAIL, permanently — the 3 rows-only-by-design
+#   keys (agg_approx_distinct, sample_fraction, sample_stratified):
+#   rounds 1 AND 4 both recorded ``err: "no_oracle"`` with live
 #   spark_rows — the protocol structurally cannot express a
 #   rows-only pass, so windowing them again only burns evidence
-#   slots (VERDICT r4 work order #3). Their correctness lives in
-#   pytest (seeded-RNG determinism + bound checks).
+#   slots. Their correctness lives in pytest.
 #
 # ``load_catalog`` reorders the registry to this sequence and RAISES
 # if any registered key is missing from it (round-2 postmortem: five
 # keys silently fell to the alphabetical tail, outside any evidence
 # window); tests/test_sql.py additionally pins the two lists equal.
 _KEY_ORDER = (
-    # NEW this session — zero driver evidence, head of the window
-    "pipeline_drop_explain",
-    # touched THIS session (round-8 build / driver round 5): the
-    # NULL-event_id hardening — re-prove before anything else
-    "events_ohlc", "agg_minmax_by", "win_lead_lag",
-    "win_session", "events_session_stats", "events_paths",
-    "events_inter_arrival", "events_attribution", "events_cooccurrence",
-    # touched late in the session by the review passes: the shared
-    # split_col/split_case_sql helpers now live in sampling.py and
-    # feed sample_split + clean_corpus + the audit + the manifest
-    # that composes on clean_corpus (the _candidate_jaccard
-    # both-rotate rule)
-    "pipeline_clean_corpus", "pipeline_mixture_manifest", "sample_split",
-    # touched in prior sessions, displaced before the driver
-    # re-reached them — code newer than last driver row
-    "scan_profile", "fn_regex", "sim_knn", "dedup_embedding",
-    # the LSH-machinery riders (shared _candidate_jaccard refactor)
-    "dedup_near", "dedup_clusters", "dedup_near_verified",
-    "dedup_minhash_est", "dedup_survivors_verified", "dedup_exact",
-    # oldest round-2-evidence block, long-standing refresh order
-    "dedup_simhash", "dedup_ngram_jaccard",
-    "sim_ann_lsh", "sim_ann_ivf",
-    "text_stats", "text_tfidf",
-    "agg_group",
-    "multimodal_cols",
-    "text_quality", "text_langid", "text_tokens", "text_fingerprint",
-    "win_tumbling", "win_sliding",
-    "events_funnel", "rollup_multires", "join_range_binned",
-    "sample_hash_fraction", "sample_hash_stratified",
-    "join_inner", "agg_count_distinct",
-    "scan_project", "scan_count", "json_extract",
-    "filter_pred", "project_expr", "distinct_rows",
-    # ---- position 50 = distinct_rows: the window ends exactly here
-    # (1 new + 9 touched + 3 split-helper riders + 4 prior-touched
-    # + 6 LSH riders + 27 r2-refresh = 50). Everything below is
-    # OUTSIDE the driver window: first the 11 r2 keys that didn't
-    # fit (they lead the round-6 refresh), then the r3/r4-green
-    # tail, then the parked no-oracle keys.
+    # ---- round-6 window head: NEW keys, zero driver evidence
+    "jsonl_quarantine", "multimodal_payload_stats",
+    # touched this session: df-cap wiring (VERDICT r5 work order #4)
+    "dedup_ngram_jaccard", "dedup_jaccard_capped",
+    # the 11 round-2-evidence keys (work order #1; win_rank's oracle
+    # is newer than its last driver row)
     "fn_string", "fn_date", "fn_conditional",
     "fn_json", "fn_levenshtein", "fn_math", "fn_array",
     "agg_having", "win_rank",
     "join_theta_range", "win_range_frame",
-    # r3/r4-green (fresh driver evidence from the r3/r4 windows)
+    # the 33-key round-3-evidence block, long-standing order
     "agg_gini",
     "agg_histogram", "dedup_keep_first",
     "join_skew_salted", "text_decontaminate",
@@ -161,8 +125,13 @@ _KEY_ORDER = (
     "events_dau_rolling",
     "text_keywords", "text_perplexity_proxy",
     "agg_pareto", "events_user_lifecycle",
-    "dedup_jaccard_capped",
+    # the 2 oldest round-4 keys complete the 50
     "graph_pagerank", "graph_knn_triangles",
+    # ---- position 50 = graph_knn_triangles: the window ends exactly
+    # here (2 new + 2 touched + 11 r2 + 33 r3 + 2 r4 = 50).
+    # Everything below is OUTSIDE the driver window: the rest of the
+    # r4-evidence block first (they lead the round-7 refresh), then
+    # the r5-green block, then the parked no-oracle keys.
     "agg_top_revenue", "join_nested_semi",
     "text_chunk_overlap", "embed_quantize_error", "dedup_threshold_sweep",
     "join_groupagg_in", "join_disjunctive", "agg_global_share",
@@ -178,6 +147,27 @@ _KEY_ORDER = (
     "agg_cube", "agg_grouping_sets", "agg_rollup", "agg_stats",
     "join_full",
     "win_running", "agg_quantile_disc", "join_asof",
+    # r5-green block (freshest driver evidence)
+    "pipeline_drop_explain",
+    "events_ohlc", "agg_minmax_by", "win_lead_lag",
+    "win_session", "events_session_stats", "events_paths",
+    "events_inter_arrival", "events_attribution", "events_cooccurrence",
+    "pipeline_clean_corpus", "pipeline_mixture_manifest", "sample_split",
+    "scan_profile", "fn_regex", "sim_knn", "dedup_embedding",
+    "dedup_near", "dedup_clusters", "dedup_near_verified",
+    "dedup_minhash_est", "dedup_survivors_verified", "dedup_exact",
+    "dedup_simhash",
+    "sim_ann_lsh", "sim_ann_ivf",
+    "text_stats", "text_tfidf",
+    "agg_group",
+    "multimodal_cols",
+    "text_quality", "text_langid", "text_tokens", "text_fingerprint",
+    "win_tumbling", "win_sliding",
+    "events_funnel", "rollup_multires", "join_range_binned",
+    "sample_hash_fraction", "sample_hash_stratified",
+    "join_inner", "agg_count_distinct",
+    "scan_project", "scan_count", "json_extract",
+    "filter_pred", "project_expr", "distinct_rows",
     # parked permanently (see policy comment above): the protocol
     # records "err: no_oracle" for these — proven in r1 AND r4
     "agg_approx_distinct", "sample_fraction", "sample_stratified",

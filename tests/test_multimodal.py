@@ -79,3 +79,52 @@ def test_resize_fits_box_and_preserves_aspect(spark, sf_dir):
         # features scaled by exactly num/den
         f0 = list(src.loc[row.doc_id, "feature"])
         assert list(row.feature) == [x * row.scale_num / row.scale_den for x in f0]
+
+
+def test_payload_stats_md5_certifies_byte_transport(spark, sf_dir):
+    """payload_stats must hash the ACTUAL bytes inside the Python
+    worker — cross-check one row against hashlib on the driver, and
+    the dims against the fake decoder."""
+    import hashlib
+
+    docs = load(spark, sf_dir, "documents")
+    stats = (
+        mm.payload_stats(mm.attach_payload(docs))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(stats) == docs.count()
+    row = docs.orderBy("doc_id").limit(1).collect()[0]
+    payload = row.text.encode("utf-8")
+    got = stats.iloc[0]
+    assert got["payload_bytes"] == len(payload)
+    assert got["payload_md5"] == hashlib.md5(payload).hexdigest()
+    w, h, _ = mm.DeterministicFakeDecoder.decode(payload)
+    assert (got["width"], got["height"]) == (w, h)
+
+
+def test_payload_stats_null_payload_propagates_null(spark):
+    """NULL payload ⇒ every stat NULL (octet_length/md5 SQL
+    semantics), NOT the zero-filled shape decode_images uses."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "modality": ["image", "image"],
+            "payload": [None, b""],
+            "media_meta": [None, None],
+        }
+    )
+    payloads = spark.createDataFrame(pdf, schema=mm.PAYLOAD_SCHEMA)
+    out = (
+        mm.payload_stats(payloads).toPandas().sort_values("doc_id").set_index("doc_id")
+    )
+    assert out.loc[1, ["payload_bytes", "width", "height", "payload_md5"]].isna().all()
+    # empty-but-present payload is a REAL payload: 0 bytes, md5 of b""
+    assert out.loc[2, "payload_bytes"] == 0
+    assert out.loc[2, "width"] == 1 and out.loc[2, "height"] == 1
+    import hashlib
+
+    assert out.loc[2, "payload_md5"] == hashlib.md5(b"").hexdigest()

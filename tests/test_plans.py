@@ -856,3 +856,31 @@ def test_drop_explain_blocklist_broadcasts_no_python(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Window") == 1
+
+
+def test_jsonl_quarantine_single_parse_partial_agg(spark, sf_dir):
+    """One JSON scan (explicit contract schema, column-pruned), one
+    map-side-combined aggregation, ONE tiny exchange — the census
+    must never re-parse or shuffle raw lines."""
+    # simple mode prints each node once (formatted repeats every
+    # node in its detail section, double-counting scans)
+    plan = plan_of(spark, "jsonl_quarantine", sf_dir, mode="simple")
+    assert plan.count("Scan json") == 1  # single parse, single consumer
+    assert "partial_count" in plan_of(spark, "jsonl_quarantine", sf_dir)
+    assert plan.count("Exchange") == 1
+    read_schema = read_schema_line(
+        CATALOG["jsonl_quarantine"].builder(spark, sf_dir)
+    )
+    assert "source" not in read_schema  # unused field pruned from the parse
+
+
+def test_payload_stats_no_shuffle_no_meta_over_arrow(spark, sf_dir):
+    """Binary bytes must never reach a shuffle, and unused columns
+    must not ride the Arrow transfer into the Python worker
+    (mapInPandas ships every input column — pruning is upstream)."""
+    df = CATALOG["multimodal_payload_stats"].builder(spark, sf_dir)
+    plan = plan_text(df, "formatted")
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan  # fully narrow pipeline
+    assert "media_meta" not in plan  # pruned before the kernel
+    assert "n_chars" not in read_schema_line(df)  # pruned from the scan

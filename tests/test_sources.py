@@ -217,3 +217,29 @@ def test_input_size_bytes_resolves_files_dirs_and_missing(spark, tmp_path):
     assert _input_size_bytes(spark, str(tmp_path / "nope")) is None
     # explicit scheme works through the same Hadoop path
     assert _input_size_bytes(spark, f"file://{f}") == 1234
+
+
+def test_jsonl_fixture_deterministic_and_quarantine_counts(spark, sf_dir):
+    """The engine-written JSONL twin must be byte-identical across
+    regenerations (the oracle predicts its parse from the parquet
+    source — any nondeterminism would break parity), and the
+    quarantine census must equal the literal corruption rule."""
+    from mapreducepy_spark.registry import load_catalog
+    from mapreducepy_spark.sources.jsonl import _CORRUPT_EVERY, ensure_jsonl_fixture
+
+    p1 = ensure_jsonl_fixture(sf_dir)
+    b1 = open(p1, "rb").read()
+    p2 = ensure_jsonl_fixture(sf_dir)
+    assert p1 == p2 and open(p2, "rb").read() == b1
+
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_pylist()
+    n_corrupt = sum(1 for i in ids if i is not None and i % _CORRUPT_EVERY == 0)
+    out = load_catalog()["jsonl_quarantine"].builder(spark, sf_dir).toPandas()
+    q = out[out.status == "quarantined"]
+    assert len(q) == 1 and int(q.n_rows.iloc[0]) == n_corrupt > 0
+    assert q.lang.isna().all()  # corrupt rows carry no parsed fields
+    assert int(out[out.status == "clean"].n_rows.sum()) == len(ids) - n_corrupt
