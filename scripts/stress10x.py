@@ -94,6 +94,11 @@ OPS = (
     "embed_quantize_error",
     "dedup_threshold_sweep",
     "events_ohlc",
+    # round 9: JSONL quarantine census (parse cost must stay
+    # line-linear, shuffle a few rows) and the binary-payload md5
+    # pass (narrow Arrow pipeline, zero exchange at any size)
+    "jsonl_quarantine",
+    "multimodal_payload_stats",
 )
 
 
