@@ -37,21 +37,28 @@ from ..registry import register
 CORRUPT_COL = "_corrupt_record"
 
 
-def read_jsonl(
-    spark: SparkSession, path: str, schema: StructType
-) -> DataFrame:
-    """Read a JSONL corpus under an explicit contract schema, keeping
-    malformed lines in ``_corrupt_record`` (PERMISSIVE mode)."""
+def schema_with_corrupt(schema: StructType) -> StructType:
+    """The contract schema plus the corrupt-record column — shared by
+    the batch reader here and ``streaming.ingest.read_jsonl_stream``
+    (one definition, or the two modes drift on the quarantine
+    contract)."""
     if CORRUPT_COL in schema.fieldNames():
         raise ValueError(
             f"schema must not already contain {CORRUPT_COL!r}"
         )
     # fresh StructType: StructType.add mutates the caller's schema
-    full = StructType(
+    return StructType(
         list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
     )
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """Read a JSONL corpus under an explicit contract schema, keeping
+    malformed lines in ``_corrupt_record`` (PERMISSIVE mode)."""
     return (
-        spark.read.schema(full)
+        spark.read.schema(schema_with_corrupt(schema))
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
@@ -217,7 +224,16 @@ def jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence.
     """
     path = ensure_jsonl_fixture(sf_dir)
-    parsed = read_jsonl(spark, path, _JSONL_DOC_SCHEMA)
+    return quarantine_census(read_jsonl(spark, path, _JSONL_DOC_SCHEMA))
+
+
+def quarantine_census(parsed: DataFrame) -> DataFrame:
+    """The ONE census aggregation, shared by the batch catalog key
+    above and the streaming ingestion monitor
+    (``streaming.ingest``) — the algebra is mode-agnostic (the
+    ``ohlc_aggregate`` rule): on a stream Spark maintains the same
+    ≤ 2 × #langs aggregate incrementally, which is exactly the live
+    quarantine-rate dashboard a 100 TB landing zone needs."""
     status = (
         F.when(F.col(CORRUPT_COL).isNull(), F.lit("clean"))
         .otherwise(F.lit("quarantined"))

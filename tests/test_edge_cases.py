@@ -1037,3 +1037,34 @@ def test_minmax_by_null_ts_rows_count_but_never_win(spark, tmp_path):
     from .parity_util import canon_frame
 
     assert canon_frame(spd.reset_index()) == canon_frame(dpd.reset_index())
+
+
+def test_payload_stats_multibyte_utf8_counts_bytes_not_chars(spark, tmp_path):
+    """The binary payload is UTF-8 BYTES: a multibyte document (2–4
+    byte codepoints) must report octet counts and hash the encoded
+    bytes — Spark kernel and DuckDB oracle must agree even when
+    len(text) != len(payload). The driver fixtures are all-ASCII, so
+    only this test covers the distinction."""
+    import duckdb
+    import hashlib
+
+    from mapreducepy_spark.registry import load_catalog
+    from .parity_util import canon_frame
+
+    texts = ["héllo wörld", "世界 你好", "emoji 🚀🌍 mix", "plain ascii"]
+    sf = _write_docs(tmp_path, {"web": texts})
+    out = load_catalog()["multimodal_payload_stats"].builder(spark, sf).toPandas()
+    by_id = out.set_index("doc_id")
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        assert by_id.loc[i, "payload_bytes"] == len(b) != len(t) or t == "plain ascii"
+        assert by_id.loc[i, "payload_md5"] == hashlib.md5(b).hexdigest()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    dpd = con.execute(
+        load_catalog()["multimodal_payload_stats"].oracle
+    ).fetchdf()
+    assert canon_frame(out) == canon_frame(dpd)

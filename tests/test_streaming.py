@@ -253,3 +253,37 @@ def test_foreach_batch_sink_is_exactly_once_under_replay(
     )
     sk.write_batch_idempotent(out)(replayed, int(batches[0].split("=")[1]))
     assert spark.read.parquet(out).count() == before
+
+
+def test_jsonl_quarantine_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming ingestion twin: the engine-written JSONL fixture
+    replayed through a file-source stream must produce the SAME
+    quarantine census as the batch catalog key — including when the
+    file arrives split across micro-batches (the census is a plain
+    incremental aggregate; batch boundaries must not show)."""
+    from mapreducepy_spark.registry import load_catalog
+    from mapreducepy_spark.sources.jsonl import (
+        _JSONL_DOC_SCHEMA,
+        ensure_jsonl_fixture,
+    )
+    from mapreducepy_spark.streaming import ingest as si
+
+    src = ensure_jsonl_fixture(sf_dir)
+    # stage as a landing DIRECTORY, split in two so AvailableNow +
+    # maxFilesPerTrigger=1 exercises a real micro-batch boundary
+    land = tmp_path / "landing"
+    land.mkdir()
+    lines = open(src, "rb").read().splitlines(keepends=True)
+    half = len(lines) // 2
+    (land / "upload-000.jsonl").write_bytes(b"".join(lines[:half]))
+    (land / "upload-001.jsonl").write_bytes(b"".join(lines[half:]))
+
+    stream = si.read_jsonl_stream(
+        spark, str(land), _JSONL_DOC_SCHEMA, max_files_per_trigger=1
+    )
+    assert stream.isStreaming
+    got = sw.run_available_now(
+        si.quarantine_census(stream), "t_jsonl_census", spark
+    ).toPandas()
+    want = load_catalog()["jsonl_quarantine"].builder(spark, sf_dir).toPandas()
+    assert canon_frame(got) == canon_frame(want)
