@@ -158,14 +158,26 @@ def load_spread(
     return df
 
 
+# non-local sizes memoized per path: getContentSummary walks the
+# dataset recursively, and load_spread may probe the same input 3×
+# per bench key — on a 100k-object store listing that walk would
+# cost more than the partition probe the gate exists to avoid. The
+# cache assumes a dataset path's size class (above/below the 32 MiB
+# gate) is stable within one process — true for fixtures and for
+# immutable lake layouts; a path rewritten mid-process at a
+# different size class would be mis-gated until restart.
+_SIZE_CACHE: dict[str, int | None] = {}
+
+
 def _input_size_bytes(spark: SparkSession, path: str) -> int | None:
     """On-disk size of a dataset path, or None if unknowable.
 
     Local single file → ``os.path`` (no JVM round-trip, the common
-    fixture layout). Anything else — local directory, remote URI,
-    partitioned dataset — resolves through the Hadoop FileSystem API
-    (``getContentSummary`` is recursive), so the ``load_spread`` size
-    gate short-circuits small DIRECTORY/remote inputs too instead of
+    fixture layout; never cached — stat is cheap). Anything else —
+    local directory, remote URI, partitioned dataset — resolves
+    through the Hadoop FileSystem API (``getContentSummary`` is
+    recursive, memoized per path), so the ``load_spread`` size gate
+    short-circuits small DIRECTORY/remote inputs too instead of
     silently falling through to the plan→RDD partition probe it was
     measured to avoid (ADVICE r5, io.py:146)."""
     import os
@@ -175,17 +187,27 @@ def _input_size_bytes(spark: SparkSession, path: str) -> int | None:
             return os.path.getsize(path)
     except OSError:
         pass
+    if path in _SIZE_CACHE:
+        return _SIZE_CACHE[path]
     try:
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(hpath):
-            return int(fs.getContentSummary(hpath).getLength())
+        size = (
+            int(fs.getContentSummary(hpath).getLength())
+            if fs.exists(hpath)
+            else None
+        )
     except Exception:
         # py4j errors for unreachable/unsupported schemes: size is
         # simply unknowable — the caller falls back to the probe
-        return None
-    return None
+        size = None
+    if size is not None:
+        # never cache "missing/unknowable": the path may exist on the
+        # next call (e.g. a dataset materialized mid-process), and a
+        # stale None would skip the fast gate forever
+        _SIZE_CACHE[path] = size
+    return size
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -167,9 +167,15 @@ def ensure_jsonl_fixture(sf_dir: str) -> str:
             line = line[:-5]  # removes the closing '}' ⇒ malformed
         lines.append(line)
     tmp = f"{out}.tmp.{os.getpid()}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write("\n".join(lines) + "\n")
-    os.replace(tmp, out)
+    try:
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.replace(tmp, out)
+    finally:
+        # a failed write (ENOSPC mid-stream) must not orphan the tmp
+        # file — the builder runs on every bench/test invocation
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return out
 
 

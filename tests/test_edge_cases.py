@@ -1057,7 +1057,9 @@ def test_payload_stats_multibyte_utf8_counts_bytes_not_chars(spark, tmp_path):
     by_id = out.set_index("doc_id")
     for i, t in enumerate(texts):
         b = t.encode("utf-8")
-        assert by_id.loc[i, "payload_bytes"] == len(b) != len(t) or t == "plain ascii"
+        assert by_id.loc[i, "payload_bytes"] == len(b)
+        if t != "plain ascii":
+            assert len(b) != len(t)  # the multibyte rows REALLY differ
         assert by_id.loc[i, "payload_md5"] == hashlib.md5(b).hexdigest()
     con = duckdb.connect()
     con.execute(
