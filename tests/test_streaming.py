@@ -287,3 +287,27 @@ def test_jsonl_quarantine_stream_matches_batch(spark, sf_dir, tmp_path):
     ).toPandas()
     want = load_catalog()["jsonl_quarantine"].builder(spark, sf_dir).toPandas()
     assert canon_frame(got) == canon_frame(want)
+
+
+def test_kafka_shape_value_parsing_matches_file_census(spark, sf_dir):
+    """parse_json_values (the Kafka value-column path) must yield the
+    IDENTICAL quarantine census as the file reader over the same
+    lines — plus: NULL values (tombstones) are dropped, not counted
+    clean or quarantined."""
+    from mapreducepy_spark.registry import load_catalog
+    from mapreducepy_spark.sources.jsonl import (
+        _JSONL_DOC_SCHEMA,
+        ensure_jsonl_fixture,
+    )
+    from mapreducepy_spark.streaming import ingest as si
+
+    src = ensure_jsonl_fixture(sf_dir)
+    lines = open(src, encoding="utf-8").read().splitlines()
+    raw = spark.createDataFrame(
+        [(ln,) for ln in lines] + [(None,)], "value string"  # + tombstone
+    )
+    got = si.quarantine_census(
+        si.parse_json_values(raw, _JSONL_DOC_SCHEMA)
+    ).toPandas()
+    want = load_catalog()["jsonl_quarantine"].builder(spark, sf_dir).toPandas()
+    assert canon_frame(got) == canon_frame(want)  # tombstone invisible
