@@ -128,3 +128,36 @@ def test_payload_stats_null_payload_propagates_null(spark):
     import hashlib
 
     assert out.loc[2, "payload_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_payload_stats_arbitrary_binary_not_just_utf8(spark):
+    """The payload column is OPAQUE bytes — null bytes, invalid
+    UTF-8, high bits — and must survive the Arrow round-trip
+    bit-exactly (md5-pinned). attach_payload only ever produces
+    valid UTF-8, so this is the one test exercising the kernel on
+    bytes a real image/audio codec would emit."""
+    import hashlib
+
+    import pandas as pd
+
+    payloads = [
+        b"\x00\x01\x02\xff\xfe\xfd",          # null + high bytes
+        b"\xc3\x28",                            # invalid UTF-8 sequence
+        bytes(range(256)),                      # every byte value
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 64,  # PNG-magic-shaped
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(payloads)),
+            "modality": ["image"] * len(payloads),
+            "payload": payloads,
+            "media_meta": [None] * len(payloads),
+        }
+    )
+    df = spark.createDataFrame(pdf, schema=mm.PAYLOAD_SCHEMA)
+    out = mm.payload_stats(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    for i, b in enumerate(payloads):
+        assert out.loc[i, "payload_bytes"] == len(b)
+        assert out.loc[i, "payload_md5"] == hashlib.md5(b).hexdigest()
+        w, h, _ = mm.DeterministicFakeDecoder.decode(b)
+        assert (out.loc[i, "width"], out.loc[i, "height"]) == (w, h)
