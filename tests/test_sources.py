@@ -243,3 +243,68 @@ def test_jsonl_fixture_deterministic_and_quarantine_counts(spark, sf_dir):
     assert len(q) == 1 and int(q.n_rows.iloc[0]) == n_corrupt > 0
     assert q.lang.isna().all()  # corrupt rows carry no parsed fields
     assert int(out[out.status == "clean"].n_rows.sum()) == len(ids) - n_corrupt
+
+
+def test_jsonl_census_properties_vs_python_reference(spark, tmp_path):
+    """Triple-engine evidence for the census: on seeded random doc
+    tables (NULLs in every nullable field, weird-but-JSON-safe
+    strings), the Spark census must equal a plain-Python reference
+    computed from the corruption rule — independently of DuckDB.
+    Conservation: clean + quarantined row counts == table rows."""
+    import random
+
+    import pandas as pd
+
+    from mapreducepy_spark.registry import load_catalog
+    from mapreducepy_spark.sources.jsonl import _CORRUPT_EVERY
+
+    rng = random.Random(42)
+    langs = ["en", "zh", None, "es", ""]
+    sources = ["web", None, "books"]
+    builder = load_catalog()["jsonl_quarantine"].builder
+
+    for trial in range(3):
+        n = rng.randint(5, 120)
+        rows = []
+        for i in range(n):
+            rows.append(
+                (
+                    i * rng.choice([1, 2, 5]),  # ids incl. %20 hits
+                    "t" * rng.randint(0, 3),
+                    rng.choice(langs),
+                    rng.choice(sources),
+                    rng.choice([None, 0, rng.randint(1, 10**6)]),
+                )
+            )
+        d = tmp_path / f"prop{trial}"
+        d.mkdir()
+        pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        ).astype({"doc_id": "int64", "n_chars": "Int64"}).to_parquet(
+            d / "documents.parquet", index=False
+        )
+        out = builder(spark, str(d)).toPandas()
+
+        # python reference, straight from the corruption rule
+        corrupt = [r for r in rows if r[0] % _CORRUPT_EVERY == 0]
+        clean = [r for r in rows if r[0] % _CORRUPT_EVERY != 0]
+        assert int(out.n_rows.sum()) == n  # conservation
+        q = out[out.status == "quarantined"]
+        assert int(q.n_rows.sum()) == len(corrupt)
+        got_by_lang = {
+            (None if pd.isna(r.lang) else r.lang): r
+            for r in out[out.status == "clean"].itertuples()
+        }
+        by_lang: dict = {}
+        for r in clean:
+            by_lang.setdefault(r[2], []).append(r)
+        assert set(got_by_lang) == set(by_lang)
+        for lang, rs in by_lang.items():
+            g = got_by_lang[lang]
+            assert g.n_rows == len(rs)
+            assert g.min_doc_id == min(r[0] for r in rs)
+            assert g.max_doc_id == max(r[0] for r in rs)
+            chars = [r[4] for r in rs if r[4] is not None]
+            want_sum = sum(chars) if chars else None
+            got_sum = None if pd.isna(g.sum_chars) else int(g.sum_chars)
+            assert got_sum == want_sum, (lang, trial)
