@@ -59,6 +59,18 @@ _KNOWN_COSTS: dict[str, tuple[float, str]] = {
     "dedup_ngram_jaccard": (3.0, _FUNNEL_WHY),
     "dedup_threshold_sweep": (3.0, _FUNNEL_WHY),
     "dedup_near_verified": (3.0, _FUNNEL_WHY),
+    "sim_ann_recall": (
+        3.0,
+        "the ANN-quality audit runs BOTH registered plans it "
+        "reconciles — the exact kNN GEMM ground truth AND the "
+        "bucketed ANN — by definition (llm/similarity.py); its cost "
+        "is intrinsically ~sum of the two. Quiet-box interleaved "
+        "min-of-5 floor r7: 1.94 s, i.e. ON the 2 s tripwire, and "
+        "driver-box contended runs land 2.0–2.4 s (r6: 2.343). At "
+        "deployment scale the audit samples the query side "
+        "(documented in the docstring); the catalog key keeps the "
+        "exhaustive contract so the oracle stays exact. Ceiling = 3 s.",
+    ),
 }
 
 

@@ -65,48 +65,85 @@ _MODULES = (
 # Explicit catalog order. The driver evaluates ``queries()`` front to
 # back under a bounded budget (every round so far stopped at exactly
 # the first 50 catalog keys), so ordering is evidence policy, not
-# cosmetics. Round-6 policy (VERDICT r5 work orders #1/#5/#9):
+# cosmetics. Round-7 policy (VERDICT r6 work orders #1/#4/#5):
 #
-# - first the 2 NEW keys (zero driver evidence): jsonl_quarantine
-#   (the corrupt-record ingestion census — the only implemented
-#   source with no driver rows, work order #5) and
-#   multimodal_payload_stats (binary plumbing end-to-end through
-#   mapInPandas, md5-certified — the growth slot of work order #9);
-# - then the 2 keys whose CODE this session touched (the df-cap
-#   parameter + shared _df_capped_index refactor, work order #4):
-#   dedup_ngram_jaccard, dedup_jaccard_capped;
-# - then the 11 keys still resting on ROUND-2 driver evidence
-#   (work order #1 — win_rank's oracle text changed after its last
-#   driver row, so it is the most urgent of these);
-# - the remaining 35 slots refresh the oldest round-3-evidence block
-#   (33 keys, long-standing order) and the 2 oldest round-4 keys
-#   (graph_pagerank, graph_knn_triangles). After this window lands
-#   green, no catalog key rests on sub-r4 driver evidence.
-# - BELOW the 50-key line: the rest of the r4-evidence block (next
-#   round's refresh candidates), then the r5-green block, then —
-#   PARKED AT THE VERY TAIL, permanently — the 3 rows-only-by-design
-#   keys (agg_approx_distinct, sample_fraction, sample_stratified):
-#   rounds 1 AND 4 both recorded ``err: "no_oracle"`` with live
-#   spark_rows — the protocol structurally cannot express a
-#   rows-only pass, so windowing them again only burns evidence
-#   slots. Their correctness lives in pytest.
+# - first the 2 NEW keys (zero driver evidence):
+#   jsonl_quarantine_shapes (the per-failure-class quarantine
+#   evidence channel, work order #5) and multimodal_decode_stats
+#   (the REAL stdlib BMP decode through the binary pipeline, work
+#   order #4);
+# - then the 43-key round-4-evidence block — after r6 landed 50/50
+#   green, these are the oldest driver rows left in the catalog
+#   (VERDICT r6: "50 keys on r6, 49 on r5, 43 on r4, zero older");
+# - the last 5 slots top up from the r5-evidence block head.
+#   After this window lands green, no catalog key rests on sub-r5
+#   driver evidence.
+# - BELOW the 50-key line: the rest of the r5-evidence block (they
+#   lead the round-8 refresh), then the r6-green block (freshest),
+#   then — PARKED AT THE VERY TAIL, permanently — the 3
+#   rows-only-by-design keys (agg_approx_distinct, sample_fraction,
+#   sample_stratified): rounds 1 AND 4 both recorded ``err:
+#   "no_oracle"`` with live spark_rows — the protocol structurally
+#   cannot express a rows-only pass, so windowing them again only
+#   burns evidence slots. Their correctness lives in pytest.
 #
 # ``load_catalog`` reorders the registry to this sequence and RAISES
 # if any registered key is missing from it (round-2 postmortem: five
 # keys silently fell to the alphabetical tail, outside any evidence
 # window); tests/test_sql.py additionally pins the two lists equal.
 _KEY_ORDER = (
-    # ---- round-6 window head: NEW keys, zero driver evidence
+    # ---- round-7 window head: NEW keys, zero driver evidence
+    "jsonl_quarantine_shapes", "multimodal_decode_stats",
+    # the 43-key round-4-evidence block (work order #1),
+    # long-standing internal order preserved
+    "agg_top_revenue", "join_nested_semi",
+    "text_chunk_overlap", "embed_quantize_error", "dedup_threshold_sweep",
+    "join_groupagg_in", "join_disjunctive", "agg_global_share",
+    "join_anti_scalar", "join_exists_chain",
+    "text_bpe_pairs", "embed_covariance",
+    "agg_count_histogram", "embed_dim_stats", "corpus_mixture_apply",
+    "dedup_containment", "events_rfm", "docs_corpus_card",
+    "sim_ann_recall", "agg_key_skew", "agg_correlated_scalar",
+    "lsh_band_stats", "docs_source_profile", "corpus_mixture_plan",
+    "text_vocab_coverage", "dedup_prefix", "embed_bucket_purity",
+    "sort_limit", "set_union", "set_intersect", "set_except",
+    "win_ntile", "win_dist", "topk_per_group", "agg_pivot",
+    "agg_cube", "agg_grouping_sets", "agg_rollup", "agg_stats",
+    "join_full",
+    "win_running", "agg_quantile_disc", "join_asof",
+    # top-up from the r5-evidence block head completes the 50
+    "pipeline_drop_explain",
+    "events_ohlc", "agg_minmax_by", "win_lead_lag", "win_session",
+    # ---- position 50 = win_session: the window ends exactly here
+    # (2 new + 43 r4 + 5 r5-head = 50). Everything below is OUTSIDE
+    # the driver window: the rest of the r5-evidence block first
+    # (they lead the round-8 refresh), then the r6-green block, then
+    # the parked no-oracle keys.
+    "events_session_stats", "events_paths",
+    "events_inter_arrival", "events_attribution", "events_cooccurrence",
+    "pipeline_clean_corpus", "pipeline_mixture_manifest", "sample_split",
+    "scan_profile", "fn_regex", "sim_knn", "dedup_embedding",
+    "dedup_near", "dedup_clusters", "dedup_near_verified",
+    "dedup_minhash_est", "dedup_survivors_verified", "dedup_exact",
+    "dedup_simhash",
+    "sim_ann_lsh", "sim_ann_ivf",
+    "text_stats", "text_tfidf",
+    "agg_group",
+    "multimodal_cols",
+    "text_quality", "text_langid", "text_tokens", "text_fingerprint",
+    "win_tumbling", "win_sliding",
+    "events_funnel", "rollup_multires", "join_range_binned",
+    "sample_hash_fraction", "sample_hash_stratified",
+    "join_inner", "agg_count_distinct",
+    "scan_project", "scan_count", "json_extract",
+    "filter_pred", "project_expr", "distinct_rows",
+    # r6-green block (freshest driver evidence)
     "jsonl_quarantine", "multimodal_payload_stats",
-    # touched this session: df-cap wiring (VERDICT r5 work order #4)
     "dedup_ngram_jaccard", "dedup_jaccard_capped",
-    # the 11 round-2-evidence keys (work order #1; win_rank's oracle
-    # is newer than its last driver row)
     "fn_string", "fn_date", "fn_conditional",
     "fn_json", "fn_levenshtein", "fn_math", "fn_array",
     "agg_having", "win_rank",
     "join_theta_range", "win_range_frame",
-    # the 33-key round-3-evidence block, long-standing order
     "agg_gini",
     "agg_histogram", "dedup_keep_first",
     "join_skew_salted", "text_decontaminate",
@@ -125,49 +162,7 @@ _KEY_ORDER = (
     "events_dau_rolling",
     "text_keywords", "text_perplexity_proxy",
     "agg_pareto", "events_user_lifecycle",
-    # the 2 oldest round-4 keys complete the 50
     "graph_pagerank", "graph_knn_triangles",
-    # ---- position 50 = graph_knn_triangles: the window ends exactly
-    # here (2 new + 2 touched + 11 r2 + 33 r3 + 2 r4 = 50).
-    # Everything below is OUTSIDE the driver window: the rest of the
-    # r4-evidence block first (they lead the round-7 refresh), then
-    # the r5-green block, then the parked no-oracle keys.
-    "agg_top_revenue", "join_nested_semi",
-    "text_chunk_overlap", "embed_quantize_error", "dedup_threshold_sweep",
-    "join_groupagg_in", "join_disjunctive", "agg_global_share",
-    "join_anti_scalar", "join_exists_chain",
-    "text_bpe_pairs", "embed_covariance",
-    "agg_count_histogram", "embed_dim_stats", "corpus_mixture_apply",
-    "dedup_containment", "events_rfm", "docs_corpus_card",
-    "sim_ann_recall", "agg_key_skew", "agg_correlated_scalar",
-    "lsh_band_stats", "docs_source_profile", "corpus_mixture_plan",
-    "text_vocab_coverage", "dedup_prefix", "embed_bucket_purity",
-    "sort_limit", "set_union", "set_intersect", "set_except",
-    "win_ntile", "win_dist", "topk_per_group", "agg_pivot",
-    "agg_cube", "agg_grouping_sets", "agg_rollup", "agg_stats",
-    "join_full",
-    "win_running", "agg_quantile_disc", "join_asof",
-    # r5-green block (freshest driver evidence)
-    "pipeline_drop_explain",
-    "events_ohlc", "agg_minmax_by", "win_lead_lag",
-    "win_session", "events_session_stats", "events_paths",
-    "events_inter_arrival", "events_attribution", "events_cooccurrence",
-    "pipeline_clean_corpus", "pipeline_mixture_manifest", "sample_split",
-    "scan_profile", "fn_regex", "sim_knn", "dedup_embedding",
-    "dedup_near", "dedup_clusters", "dedup_near_verified",
-    "dedup_minhash_est", "dedup_survivors_verified", "dedup_exact",
-    "dedup_simhash",
-    "sim_ann_lsh", "sim_ann_ivf",
-    "text_stats", "text_tfidf",
-    "agg_group",
-    "multimodal_cols",
-    "text_quality", "text_langid", "text_tokens", "text_fingerprint",
-    "win_tumbling", "win_sliding",
-    "events_funnel", "rollup_multires", "join_range_binned",
-    "sample_hash_fraction", "sample_hash_stratified",
-    "join_inner", "agg_count_distinct",
-    "scan_project", "scan_count", "json_extract",
-    "filter_pred", "project_expr", "distinct_rows",
     # parked permanently (see policy comment above): the protocol
     # records "err: no_oracle" for these — proven in r1 AND r4
     "agg_approx_distinct", "sample_fraction", "sample_stratified",

@@ -245,6 +245,63 @@ def test_jsonl_fixture_deterministic_and_quarantine_counts(spark, sf_dir):
     assert int(out[out.status == "clean"].n_rows.sum()) == len(ids) - n_corrupt
 
 
+def test_jsonl_shapes_census_matches_rule(spark, sf_dir):
+    """The per-failure-class census (round 7): each of the four
+    injected error shapes must land in exactly the class the
+    PERMISSIVE contract predicts, with counts equal to the literal
+    corruption rule recomputed in plain Python."""
+    from mapreducepy_spark.registry import load_catalog
+    from mapreducepy_spark.sources.jsonl import (
+        _CORRUPT_EVERY,
+        _SHAPE_DROP_LANG_AT,
+        _SHAPE_NOT_JSON_EVERY,
+        _SHAPE_NULL_PK_AT,
+        ensure_jsonl_shapes_fixture,
+    )
+
+    p1 = ensure_jsonl_shapes_fixture(sf_dir)
+    b1 = open(p1, "rb").read()
+    assert open(ensure_jsonl_shapes_fixture(sf_dir), "rb").read() == b1
+
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_pylist()
+
+    def shape_of(d):
+        if d is None:
+            return "null_pk"
+        m = d % _CORRUPT_EVERY
+        if m == 0:
+            return "truncated_object"
+        if m == _SHAPE_NOT_JSON_EVERY:
+            return "not_json"
+        if m == _SHAPE_NULL_PK_AT:
+            return "null_pk"
+        if m == _SHAPE_DROP_LANG_AT:
+            return "missing_field"
+        return "ok"
+
+    from collections import Counter
+
+    expect = Counter(shape_of(d) for d in ids)
+    out = (
+        load_catalog()["jsonl_quarantine_shapes"]
+        .builder(spark, sf_dir)
+        .toPandas()
+        .set_index("error_shape")
+    )
+    assert dict(out["n_lines"]) == dict(expect)
+    # conservation: every line lands in exactly one class
+    assert int(out["n_lines"].sum()) == len(ids)
+    # malformed classes carry no parsed data; null_pk has no id range
+    for shp in ("truncated_object", "not_json"):
+        assert out.loc[shp, ["sum_chars", "min_doc_id", "max_doc_id"]].isna().all()
+    assert out.loc["null_pk", ["min_doc_id", "max_doc_id"]].isna().all()
+    assert out.loc["null_pk", "sum_chars"] > 0  # parses fine sans PK
+
+
 def test_jsonl_census_properties_vs_python_reference(spark, tmp_path):
     """Triple-engine evidence for the census: on seeded random doc
     tables (NULLs in every nullable field, weird-but-JSON-safe
