@@ -246,6 +246,106 @@ class DeterministicFakeDecoder:
         )
 
 
+# ---------------------------------------------------------------- #
+# Real codec #2: WAV / RIFF PCM16 (pure stdlib — no soundfile/av)
+# ---------------------------------------------------------------- #
+
+# The audio twin of the BMP path: the RIFF container (chunk-id +
+# little-endian size framing, "fmt " describing the sample format,
+# "data" carrying PCM frames — public spec) parses with ``struct``
+# alone. The decoder is a GENERAL chunk walker — it skips unknown
+# chunks with the spec's even-byte padding rule and handles any
+# channel count — restricted to uncompressed PCM16 payloads
+# (compressed audio needs real codec libraries, which this
+# environment does not ship; those raise DecoderUnavailable).
+
+_WAV_HEADER_BYTES = 44  # RIFF + fmt(16) + data headers, canonical layout
+
+
+def encode_wav_pcm16(
+    sample_rate: int, channels: int, samples: list[int]
+) -> bytes:
+    """Serialize a spec-valid RIFF/WAVE file: PCM (format tag 1),
+    16-bit, interleaved ``samples`` (length must be a multiple of
+    ``channels``); values are clamped to int16."""
+    import struct
+
+    if channels <= 0 or sample_rate <= 0 or len(samples) % channels:
+        raise ValueError("bad WAV parameters")
+    data = b"".join(
+        struct.pack("<h", max(-32768, min(32767, int(s)))) for s in samples
+    )
+    block = channels * 2
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, channels, sample_rate,
+        sample_rate * block, block, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav_pcm16(payload: bytes) -> dict:
+    """REAL decode of a RIFF/WAVE PCM16 file: validate the RIFF
+    framing, walk the chunk list (unknown chunks skipped with even
+    padding, so files with LIST/INFO metadata still decode), read
+    the fmt chunk, then scan every 16-bit frame in the data chunk
+    accumulating sum/min/max. Raises :class:`DecoderUnavailable`
+    for anything that is not uncompressed 16-bit PCM.
+
+    Returns ``{"n_channels", "sample_rate", "n_samples" (frames per
+    channel), "byte_len", "sum_samples", "min_sample",
+    "max_sample"}``.
+    """
+    import struct
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF":
+        raise DecoderUnavailable(
+            "not a RIFF file; compressed audio formats require "
+            "soundfile/av, not installed here"
+        )
+    if payload[8:12] != b"WAVE":
+        raise DecoderUnavailable("RIFF but not WAVE")
+    fmt = None
+    data = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        (size,) = struct.unpack_from("<I", payload, off + 4)
+        body = payload[off + 8 : off + 8 + size]
+        if len(body) < size:
+            raise DecoderUnavailable(f"chunk {cid!r} truncated")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)  # RIFF pads chunks to even size
+    if fmt is None or data is None:
+        raise DecoderUnavailable("missing fmt or data chunk")
+    if len(fmt) < 16:
+        raise DecoderUnavailable("fmt chunk too short")
+    audio_fmt, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if audio_fmt != 1 or bits != 16:
+        raise DecoderUnavailable(
+            f"only uncompressed PCM16 supported (fmt={audio_fmt}, "
+            f"bits={bits})"
+        )
+    if channels <= 0 or rate <= 0 or len(data) % (channels * 2):
+        raise DecoderUnavailable("inconsistent PCM frame geometry")
+    vals = struct.unpack(f"<{len(data) // 2}h", data)
+    return {
+        "n_channels": channels,
+        "sample_rate": rate,
+        "n_samples": len(data) // (channels * 2),
+        "byte_len": len(payload),
+        "sum_samples": sum(vals) if vals else 0,
+        "min_sample": min(vals) if vals else None,
+        "max_sample": max(vals) if vals else None,
+    }
+
+
 def attach_payload(docs: DataFrame, modality: str = "image") -> DataFrame:
     """Build a payload table from ``documents`` by treating the UTF-8
     text bytes as the opaque payload (a deterministic fake for an
@@ -669,3 +769,150 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     return bmp_decode_stats(render_bmp_payloads(docs))
+
+
+# ---------------------------------------------------------------- #
+# multimodal_audio_stats — a REAL audio decode, oracle-checked
+# ---------------------------------------------------------------- #
+
+# The audio twin of multimodal_decode_stats: per document a
+# spec-valid RIFF/WAVE PCM16 payload is rendered from a
+# deterministic rule, then the GENERAL chunk-walking WAV parser
+# (which never sees the rule) recovers geometry and sample
+# statistics; the oracle predicts everything from the rule alone.
+#
+# Construction rule (mirrored LITERALLY in the oracle SQL):
+#   sample_rate = 8000 + (doc_id % 3) * 4000     (8/12/16 kHz)
+#   n_samples   = doc_id % 17 + 4                (4..20 mono frames)
+#   sample[i]   = (doc_id * 31 + i * 97) % 65536 - 32768  (full
+#                 int16 range, both signs)
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("fmt", StringType(), False),
+        StructField("n_channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("byte_len", LongType(), True),
+        StructField("sum_samples", LongType(), True),
+        StructField("min_sample", IntegerType(), True),
+        StructField("max_sample", IntegerType(), True),
+    ]
+)
+
+
+def render_wav_payloads(docs: DataFrame) -> DataFrame:
+    """ENCODE kernel: mint each document's WAV payload from the
+    construction rule above (the object-store-fetch stand-in, like
+    ``render_bmp_payloads``). Arrow-batched, ≤ 20 frames per file."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            payloads = [
+                encode_wav_pcm16(
+                    8000 + (d % 3) * 4000,
+                    1,
+                    [
+                        (d * 31 + i * 97) % 65536 - 32768
+                        for i in range(d % 17 + 4)
+                    ],
+                )
+                for d in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "modality": ["audio"] * len(ids),
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("modality", StringType(), False),
+                StructField("payload", BinaryType(), True),
+            ]
+        ),
+    )
+
+
+def wav_decode_stats(payloads: DataFrame) -> DataFrame:
+    """DECODE kernel: :func:`decode_wav_pcm16` over Arrow batches —
+    bytes in, fixed-width stats rows out, nothing binary survives
+    the stage."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            stats = [decode_wav_pcm16(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": ["wav_pcm16"] * len(stats),
+                    "n_channels": [s["n_channels"] for s in stats],
+                    "sample_rate": [s["sample_rate"] for s in stats],
+                    "n_samples": [s["n_samples"] for s in stats],
+                    "byte_len": [s["byte_len"] for s in stats],
+                    "sum_samples": [s["sum_samples"] for s in stats],
+                    "min_sample": [s["min_sample"] for s in stats],
+                    "max_sample": [s["max_sample"] for s in stats],
+                }
+            )
+
+    return payloads.mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+_ORACLE_WAV_DECODE = """
+WITH g AS (
+    SELECT doc_id,
+           8000 + (doc_id % 3) * 4000 AS rate,
+           doc_id % 17 + 4 AS n
+    FROM documents
+)
+SELECT doc_id,
+       'wav_pcm16' AS fmt,
+       CAST(1 AS INT) AS n_channels,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(n AS INT) AS n_samples,
+       CAST(44 + n * 2 AS BIGINT) AS byte_len,
+       CAST(list_sum(list_transform(range(0, n),
+                i -> ((doc_id * 31 + i * 97) % 65536) - 32768))
+            AS BIGINT) AS sum_samples,
+       CAST(list_min(list_transform(range(0, n),
+                i -> ((doc_id * 31 + i * 97) % 65536) - 32768))
+            AS INT) AS min_sample,
+       CAST(list_max(list_transform(range(0, n),
+                i -> ((doc_id * 31 + i * 97) % 65536) - 32768))
+            AS INT) AS max_sample
+FROM g
+"""
+
+
+@register(
+    "multimodal_audio_stats", _ORACLE_WAV_DECODE, tags=("llm", "multimodal")
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6, audio leg — a REAL audio decode through the binary
+    pipeline: per-document RIFF/WAVE PCM16 payloads (encode kernel)
+    parsed back by the general chunk-walking WAV decoder into
+    channel/rate/frame geometry, exact file size, and sample
+    sum/min/max; the oracle predicts all of it from the
+    construction rule. With the BMP leg this makes the multimodal
+    story two real codecs wide — image and audio — over one shared
+    binary-column contract.
+
+    Scale: identical shape to ``multimodal_decode_stats`` — two
+    narrow Arrow-batched kernels, payload bytes never shuffled,
+    fixed-width stats out; swap the encode kernel for the
+    object-store reader at deployment.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return wav_decode_stats(render_wav_payloads(docs))

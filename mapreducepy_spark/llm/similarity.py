@@ -317,9 +317,20 @@ def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     GEMM, and the right engine answer is the registered sub-quadratic
     paths ``sim_ann_lsh`` / ``sim_ann_ivf`` (same kernel, bucketed).
     """
+    return _exact_topk(spark, sf_dir)
+
+
+def _exact_topk(spark: SparkSession, sf_dir: str, query_pred=None) -> DataFrame:
+    """``sim_knn``'s body with an optional QUERY-side predicate,
+    applied BEFORE the GEMM kernel — the corpus side always stays
+    complete (neighbors must come from the whole corpus), but the
+    O(n_q · n_corpus · d) work scales down with the query sample.
+    This is the deployment shape ``sim_ann_recall_sampled`` audits."""
     raw = load(spark, sf_dir, "embeddings")
     emb = _valid_embeddings(raw).select("vec_id", "embedding")
     q = _query_side(spark, emb)
+    if query_pred is not None:
+        q = q.filter(query_pred)
     schema = "query_id bigint, neighbor_id bigint, cos_raw double"
     partial = _union_chunk_results(
         spark, q, _chunk_topk_kernel, schema,
@@ -945,7 +956,13 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ANN quality: bucketed top-1 vs exact top-K recall --------------
 
-_ORACLE_SIM_ANN_RECALL = f"""
+def _recall_oracle_sql(query_mod: int | None = None) -> str:
+    """The recall-ledger oracle, parameterized by the deterministic
+    query-side sample (``a.vec_id % query_mod = 0``; ``None`` = every
+    vector is a query). One template emits BOTH keys' SQL so the
+    exhaustive and sampled audits cannot drift."""
+    qf = f" AND a.vec_id % {query_mod} = 0" if query_mod else ""
+    return f"""
 WITH {_DUCK_NORMED_CTE},
 bucketed AS (
     SELECT vec_id, unit, {_DUCK_BUCKET} AS bucket
@@ -957,7 +974,7 @@ apairs AS (
            a.bucket AS bucket,
            {_DUCK_COS.format(a="a.unit", b="b.unit")} AS cos_sim
     FROM bucketed a
-    JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id{qf}
 ),
 ann AS (
     SELECT query_id, neighbor_id, bucket,
@@ -975,7 +992,7 @@ epairs AS (
            b.vec_id AS neighbor_id,
            {_DUCK_COS.format(a="a.unit", b="b.unit")} AS cos_sim
     FROM normed a
-    JOIN normed b ON a.vec_id <> b.vec_id
+    JOIN normed b ON a.vec_id <> b.vec_id{qf}
 ),
 eranked AS (
     SELECT query_id, neighbor_id, cos_sim,
@@ -1009,6 +1026,11 @@ LEFT JOIN exact_topk k
 JOIN exact_top1 t ON n.query_id = t.query_id
 GROUP BY n.bucket
 """
+
+
+_RECALL_SAMPLE_EVERY = 5  # audit every 5th vector (20% sample)
+_ORACLE_SIM_ANN_RECALL = _recall_oracle_sql()
+_ORACLE_SIM_ANN_RECALL_SAMPLED = _recall_oracle_sql(_RECALL_SAMPLE_EVERY)
 
 
 @register(
@@ -1048,6 +1070,50 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").alias("ann_cos"),
     )
     knn = sim_knn(spark, sf_dir)
+    return _recall_ledger(ann, knn)
+
+
+@register(
+    "sim_ann_recall_sampled", _ORACLE_SIM_ANN_RECALL_SAMPLED,
+    tags=("llm", "similarity", "lsh", "diagnostic"),
+)
+def sim_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYMENT shape of ``sim_ann_recall``: the same
+    per-bucket hit/regret ledger over a deterministic 1-in-
+    ``_RECALL_SAMPLE_EVERY`` query sample (``vec_id % 5 = 0``). The
+    production ANN output is computed in full — that is the system
+    under audit — but the exact brute-force ground truth runs ONLY
+    for sampled queries, applied BEFORE the GEMM kernel
+    (``_exact_topk``'s query_pred), so the O(n_q·n·d) audit cost
+    drops with the sample rate while the recall estimate stays
+    unbiased per bucket. This is the at-scale answer to the audit
+    being intrinsically as expensive as both plans it reconciles
+    (the exhaustive key keeps the exact contract; this key is what a
+    100 TB corpus actually runs nightly).
+
+    Hash parity: identical ledger algebra — both oracles come from
+    ONE SQL template (``_recall_oracle_sql``) differing only in the
+    query-side sample predicate, so the two audits cannot drift.
+    """
+    ann = (
+        sim_ann_lsh(spark, sf_dir)
+        .filter(F.col("query_id") % _RECALL_SAMPLE_EVERY == 0)
+        .select(
+            "query_id", "neighbor_id", "bucket",
+            F.col("cos_sim").alias("ann_cos"),
+        )
+    )
+    knn = _exact_topk(
+        spark, sf_dir,
+        query_pred=F.col("vec_id") % _RECALL_SAMPLE_EVERY == 0,
+    )
+    return _recall_ledger(ann, knn)
+
+
+def _recall_ledger(ann: DataFrame, knn: DataFrame) -> DataFrame:
+    """The ONE reconciliation aggregation shared by the exhaustive
+    and sampled recall audits: ANN top-1 vs exact top-K membership
+    (hit rate) and cosine regret vs exact top-1, per bucket."""
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )

@@ -67,15 +67,19 @@ _MODULES = (
 # the first 50 catalog keys), so ordering is evidence policy, not
 # cosmetics. Round-7 policy (VERDICT r6 work orders #1/#4/#5):
 #
-# - first the 2 NEW keys (zero driver evidence):
+# - first the 4 NEW keys (zero driver evidence):
 #   jsonl_quarantine_shapes (the per-failure-class quarantine
-#   evidence channel, work order #5) and multimodal_decode_stats
-#   (the REAL stdlib BMP decode through the binary pipeline, work
-#   order #4);
+#   evidence channel, work order #5), multimodal_decode_stats (the
+#   REAL stdlib BMP decode through the binary pipeline, work order
+#   #4), multimodal_audio_stats (the REAL RIFF/WAV PCM16 decode —
+#   the audio twin), and sim_ann_recall_sampled (the
+#   sampled-query-side deployment shape of the ANN recall audit,
+#   the work-order-#2 alternative registered alongside the
+#   annotation);
 # - then the 43-key round-4-evidence block — after r6 landed 50/50
 #   green, these are the oldest driver rows left in the catalog
 #   (VERDICT r6: "50 keys on r6, 49 on r5, 43 on r4, zero older");
-# - the last 5 slots top up from the r5-evidence block head.
+# - the last 3 slots top up from the r5-evidence block head.
 #   After this window lands green, no catalog key rests on sub-r5
 #   driver evidence.
 # - BELOW the 50-key line: the rest of the r5-evidence block (they
@@ -94,6 +98,7 @@ _MODULES = (
 _KEY_ORDER = (
     # ---- round-7 window head: NEW keys, zero driver evidence
     "jsonl_quarantine_shapes", "multimodal_decode_stats",
+    "multimodal_audio_stats", "sim_ann_recall_sampled",
     # the 43-key round-4-evidence block (work order #1),
     # long-standing internal order preserved
     "agg_top_revenue", "join_nested_semi",
@@ -113,12 +118,13 @@ _KEY_ORDER = (
     "win_running", "agg_quantile_disc", "join_asof",
     # top-up from the r5-evidence block head completes the 50
     "pipeline_drop_explain",
-    "events_ohlc", "agg_minmax_by", "win_lead_lag", "win_session",
-    # ---- position 50 = win_session: the window ends exactly here
-    # (2 new + 43 r4 + 5 r5-head = 50). Everything below is OUTSIDE
+    "events_ohlc", "agg_minmax_by",
+    # ---- position 50 = agg_minmax_by: the window ends exactly here
+    # (4 new + 43 r4 + 3 r5-head = 50). Everything below is OUTSIDE
     # the driver window: the rest of the r5-evidence block first
     # (they lead the round-8 refresh), then the r6-green block, then
     # the parked no-oracle keys.
+    "win_lead_lag", "win_session",
     "events_session_stats", "events_paths",
     "events_inter_arrival", "events_attribution", "events_cooccurrence",
     "pipeline_clean_corpus", "pipeline_mixture_manifest", "sample_split",

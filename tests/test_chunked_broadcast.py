@@ -73,3 +73,42 @@ def test_chunked_equals_single_chunk(spark, sf_dir, monkeypatch, key):
     monkeypatch.setattr(similarity, "_CHUNK_ROWS", 7)
     multi = _sorted(builder(spark, sf_dir).toPandas())
     pd.testing.assert_frame_equal(single, multi)
+
+
+def test_query_side_sampling_preserves_per_query_answers(spark, sf_dir):
+    """Exact top-K is per-query independent, so filtering the query
+    side BEFORE the GEMM kernel (the sampled audit's cost lever)
+    must return exactly the full run's rows for the sampled queries
+    — bit-identical, not approximately."""
+    from pyspark.sql import functions as F
+
+    full = similarity.sim_knn(spark, sf_dir).filter(
+        F.col("query_id") % similarity._RECALL_SAMPLE_EVERY == 0
+    )
+    sampled = similarity._exact_topk(
+        spark, sf_dir,
+        query_pred=F.col("vec_id") % similarity._RECALL_SAMPLE_EVERY == 0,
+    )
+    pd.testing.assert_frame_equal(
+        _sorted(full.toPandas()), _sorted(sampled.toPandas())
+    )
+
+
+def test_sampled_recall_counts_only_sampled_queries(spark, sf_dir):
+    """The sampled ledger's per-bucket n_queries must equal the
+    number of SAMPLED vectors the full ANN answered in that bucket —
+    i.e. the audit covers the sample exactly, no more, no less."""
+    from pyspark.sql import functions as F
+
+    ledger = similarity.sim_ann_recall_sampled(spark, sf_dir).toPandas()
+    ann = (
+        similarity.sim_ann_lsh(spark, sf_dir)
+        .filter(F.col("query_id") % similarity._RECALL_SAMPLE_EVERY == 0)
+        .groupBy("bucket")
+        .count()
+        .toPandas()
+    )
+    merged = ledger.merge(ann, on="bucket", how="outer")
+    assert len(merged) == len(ledger) == len(ann)
+    assert (merged["n_queries"] == merged["count"]).all()
+    assert (merged["n_hits"] <= merged["n_queries"]).all()

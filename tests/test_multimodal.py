@@ -122,6 +122,78 @@ def test_bmp_decode_rejects_malformed():
             mm.decode_bmp24(bad)
 
 
+def test_wav_roundtrip_and_chunk_walk():
+    """Encode→decode recovers geometry and sample stats; the decoder
+    is a general RIFF chunk walker, so a file with an extra odd-sized
+    metadata chunk between fmt and data (never emitted by the
+    encoder) must decode identically."""
+    import struct
+
+    samples = [0, 100, -32768, 32767, -1, 7]
+    payload = mm.encode_wav_pcm16(8000, 1, samples)
+    s = mm.decode_wav_pcm16(payload)
+    assert s["n_channels"] == 1 and s["sample_rate"] == 8000
+    assert s["n_samples"] == len(samples)
+    assert s["byte_len"] == len(payload) == 44 + 2 * len(samples)
+    assert s["sum_samples"] == sum(samples)
+    assert (s["min_sample"], s["max_sample"]) == (-32768, 32767)
+
+    # splice an odd-sized LIST chunk after fmt: spec says pad to even
+    meta = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = payload[:36] + meta + payload[36:]
+    # fix the RIFF size field
+    spliced = (
+        spliced[:4]
+        + struct.pack("<I", len(spliced) - 8)
+        + spliced[8:]
+    )
+    s2 = mm.decode_wav_pcm16(spliced)
+    assert s2["sum_samples"] == s["sum_samples"]
+    assert s2["n_samples"] == s["n_samples"]
+
+    # stereo: frames counted per channel
+    st = mm.decode_wav_pcm16(mm.encode_wav_pcm16(16000, 2, [1, 2, 3, 4]))
+    assert st["n_channels"] == 2 and st["n_samples"] == 2
+    assert st["sum_samples"] == 10
+
+
+def test_wav_decode_rejects_malformed():
+    good = mm.encode_wav_pcm16(8000, 1, [1, 2, 3])
+    for bad in (
+        None,
+        b"OggS" + good[4:],  # compressed container magic
+        good[:20],  # truncated header
+        good[:20] + b"\x55" + good[21:],  # format tag != PCM
+        good[:-1],  # data chunk truncated
+    ):
+        with pytest.raises(mm.DecoderUnavailable):
+            mm.decode_wav_pcm16(bad)
+
+
+def test_multimodal_audio_stats_matches_rule(spark, sf_dir):
+    """End to end through both WAV kernels: decoded stats equal the
+    construction rule recomputed in plain Python."""
+    from mapreducepy_spark.registry import load_catalog
+
+    out = (
+        load_catalog()["multimodal_audio_stats"]
+        .builder(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = load(spark, sf_dir, "documents")
+    assert len(out) == docs.count()
+    for row in out.head(40).itertuples():
+        d = int(row.doc_id)
+        vals = [(d * 31 + i * 97) % 65536 - 32768 for i in range(d % 17 + 4)]
+        assert row.sample_rate == 8000 + (d % 3) * 4000
+        assert row.n_samples == len(vals)
+        assert row.byte_len == 44 + 2 * len(vals)
+        assert row.sum_samples == sum(vals)
+        assert (row.min_sample, row.max_sample) == (min(vals), max(vals))
+
+
 def test_multimodal_decode_stats_matches_rule(spark, sf_dir):
     """End to end through both mapInPandas kernels: the decoded stats
     equal the construction rule recomputed in plain Python — the

@@ -354,6 +354,40 @@ def test_jsonl_quarantine_stream_matches_batch(spark, sf_dir, tmp_path):
     assert canon_frame(got) == canon_frame(want)
 
 
+def test_jsonl_shapes_census_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The per-failure-class census is mode-agnostic like the plain
+    quarantine census: replaying the four-failure-class fixture
+    through the streaming reader across a micro-batch boundary must
+    equal the batch jsonl_quarantine_shapes catalog key — the live
+    failure-class dashboard the classifier docstring promises."""
+    from mapreducepy_spark.registry import load_catalog
+    from mapreducepy_spark.sources.jsonl import (
+        _JSONL_DOC_SCHEMA,
+        classify_error_shapes,
+        ensure_jsonl_shapes_fixture,
+    )
+    from mapreducepy_spark.streaming import ingest as si
+
+    src = ensure_jsonl_shapes_fixture(sf_dir)
+    land = tmp_path / "landing_shapes"
+    land.mkdir()
+    lines = open(src, "rb").read().splitlines(keepends=True)
+    half = len(lines) // 2
+    (land / "upload-000.jsonl").write_bytes(b"".join(lines[:half]))
+    (land / "upload-001.jsonl").write_bytes(b"".join(lines[half:]))
+
+    stream = si.read_jsonl_stream(
+        spark, str(land), _JSONL_DOC_SCHEMA, max_files_per_trigger=1
+    )
+    got = sw.run_available_now(
+        classify_error_shapes(stream), "t_jsonl_shapes", spark
+    ).toPandas()
+    want = (
+        load_catalog()["jsonl_quarantine_shapes"].builder(spark, sf_dir).toPandas()
+    )
+    assert canon_frame(got) == canon_frame(want)
+
+
 def test_kafka_shape_value_parsing_matches_file_census(spark, sf_dir):
     """parse_json_values (the Kafka value-column path) must yield the
     IDENTICAL quarantine census as the file reader over the same
