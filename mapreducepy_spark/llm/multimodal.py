@@ -916,3 +916,65 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     return wav_decode_stats(render_wav_payloads(docs))
+
+
+# ---------------------------------------------------------------- #
+# multimodal_frame_index — the video-leg plumbing, oracle-checked
+# ---------------------------------------------------------------- #
+
+# ``sample_frames`` (the 1→N frame-sampling explode a video pipeline
+# runs before per-frame decode) was pytest-only; this key gives it
+# driver evidence. The payload is the UTF-8 byte twin of each
+# document (``attach_payload``); the key emits the frame INDEX table
+# — one row per sampled 64-byte offset with the chunk's byte length
+# — whose geometry the oracle predicts entirely from
+# octet_length(text): frame count = ceil(bytes/64), offsets = i·64,
+# last chunk short iff bytes % 64 < 8. Chunk CONTENT integrity is
+# already md5-certified by ``multimodal_payload_stats`` (DuckDB's
+# md5 is VARCHAR-only, and a byte-offset chunk of UTF-8 text can
+# split a multibyte character, so content stays out of this oracle).
+
+_FRAME_EVERY = 64
+_FRAME_CHUNK = 8  # sample_frames' chunk width
+
+_ORACLE_FRAME_INDEX = f"""
+SELECT d.doc_id,
+       CAST(t.i AS INT) AS frame_idx,
+       CAST(t.i * {_FRAME_EVERY} AS BIGINT) AS frame_offset,
+       CAST(LEAST({_FRAME_CHUNK},
+                  octet_length(encode(d.text)) - t.i * {_FRAME_EVERY})
+            AS INT) AS chunk_bytes
+FROM documents d,
+     unnest(range(0, (octet_length(encode(d.text)) + {_FRAME_EVERY - 1})
+                     // {_FRAME_EVERY})) AS t(i)
+"""
+
+
+@register(
+    "multimodal_frame_index", _ORACLE_FRAME_INDEX, tags=("llm", "multimodal")
+)
+def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6, video leg — the frame-sampling index through the binary
+    pipeline: one row per sampled offset (every 64 payload bytes)
+    with the sampled chunk's byte length, via the real
+    ``sample_frames`` Arrow kernel. The oracle predicts the full
+    index geometry from the construction; a real video pipeline
+    swaps the byte-offset sampler for timestamp-seeking decode at
+    the same kernel contract.
+
+    Scale: one narrow 1→N explode inside a mapInPandas stage —
+    bounded fan-out (≤ payload_bytes/64 rows per doc), no shuffle,
+    and only (id, idx, offset, 8-byte chunk) rows leave the stage;
+    the payload itself never travels.
+    """
+    docs = load(spark, sf_dir, "documents")
+    payloads = attach_payload(docs, modality="video").select(
+        "doc_id", "modality", "payload"
+    )
+    frames = sample_frames(payloads, every_n_bytes=_FRAME_EVERY)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("offset").cast("bigint").alias("frame_offset"),
+        F.length("chunk").cast("int").alias("chunk_bytes"),
+    )

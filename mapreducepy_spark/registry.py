@@ -52,6 +52,7 @@ _MODULES = (
     "mapreducepy_spark.operators.subqueries",
     "mapreducepy_spark.operators.graph",
     "mapreducepy_spark.sources.jsonl",
+    "mapreducepy_spark.sources.csv_source",
     "mapreducepy_spark.functions.scalar",
     "mapreducepy_spark.llm.dedup",
     "mapreducepy_spark.llm.similarity",
@@ -67,7 +68,7 @@ _MODULES = (
 # the first 50 catalog keys), so ordering is evidence policy, not
 # cosmetics. Round-7 policy (VERDICT r6 work orders #1/#4/#5):
 #
-# - first the 4 NEW keys (zero driver evidence):
+# - first the 6 NEW keys (zero driver evidence):
 #   jsonl_quarantine_shapes (the per-failure-class quarantine
 #   evidence channel, work order #5), multimodal_decode_stats (the
 #   REAL stdlib BMP decode through the binary pipeline, work order
@@ -75,11 +76,13 @@ _MODULES = (
 #   the audio twin), and sim_ann_recall_sampled (the
 #   sampled-query-side deployment shape of the ANN recall audit,
 #   the work-order-#2 alternative registered alongside the
-#   annotation);
+#   annotation), and csv_quarantine (PERMISSIVE CSV ingestion
+#   certifying the partial-parse contract), and
+#   multimodal_frame_index (the video-leg frame-sampling index);
 # - then the 43-key round-4-evidence block — after r6 landed 50/50
 #   green, these are the oldest driver rows left in the catalog
 #   (VERDICT r6: "50 keys on r6, 49 on r5, 43 on r4, zero older");
-# - the last 3 slots top up from the r5-evidence block head.
+# - the last slot tops up from the r5-evidence block head.
 #   After this window lands green, no catalog key rests on sub-r5
 #   driver evidence.
 # - BELOW the 50-key line: the rest of the r5-evidence block (they
@@ -99,6 +102,7 @@ _KEY_ORDER = (
     # ---- round-7 window head: NEW keys, zero driver evidence
     "jsonl_quarantine_shapes", "multimodal_decode_stats",
     "multimodal_audio_stats", "sim_ann_recall_sampled",
+    "csv_quarantine", "multimodal_frame_index",
     # the 43-key round-4-evidence block (work order #1),
     # long-standing internal order preserved
     "agg_top_revenue", "join_nested_semi",
@@ -118,13 +122,12 @@ _KEY_ORDER = (
     "win_running", "agg_quantile_disc", "join_asof",
     # top-up from the r5-evidence block head completes the 50
     "pipeline_drop_explain",
-    "events_ohlc", "agg_minmax_by",
-    # ---- position 50 = agg_minmax_by: the window ends exactly here
-    # (4 new + 43 r4 + 3 r5-head = 50). Everything below is OUTSIDE
+    # ---- position 50 = pipeline_drop_explain: the window ends
+    # exactly here (6 new + 43 r4 + 1 r5-head = 50). Everything below is OUTSIDE
     # the driver window: the rest of the r5-evidence block first
     # (they lead the round-8 refresh), then the r6-green block, then
     # the parked no-oracle keys.
-    "win_lead_lag", "win_session",
+    "events_ohlc", "agg_minmax_by", "win_lead_lag", "win_session",
     "events_session_stats", "events_paths",
     "events_inter_arrival", "events_attribution", "events_cooccurrence",
     "pipeline_clean_corpus", "pipeline_mixture_manifest", "sample_split",

@@ -99,6 +99,18 @@ OPS = (
     # pass (narrow Arrow pipeline, zero exchange at any size)
     "jsonl_quarantine",
     "multimodal_payload_stats",
+    # round 10: failure-class censuses (JSONL shapes + CSV partial
+    # parse — both must stay line-linear with constant-row
+    # shuffles), the two REAL codec legs (BMP + WAV: narrow Arrow
+    # kernels, zero exchange), the frame index (bounded 1→N
+    # fan-out), and the sampled recall audit (cost must scale with
+    # the SAMPLE, not the corpus — the whole point of the key)
+    "jsonl_quarantine_shapes",
+    "csv_quarantine",
+    "multimodal_decode_stats",
+    "multimodal_audio_stats",
+    "multimodal_frame_index",
+    "sim_ann_recall_sampled",
 )
 
 

@@ -302,6 +302,100 @@ def test_jsonl_shapes_census_matches_rule(spark, sf_dir):
     assert out.loc["null_pk", "sum_chars"] > 0  # parses fine sans PK
 
 
+def test_csv_census_matches_rule_and_partial_parse(spark, sf_dir):
+    """CSV quarantine census (round 7): class counts equal the
+    literal corruption rule, and the PARTIAL-PARSE contract holds —
+    corrupt rows still report their doc_id range and lang diversity
+    (the opposite of the JSONL all-NULL contract)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from mapreducepy_spark.registry import load_catalog
+    from mapreducepy_spark.sources.csv_source import (
+        _CSV_BADTYPE_AT,
+        _CSV_EXTRACOL_AT,
+        ensure_csv_fixture,
+    )
+    from mapreducepy_spark.sources.jsonl import _CORRUPT_EVERY
+
+    p1 = ensure_csv_fixture(sf_dir)
+    assert open(p1, "rb").read() == open(ensure_csv_fixture(sf_dir), "rb").read()
+
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_pylist()
+
+    def status_of(d):
+        if d is None:
+            return "clean"
+        m = d % _CORRUPT_EVERY
+        if m == _CSV_BADTYPE_AT:
+            return "corrupt_badtype"
+        if m == _CSV_EXTRACOL_AT:
+            return "corrupt_extracol"
+        return "clean"
+
+    expect = Counter(status_of(d) for d in ids)
+    out = (
+        load_catalog()["csv_quarantine"]
+        .builder(spark, sf_dir)
+        .toPandas()
+        .set_index("status")
+    )
+    assert dict(out["n_rows"]) == dict(expect)
+    # partial parse: BOTH corrupt classes keep ids and langs
+    for st in ("corrupt_badtype", "corrupt_extracol"):
+        assert out.loc[st, "n_langs"] > 0
+        assert out.loc[st, "min_doc_id"] is not None
+    assert out.loc["corrupt_badtype", "sum_chars"] is None or (
+        out.loc["corrupt_badtype":"corrupt_badtype", "sum_chars"].isna().all()
+    )
+    assert out.loc["corrupt_extracol", "sum_chars"] > 0
+
+
+def test_csv_column_pruning_quirk_is_real(spark, sf_dir):
+    """Regression pin for the quirk csv_census designs around: a
+    plan that does NOT reference every contract column lets the CSV
+    parser prune, and a pruned parse cannot detect malformations in
+    the pruned-out cells — here a doc_id-only plan detects NO
+    corrupt rows at all (the type mismatch lives in the pruned
+    n_chars cell; the extra column is never tokenized). If a Spark
+    upgrade changes this, the pin fails and the full-width rule in
+    csv_census should be re-evaluated."""
+    from pyspark.sql import functions as F
+
+    from mapreducepy_spark.sources.csv_source import ensure_csv_fixture, read_csv
+    from mapreducepy_spark.sources.jsonl import (
+        _JSONL_DOC_SCHEMA,
+        CORRUPT_COL,
+    )
+
+    parsed = read_csv(spark, ensure_csv_fixture(sf_dir), _JSONL_DOC_SCHEMA)
+    # the max(doc_id) keeps a data column referenced so the plan is
+    # legal (SPARK-26243 forbids corrupt-column-only queries) while
+    # source/lang/n_chars still prune out of the parse
+    pruned = (
+        parsed.filter(F.col(CORRUPT_COL).isNotNull())
+        .agg(F.count(F.lit(1)).alias("n"), F.max("doc_id"))
+        .collect()[0]["n"]
+    )
+    full_width = (
+        parsed.filter(F.col(CORRUPT_COL).isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("doc_id"), F.max("lang"), F.max("source"), F.max("n_chars"),
+        )
+        .collect()[0]["n"]
+    )
+    # full-width parse sees BOTH classes; the pruned plan sees
+    # NEITHER — with n_chars pruned the type mismatch never happens
+    # and the extra column is never tokenized, so every corrupt row
+    # silently counts clean
+    assert pruned == 0
+    assert full_width > 0
+
+
 def test_jsonl_census_properties_vs_python_reference(spark, tmp_path):
     """Triple-engine evidence for the census: on seeded random doc
     tables (NULLs in every nullable field, weird-but-JSON-safe
