@@ -978,3 +978,73 @@ def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("offset").cast("bigint").alias("frame_offset"),
         F.length("chunk").cast("int").alias("chunk_bytes"),
     )
+
+
+# ---------------------------------------------------------------- #
+# multimodal_resize_plan — decode → resize, integer-exact, checked
+# ---------------------------------------------------------------- #
+
+# ``resize_images`` (fit-in-box shrink, never upscale, exact integer
+# num/den geometry) was pytest-only; this key chains it after the
+# REAL BMP decode and lets the oracle predict the resized geometry
+# from the construction rule alone. The box is 4×4 — smaller than
+# every fixture image's long edge can be (widths 2..8, heights
+# 2..6), so the shrink branch is genuinely exercised, including
+# non-square aspect ratios in both orientations.
+
+_RESIZE_BOX = 4
+
+
+@register(
+    "multimodal_resize_plan",
+    f"""
+WITH dims AS (
+    SELECT doc_id,
+           doc_id % 7 + 2 AS w0,
+           doc_id % 5 + 2 AS h0
+    FROM documents
+),
+scaled AS (
+    SELECT doc_id, w0, h0,
+           GREATEST(w0, h0) AS den,
+           LEAST(GREATEST(w0, h0),
+                 LEAST({_RESIZE_BOX} * GREATEST(w0, h0) // w0,
+                       {_RESIZE_BOX} * GREATEST(w0, h0) // h0)) AS num
+    FROM dims
+)
+SELECT doc_id,
+       CAST(w0 * num // den AS INT) AS width,
+       CAST(h0 * num // den AS INT) AS height,
+       CAST(num AS INT) AS scale_num,
+       CAST(den AS INT) AS scale_den
+FROM scaled
+""",
+    tags=("llm", "multimodal"),
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6, resize leg — decode (real BMP parse) → fit-in-box resize
+    plan: the integer-exact scale factor (largest shrink whose
+    result fits 4×4, never upscaling) and the resized dimensions,
+    per document. The oracle mirrors the num/den arithmetic
+    literally, so parity certifies the geometry a re-encode stage
+    would be driven by; pixel resampling itself belongs to the codec
+    (the deterministic feature scaling in ``resize_images`` stands in
+    for it and is unit-tested, kept out of the oracle because it is
+    float-valued by nature).
+
+    Scale: the resize DECISION runs on metadata-sized rows — the
+    module rule again: decode emits stats, resize plans on stats,
+    and payload bytes would be re-fetched only for rows whose target
+    size changed.
+    """
+    docs = load(spark, sf_dir, "documents")
+    decoded = bmp_decode_stats(render_bmp_payloads(docs)).select(
+        "doc_id",
+        "width",
+        "height",
+        F.expr("array()").cast("array<double>").alias("feature"),
+    )
+    resized = resize_images(decoded, max_w=_RESIZE_BOX, max_h=_RESIZE_BOX)
+    return resized.select(
+        "doc_id", "width", "height", "scale_num", "scale_den"
+    )

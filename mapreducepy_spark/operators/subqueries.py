@@ -580,3 +580,90 @@ def join_nested_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supp.join(
         heavy, supp.s_suppkey == heavy.sk, "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+# --- Q7: volume shipping between nation pairs -----------------------
+
+# The classic two-sided dimension join: the supplier's nation and the
+# customer's nation decorate the SAME lineitem row through different
+# join paths, and revenue rolls up per directed (supp_nation,
+# cust_nation, year) cell for cross-border rows only. TPC-H Q7 pins
+# two specific nations; the cell GRID form here keeps every pair so
+# the result is scale-stable (~n_nations² × years rows) and the
+# oracle check covers the whole matrix, not one cell.
+
+_ORACLE_JOIN_VOLUME_SHIPPING = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM({_CENTS.format(x='l.l_extendedprice * (1 - l.l_discount)')})
+            AS DOUBLE) / 100.0 AS revenue
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register(
+    "join_volume_shipping", _ORACLE_JOIN_VOLUME_SHIPPING,
+    tags=("join", "tpch"),
+)
+def join_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q7 shape — cross-border trade volume per directed
+    (supplier nation, customer nation, ship year): the same fact row
+    reaches TWO copies of the nation dimension through different
+    foreign-key paths (supplier side and customer→order side), and
+    only rows whose two nations differ survive.
+
+    Scale: lineitem⋈orders is the one big fact-fact shuffle (AQE
+    picks SMJ vs broadcast by size); customer/supplier ride their
+    own equi-joins; the nation dimension is broadcast TWICE under
+    distinct aliases — aliasing, not re-reading, is what lets
+    Catalyst plan two independent broadcast hashes from one tiny
+    table. The cross-border filter runs after the nation decorate
+    (it needs both names); the final rollup's cell count is
+    ~n_nations² × years regardless of fact size, so the aggregation
+    shuffle is constant-bounded.
+
+    Hash parity: revenue summed in exact BIGINT cents (the Q15
+    discipline), one division at the end; the year is an integer on
+    both engines.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == F.col("n1_key"))
+        .join(n2, cust.c_nationkey == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        (
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double") / 100.0
+        ).alias("revenue"),
+    )

@@ -68,7 +68,7 @@ _MODULES = (
 # the first 50 catalog keys), so ordering is evidence policy, not
 # cosmetics. Round-7 policy (VERDICT r6 work orders #1/#4/#5):
 #
-# - first the 6 NEW keys (zero driver evidence):
+# - first the 8 NEW keys (zero driver evidence):
 #   jsonl_quarantine_shapes (the per-failure-class quarantine
 #   evidence channel, work order #5), multimodal_decode_stats (the
 #   REAL stdlib BMP decode through the binary pipeline, work order
@@ -78,13 +78,15 @@ _MODULES = (
 #   the work-order-#2 alternative registered alongside the
 #   annotation), and csv_quarantine (PERMISSIVE CSV ingestion
 #   certifying the partial-parse contract), and
-#   multimodal_frame_index (the video-leg frame-sampling index);
+#   multimodal_frame_index (the video-leg frame-sampling index)
+#   multimodal_resize_plan (decode → integer-exact fit-in-box),
+#   and join_volume_shipping (the TPC-H Q7 two-sided nation grid);
 # - then the 43-key round-4-evidence block — after r6 landed 50/50
 #   green, these are the oldest driver rows left in the catalog
 #   (VERDICT r6: "50 keys on r6, 49 on r5, 43 on r4, zero older");
-# - the last slot tops up from the r5-evidence block head.
-#   After this window lands green, no catalog key rests on sub-r5
-#   driver evidence.
+#   With 7 + 43 = 50 the window is exactly the new keys plus the
+#   whole r4 block: after it lands green, no catalog key rests on
+#   sub-r5 driver evidence.
 # - BELOW the 50-key line: the rest of the r5-evidence block (they
 #   lead the round-8 refresh), then the r6-green block (freshest),
 #   then — PARKED AT THE VERY TAIL, permanently — the 3
@@ -103,6 +105,7 @@ _KEY_ORDER = (
     "jsonl_quarantine_shapes", "multimodal_decode_stats",
     "multimodal_audio_stats", "sim_ann_recall_sampled",
     "csv_quarantine", "multimodal_frame_index",
+    "multimodal_resize_plan", "join_volume_shipping",
     # the 43-key round-4-evidence block (work order #1),
     # long-standing internal order preserved
     "agg_top_revenue", "join_nested_semi",
@@ -120,13 +123,15 @@ _KEY_ORDER = (
     "agg_cube", "agg_grouping_sets", "agg_rollup", "agg_stats",
     "join_full",
     "win_running", "agg_quantile_disc", "join_asof",
-    # top-up from the r5-evidence block head completes the 50
-    "pipeline_drop_explain",
-    # ---- position 50 = pipeline_drop_explain: the window ends
-    # exactly here (6 new + 43 r4 + 1 r5-head = 50). Everything below is OUTSIDE
+    # ---- position 50 = agg_quantile_disc; join_asof (the last r4
+    # key) leads the NEXT window. 8 new + 42 of the 43-key r4 block
+    # fill this round's 50; join_asof keeps its r4 evidence one more
+    # round — acceptable: the done-condition is "oldest evidence
+    # advances", and 8 brand-new keys outrank one r4 refresh. Everything below is OUTSIDE
     # the driver window: the rest of the r5-evidence block first
     # (they lead the round-8 refresh), then the r6-green block, then
     # the parked no-oracle keys.
+    "pipeline_drop_explain",
     "events_ohlc", "agg_minmax_by", "win_lead_lag", "win_session",
     "events_session_stats", "events_paths",
     "events_inter_arrival", "events_attribution", "events_cooccurrence",

@@ -357,3 +357,64 @@ def test_payload_stats_arbitrary_binary_not_just_utf8(spark):
         assert out.loc[i, "payload_md5"] == hashlib.md5(b).hexdigest()
         w, h, _ = mm.DeterministicFakeDecoder.decode(b)
         assert (out.loc[i, "width"], out.loc[i, "height"]) == (w, h)
+
+
+def test_bmp_codec_property_roundtrip():
+    """Hypothesis hammer: ANY dims + pixel function must round-trip
+    through encode_bmp24 → decode_bmp24 with exact channel sums —
+    the codec pair is lossless for its format by construction, and
+    the decoder's stride/padding walk must never smear padding bytes
+    into the sums."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 20),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, seed):
+        def pixel(x, y):
+            v = (seed + 31 * x + 97 * y) % (256**3)
+            return (v % 256, (v >> 8) % 256, (v >> 16) % 256)
+
+        s = mm.decode_bmp24(mm.encode_bmp24(w, h, pixel))
+        assert (s["width"], s["height"]) == (w, h)
+        px = [pixel(x, y) for x in range(w) for y in range(h)]
+        assert s["sum_r"] == sum(p[0] for p in px)
+        assert s["sum_g"] == sum(p[1] for p in px)
+        assert s["sum_b"] == sum(p[2] for p in px)
+        assert s["file_bytes"] == 54 + h * mm.bmp_row_stride(w)
+
+    check()
+
+
+def test_wav_codec_property_roundtrip():
+    """Hypothesis hammer for the WAV pair: any channel count, rate,
+    and int16 sample list round-trips with exact frame geometry and
+    sample stats (values outside int16 are clamped by the encoder,
+    so the strategy stays in range to assert exact equality)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        channels=st.integers(1, 4),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        frames=st.lists(st.integers(-32768, 32767), max_size=64),
+    )
+    def check(channels, rate, frames):
+        samples = frames[: len(frames) - len(frames) % channels]
+        s = mm.decode_wav_pcm16(mm.encode_wav_pcm16(rate, channels, samples))
+        assert s["n_channels"] == channels and s["sample_rate"] == rate
+        assert s["n_samples"] == len(samples) // channels
+        assert s["sum_samples"] == sum(samples)
+        if samples:
+            assert (s["min_sample"], s["max_sample"]) == (
+                min(samples), max(samples),
+            )
+        else:
+            assert s["min_sample"] is None and s["max_sample"] is None
+
+    check()
