@@ -6,15 +6,17 @@ Two layers:
    metadata queried jointly — "multimodal" as schema discipline
    (documents ⋈ embeddings on id), all built-in expressions.
 
-2. Binary-payload plumbing (NOT in the registry — the fixtures carry
-   no binary column): ``attach_payload`` / ``decode_images`` /
-   ``sample_frames`` model image/audio/video as opaque ``binary``
-   columns with typed metadata, processed via Arrow-batched
-   ``mapInPandas``. The decode step is a clearly-marked STUB (the
-   image/audio codecs aren't in this container — see
-   ``DeterministicFakeDecoder``); the Spark-side schema, batching,
-   and partitioning are real and unit-tested in
-   ``tests/test_multimodal.py``.
+2. Binary-payload plumbing: ``attach_payload`` / ``decode_images`` /
+   ``sample_frames`` / ``resize_images`` model image/audio/video as
+   opaque ``binary`` columns with typed metadata, processed via
+   Arrow-batched ``mapInPandas``. Two REAL pure-stdlib codecs back
+   the oracle-checked decode keys — 24-bit BMP
+   (:func:`decode_bmp24`) and RIFF/WAV PCM16
+   (:func:`decode_wav_pcm16`); compressed formats (PNG/JPEG/audio/
+   video codecs absent in this container) raise
+   :class:`DecoderUnavailable` loudly, and
+   ``DeterministicFakeDecoder`` remains for format-agnostic batch
+   tests.
 
 Scale: binary payloads dominate row size — the plumbing keeps them
 out of shuffles (derive features, then drop/offload the payload

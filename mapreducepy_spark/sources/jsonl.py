@@ -364,10 +364,14 @@ def ensure_jsonl_shapes_fixture(sf_dir: str) -> str:
 # the fixture's literal corruption rule. Masks what the parser cannot
 # know: malformed lines yield NULL data columns (sum_chars and the
 # doc_id range are NULL), and a null-PK line parses with doc_id NULL
-# (range NULL, sum_chars intact). A source row whose doc_id is
-# ALREADY NULL renders as a valid null-PK line, hence the leading
-# IS NULL arm; bare ``doc_id % 20 = k`` on a NULL doc_id is NULL, so
-# every arm after it is reachable only for non-NULL ids.
+# (range NULL, sum_chars intact). Two already-degraded-at-source
+# arms mirror parser indistinguishability: a source row whose doc_id
+# is ALREADY NULL renders as a valid null-PK line (leading IS NULL
+# arm; bare ``doc_id % 20 = k`` on a NULL doc_id is NULL, so every
+# arm after it sees only non-NULL ids), and a source row whose lang
+# is ALREADY NULL renders ``"lang":null`` — which the parser cannot
+# tell from a dropped key, so it lands in ``missing_field`` exactly
+# like the injected class (the lang IS NULL arm).
 _ORACLE_JSONL_SHAPES = f"""
 WITH shaped AS (
     SELECT doc_id, n_chars,
@@ -377,6 +381,7 @@ WITH shaped AS (
                WHEN doc_id % {_CORRUPT_EVERY} = {_SHAPE_NOT_JSON_EVERY} THEN 'not_json'
                WHEN doc_id % {_CORRUPT_EVERY} = {_SHAPE_NULL_PK_AT} THEN 'null_pk'
                WHEN doc_id % {_CORRUPT_EVERY} = {_SHAPE_DROP_LANG_AT} THEN 'missing_field'
+               WHEN lang IS NULL THEN 'missing_field'
                ELSE 'ok'
            END AS error_shape
     FROM documents

@@ -111,6 +111,8 @@ OPS = (
     "multimodal_audio_stats",
     "multimodal_frame_index",
     "sim_ann_recall_sampled",
+    "multimodal_resize_plan",
+    "join_volume_shipping",
 )
 
 

@@ -1,7 +1,8 @@
-"""Binary-payload plumbing: schema, Arrow batch path, and the honest
-decode stub (SURVEY.md §2.10 — multimodal columns; codecs absent in
-this container, so the decode is a deterministic fake / explicit
-NotImplementedError)."""
+"""Binary-payload plumbing: schema, Arrow batch path, and the REAL
+stdlib codecs (SURVEY.md §2.10 — multimodal columns; 24-bit BMP and
+RIFF/WAV PCM16 decode for real, compressed formats raise
+DecoderUnavailable because their codec libraries are absent in this
+container)."""
 
 from __future__ import annotations
 

@@ -884,3 +884,47 @@ def test_payload_stats_no_shuffle_no_meta_over_arrow(spark, sf_dir):
     assert "Exchange" not in plan  # fully narrow pipeline
     assert "media_meta" not in plan  # pruned before the kernel
     assert "n_chars" not in read_schema_line(df)  # pruned from the scan
+
+
+def test_q7_nation_broadcasts_twice_no_cartesian(spark, sf_dir):
+    """join_volume_shipping (Q7 shape): the nation dimension must
+    appear as TWO independent broadcast builds (supplier-side and
+    customer-side aliases), the plan must contain no cartesian
+    product, and the final rollup must combine map-side."""
+    plan = plan_of(spark, "join_volume_shipping", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # n1 and n2 at minimum
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_multimodal_codec_keys_have_no_shuffle(spark, sf_dir):
+    """The codec legs are narrow Arrow pipelines: encode kernel →
+    decode kernel with NO exchange anywhere — payload bytes must
+    never ride a shuffle."""
+    for key in (
+        "multimodal_decode_stats",
+        "multimodal_audio_stats",
+        "multimodal_frame_index",
+        "multimodal_resize_plan",
+    ):
+        plan = plan_of(spark, key, sf_dir)
+        assert "Exchange" not in plan, f"{key} shuffles payload-stage rows"
+
+
+def test_sampled_recall_ground_truth_is_query_sampled(spark, sf_dir):
+    """The sampled audit's cost lever must be IN the plan: the exact
+    ground-truth side filters vec_id % 5 = 0 BEFORE its GEMM kernel
+    (visible as a pushed/planned filter under the mapInPandas), not
+    as a post-hoc filter on full output."""
+    from pyspark.sql import functions as F
+
+    from mapreducepy_spark.llm import similarity
+
+    knn = similarity._exact_topk(
+        spark, sf_dir,
+        query_pred=F.col("vec_id") % similarity._RECALL_SAMPLE_EVERY == 0,
+    )
+    plan = plan_text(knn, "formatted")
+    # the modulo predicate must sit below the Arrow kernel: every
+    # mapInPandas leaf's input subtree carries the filter
+    assert "% 5) = 0" in plan or "% 5 = 0" in plan.replace("(", "").replace(")", "")
