@@ -314,6 +314,98 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same per-occurrence rid discipline as _ORACLE_JOIN_ASOF; direction
+# and tie-break mirrored (earliest at-or-after date, then SMALLEST
+# orderkey — the min-struct carry's natural order).
+_ORACLE_JOIN_ASOF_FORWARD = """
+WITH e AS (
+    SELECT event_id, user_id, ts,
+           row_number() OVER (ORDER BY event_id, user_id, ts) AS rid
+    FROM events
+)
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+FROM (
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.rid
+               ORDER BY o.o_orderdate ASC NULLS LAST, o.o_orderkey ASC NULLS LAST
+           ) AS rn
+    FROM e
+    LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+) t
+WHERE rn = 1
+"""
+
+
+@register(
+    "join_asof_forward", _ORACLE_JOIN_ASOF_FORWARD, tags=("join", "asof")
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6, forward direction — for each event, the EARLIEST order of
+    the same user at-or-after the event time (pandas
+    ``merge_asof(direction='forward')``; "the next shipment after
+    the click"). Completes the as-of pair: ``join_asof`` looks back,
+    this looks ahead.
+
+    The mirrored union-timeline design — same single shuffle, no
+    join node, O(1) carry state per row:
+
+    - the carry is a running ``min`` of ``struct(o_orderdate,
+      o_orderkey)`` over the FOLLOWING frame (currentRow →
+      unboundedFollowing) — earliest date, then smallest key,
+      exactly the oracle's ASC/ASC tie-break;
+    - events sort BEFORE orders at equal timestamps
+      (``is_event`` desc), so an order at exactly the event time is
+      inside the event's forward frame — the match is inclusive
+      (date ≥ ts);
+    - ``min`` ignores nulls: event rows never pollute the carry and
+      users with no later order yield nulls (LEFT-join semantics).
+    """
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    ev = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<o_orderdate:timestamp,o_orderkey:bigint>")
+        .alias("ord"),
+    )
+    od = o.filter(
+        # the join_asof NULL-key rule: NULL custkey/orderdate can
+        # never match under join semantics, but the window's
+        # PARTITION BY would group NULL keys — filter them out
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.struct("o_orderdate", "o_orderkey").alias("ord"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_event").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        ev.unionByName(od)
+        .withColumn("best", F.min("ord").over(w))
+        .filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("best.o_orderkey").alias("o_orderkey"),
+            F.col("best.o_orderdate").alias("o_orderdate"),
+        )
+    )
+
+
 _RANGE_US = 2_000_000  # |Δts| ≤ 2 s, in microseconds
 
 _ORACLE_JOIN_RANGE_BINNED = f"""

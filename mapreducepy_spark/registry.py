@@ -123,6 +123,12 @@ _KEY_ORDER = (
     "agg_cube", "agg_grouping_sets", "agg_rollup", "agg_stats",
     "join_full",
     "win_running", "agg_quantile_disc", "join_asof",
+    # join_asof_forward: built AFTER the window was frozen — placed
+    # here, just below the line next to join_asof, so the two as-of
+    # directions lead the round-8 window together. Local evidence
+    # now (tests/test_parity.py mirrors the driver gate at sf0.001;
+    # parity_sf at sf0.01/0.1), driver evidence next rotation.
+    "join_asof_forward",
     # ---- position 50 = agg_quantile_disc; join_asof (the last r4
     # key) leads the NEXT window. 8 new + 42 of the 43-key r4 block
     # fill this round's 50; join_asof keeps its r4 evidence one more

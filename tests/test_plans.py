@@ -150,11 +150,13 @@ def test_salted_join_rejects_small_side_preserving_modes(spark, sf_dir):
             salted_join(o, c, o.o_custkey == c.c_custkey, n_salts=4, how=how)
 
 
-def test_asof_join_is_union_timeline_not_join(spark, sf_dir):
-    """join_asof must run as the union-sort-carry timeline (one
-    window shuffle, O(1) state per row), never as an equi-join whose
-    output fans out each event times the user's full order history."""
-    plan = plan_of(spark, "join_asof", sf_dir)
+@pytest.mark.parametrize("name", ["join_asof", "join_asof_forward"])
+def test_asof_join_is_union_timeline_not_join(spark, sf_dir, name):
+    """Both as-of directions must run as the union-sort-carry
+    timeline (one window shuffle, O(1) state per row), never as an
+    equi-join whose output fans out each event times the user's
+    full order history."""
+    plan = plan_of(spark, name, sf_dir)
     assert "Join" not in plan  # no join node of any kind
     assert "Window" in plan
 
