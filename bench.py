@@ -56,6 +56,40 @@ _KNOWN_COSTS: dict[str, tuple[float, str]] = {
         "(operators/scans.py)",
     ),
     "dedup_survivors_verified": (3.0, _FUNNEL_WHY),
+    "join_exists_chain": (
+        3.0,
+        "TPC-H Q21 shape: correlated EXISTS + NOT EXISTS decorrelate "
+        "to semi/anti self-joins of lineitem — three passes over the "
+        "fact table are the query's intrinsic cost (all three "
+        "co-partition on l_orderkey, one probe shuffle, dim "
+        "broadcast; operators/subqueries.py). Quiet-box interleaved "
+        "min-of-5 floor r7: 1.84 s — ON the 2 s tripwire, so driver "
+        "contention (documented 1.2–2.5x band) crosses it without a "
+        "regression. Ceiling = 3 s.",
+    ),
+    "graph_pagerank": (
+        3.0,
+        "PageRank, 3 unrolled iterations over the localCheckpoint-ed "
+        "shipment edge list: each iteration broadcasts the "
+        "node-sized rank table onto edges plus one node-keyed "
+        "groupBy (operators/graph.py) — cost is iterations x "
+        "edge-linear by construction. Quiet "
+        "floors since r4: 1.3–1.7 s (today min-of-5: 1.71), "
+        "historical contended swings to 2.2–2.35 s with zero plan "
+        "change (BENCH_LOCAL round-8/10 attributions). Ceiling = 3 s.",
+    ),
+    "graph_knn_triangles": (
+        3.0,
+        "triangle census of the mutual-kNN graph: the dominant cost "
+        "is the exact top-K GEMM that builds the graph (the proven "
+        "sim_knn plan, localCheckpoint-ed once); the triangle joins "
+        "themselves are degree-bounded (≤K) and node-linear at every "
+        "scale — the documented intrinsic pair-space gauge "
+        "(stress10x: super-linear on pair space, far sub-quadratic). "
+        "Quiet-box min-of-5 floor r7: 1.71 s — "
+        "driver contention crosses the 2 s tripwire without a "
+        "regression. Ceiling = 3 s.",
+    ),
     "dedup_ngram_jaccard": (3.0, _FUNNEL_WHY),
     "dedup_threshold_sweep": (3.0, _FUNNEL_WHY),
     "dedup_near_verified": (3.0, _FUNNEL_WHY),
@@ -70,6 +104,18 @@ _KNOWN_COSTS: dict[str, tuple[float, str]] = {
         "deployment scale the audit samples the query side "
         "(documented in the docstring); the catalog key keeps the "
         "exhaustive contract so the oracle stays exact. Ceiling = 3 s.",
+    ),
+    "sim_ann_recall_sampled": (
+        3.0,
+        "the deployment shape of sim_ann_recall: full ANN output "
+        "(the system under audit) + exact ground truth over a 1-in-5 "
+        "query sample. At sf0.1 the corpus fits ONE broadcast chunk, "
+        "so the floor is fixed-cost-bound (corpus fetch + both "
+        "component plans: quiet min-of-5 r7 2.015 s = sim_ann_lsh "
+        "1.05 + sampled exact GEMM 1.31), not FLOP-bound — the "
+        "sample's O(n_q*n*d) savings appear as the corpus grows "
+        "(stress10x: 7x wall on 10x data vs the exhaustive audit's "
+        "15x). Ceiling = 3 s.",
     ),
 }
 
