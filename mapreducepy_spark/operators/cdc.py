@@ -1,0 +1,195 @@
+"""Change-data-capture / warehouse-maintenance operators.
+
+The two batch shapes every lakehouse pipeline runs nightly:
+
+- ``merge_upsert`` — MERGE a changelog onto a base snapshot
+  (latest-wins per key, with delete tombstones): the Type-1 upsert.
+- ``scd2_intervals`` — derive Type-2 slowly-changing-dimension
+  validity intervals from a change stream (valid_from / valid_to /
+  is_current per version).
+
+Both are expressed as ONE window over the union of their inputs —
+no join, a single shuffle keyed on the business key — which is the
+plan that survives 100 TB: the changelog and the snapshot co-shuffle
+once, per-key state is O(1) (the window carries only rank/lead), and
+skewed keys are bounded by per-key change volume, not corpus size.
+A MERGE implemented as base-LEFT-JOIN-changes would shuffle the base
+twice (once to join, once to overwrite); the union-window form never
+rewrites untouched rows' lineage.
+
+Fixture mapping: ``customer`` is the base snapshot (account balance),
+``orders`` is the changelog (each order re-states the customer's
+balance as its total price; deterministic rule ``o_orderkey % 13 = 0``
+marks a tombstone). Synthetic, but the operator is input-agnostic —
+the rule exists so the oracle can predict inserts, updates AND
+deletes from construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+from ..rounding import dround, dround_sql
+
+# A deterministic tombstone rule the oracle can re-derive: every
+# 13th orderkey is a DELETE of that customer, everything else an
+# UPSERT of their balance. NULL orderkeys (adversarial ingest rows)
+# fall to the ELSE arm on both engines (NULL % 13 = NULL, never 0).
+_TOMBSTONE_SQL = "CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END"
+
+_ORACLE_MERGE_UPSERT = f"""
+WITH unioned AS (
+    SELECT c_custkey AS key,
+           0 AS is_change,
+           CAST(NULL AS TIMESTAMP) AS ts,
+           CAST(NULL AS BIGINT) AS ck,
+           c_acctbal AS balance,
+           'U' AS op,
+           'base' AS src
+    FROM customer
+    UNION ALL
+    SELECT o_custkey, 1, o_orderdate, o_orderkey, o_totalprice,
+           {_TOMBSTONE_SQL}, 'chg'
+    FROM orders
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (
+               PARTITION BY key
+               ORDER BY is_change DESC, ts DESC NULLS LAST,
+                        ck DESC NULLS LAST, balance DESC NULLS LAST,
+                        op ASC
+           ) AS rn,
+           SUM(is_change) OVER (PARTITION BY key) AS n_changes
+    FROM unioned
+)
+SELECT key, {dround_sql('balance')} AS balance,
+       src AS last_src,
+       CAST(n_changes AS BIGINT) AS n_changes
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register("merge_upsert", _ORACLE_MERGE_UPSERT, tags=("cdc", "merge"))
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert + delete) of a changelog onto a base snapshot:
+    per business key, the LATEST event wins — an 'U' change
+    overwrites the base row, a 'D' tombstone removes the key, a key
+    seen only in the changelog is an insert, a key never changed
+    survives as its base row. Latest = (o_orderdate, o_orderkey)
+    within the changelog; any change outranks the base.
+
+    Plan: union the snapshot and the changelog, ONE window keyed on
+    the business key (row_number picks the winner, a running sum
+    counts applied changes), filter the tombstones. No join — the
+    single shuffle is the whole MERGE, untouched base rows ride it
+    exactly once, and per-key memory is O(1). Deletes are encoded as
+    absence, which is what an overwrite-on-read table format wants
+    from the batch job that compacts it.
+
+    Hash parity: the winner ordering breaks every tie explicitly
+    (NULLS LAST pinned on both engines — Spark's ASC default is
+    nulls-first, DuckDB's is nulls-last, so defaults MUST NOT be
+    relied on); balance is deterministically rounded.
+    """
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.lit(0).alias("is_change"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("bigint").alias("ck"),
+        F.col("c_acctbal").alias("balance"),
+        F.lit("U").alias("op"),
+        F.lit("base").alias("src"),
+    )
+    chg = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.lit(1).alias("is_change"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("ck"),
+        F.col("o_totalprice").alias("balance"),
+        F.when(F.col("o_orderkey") % 13 == 0, "D")
+        .otherwise("U")
+        .alias("op"),
+        F.lit("chg").alias("src"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("is_change").desc(),
+        F.col("ts").desc_nulls_last(),
+        F.col("ck").desc_nulls_last(),
+        F.col("balance").desc_nulls_last(),
+        F.col("op").asc(),
+    )
+    wall = Window.partitionBy("key")
+    return (
+        base.unionByName(chg)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.sum("is_change").over(wall))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "key",
+            dround("balance").alias("balance"),
+            F.col("src").alias("last_src"),
+            F.col("n_changes").cast("bigint").alias("n_changes"),
+        )
+    )
+
+
+_ORACLE_SCD2 = f"""
+SELECT o_custkey AS custkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER w AS valid_to,
+       CAST(CASE WHEN LEAD(o_orderdate) OVER w IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+       o_orderkey AS orderkey,
+       o_orderpriority AS priority,
+       {dround_sql('o_totalprice')} AS price
+FROM orders
+WINDOW w AS (
+    PARTITION BY o_custkey
+    ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC NULLS LAST
+)
+"""
+
+
+@register("scd2_intervals", _ORACLE_SCD2, tags=("cdc", "scd2"))
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD interval derivation: each change event becomes a
+    dimension VERSION with a half-open validity interval
+    ``[valid_from, valid_to)`` — ``valid_to`` is the next version's
+    start, NULL on the current row (the classic point-in-time-join
+    dimension shape; ``join_asof`` is the probe that reads it).
+
+    Plan: one window (row_number + lead share the same sort) over
+    the changelog keyed on the business key — a single shuffle,
+    no self-join; the naive formulation (t1 JOIN t2 ON t2.date >
+    t1.date, MIN) is quadratic per key and is exactly what this
+    operator replaces. At 100 TB the change stream shuffles once on
+    the dimension key and every version row is emitted map-side
+    after the sort.
+
+    Hash parity: null ordering pinned on both engines (Spark asc
+    defaults nulls-first, DuckDB nulls-last); is_current as 0/1
+    BIGINT (portable boolean); price deterministically rounded.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last(),
+    )
+    return load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.when(F.lead("o_orderdate").over(w).isNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_current"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        dround("o_totalprice").alias("price"),
+    )

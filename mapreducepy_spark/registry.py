@@ -51,6 +51,7 @@ _MODULES = (
     "mapreducepy_spark.operators.sampling",
     "mapreducepy_spark.operators.subqueries",
     "mapreducepy_spark.operators.graph",
+    "mapreducepy_spark.operators.cdc",
     "mapreducepy_spark.sources.jsonl",
     "mapreducepy_spark.sources.csv_source",
     "mapreducepy_spark.functions.scalar",
@@ -129,6 +130,11 @@ _KEY_ORDER = (
     # now (tests/test_parity.py mirrors the driver gate at sf0.001;
     # parity_sf at sf0.01/0.1), driver evidence next rotation.
     "join_asof_forward",
+    # the round-7-session growth block: built after the r7 window
+    # froze, placed below it with join_asof_forward — all of these
+    # lead the round-8 rotation together (local evidence now:
+    # test_parity at sf0.001, parity_sf at sf0.01/0.1).
+    "merge_upsert", "scd2_intervals",
     # ---- position 50 = agg_quantile_disc; join_asof (the last r4
     # key) leads the NEXT window. 8 new + 42 of the 43-key r4 block
     # fill this round's 50; join_asof keeps its r4 evidence one more

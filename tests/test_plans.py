@@ -161,6 +161,26 @@ def test_asof_join_is_union_timeline_not_join(spark, sf_dir, name):
     assert "Window" in plan
 
 
+def test_merge_upsert_is_union_window_not_join(spark, sf_dir):
+    """The MERGE must run as union + one key-window (single shuffle,
+    untouched base rows ride it once), never as base-join-changes
+    (which shuffles the base twice)."""
+    plan = plan_of(spark, "merge_upsert", sf_dir, mode="simple")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_is_one_window_no_self_join(spark, sf_dir):
+    """SCD2 interval derivation must be a single window (row_number
+    + lead share one sort), never the quadratic t1-join-t2-min
+    formulation."""
+    plan = plan_of(spark, "scd2_intervals", sf_dir, mode="simple")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_range_join_is_binned_hash_join_not_nested_loop(spark, sf_dir):
     """The pure-interval join must run on the bin equi-key (hash
     join after an explode), never as BNL/cartesian over n² pairs."""
