@@ -999,3 +999,4 @@ def agg_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
         )
     )
+

@@ -149,6 +149,7 @@ SELECT o_custkey AS custkey,
        o_orderpriority AS priority,
        {dround_sql('o_totalprice')} AS price
 FROM orders
+WHERE COALESCE(o_custkey % 10, 0) = 0
 WINDOW w AS (
     PARTITION BY o_custkey
     ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC NULLS LAST
@@ -175,12 +176,18 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash parity: null ordering pinned on both engines (Spark asc
     defaults nulls-first, DuckDB nulls-last); is_current as 0/1
     BIGINT (portable boolean); price deterministically rounded.
+    The custkey-shard predicate only bounds the catalog key's output
+    volume (every order becomes a version row and the gate collects
+    them); NULL custkeys stay in the kept shard via COALESCE, so the
+    NULL-partition path remains exercised.
     """
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").asc_nulls_last(),
         F.col("o_orderkey").asc_nulls_last(),
     )
-    return load(spark, sf_dir, "orders").select(
+    return load(spark, sf_dir, "orders").filter(
+        F.coalesce(F.col("o_custkey") % 10, F.lit(0)) == 0
+    ).select(
         F.col("o_custkey").alias("custkey"),
         F.row_number().over(w).cast("bigint").alias("version"),
         F.col("o_orderdate").alias("valid_from"),

@@ -96,3 +96,51 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         F.year("l_shipdate").cast("int").alias("ship_year"),
     ).distinct()
+
+
+_UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_ORACLE_UNPIVOT_LONG = "\nUNION ALL\n".join(
+    f"""SELECT l_orderkey, l_linenumber,
+       '{m}' AS measure, {m} AS value
+FROM lineitem
+WHERE l_returnflag = 'R' AND COALESCE(l_orderkey % 7, 0) = 0"""
+    for m in _UNPIVOT_MEASURES
+)
+
+
+@register("unpivot_long", _ORACLE_UNPIVOT_LONG, tags=("reshape",))
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — wide measure columns to long (key, measure,
+    value) rows: the inverse of ``agg_pivot``, completing the reshape
+    pair. Variable values are the source column names verbatim.
+
+    Scale: a narrow map — each input row emits its measure rows in
+    place, no shuffle, no UDF; the returnflag filter pushes to the
+    parquet scan, and only the 6 referenced columns are read. (The
+    ANSI twin is the 4-arm UNION ALL, which an engine without UNPIVOT
+    would rescan 4x; Spark's Expand emits all arms in ONE scan.)
+    The orderkey-shard predicate only bounds the CATALOG key's output
+    volume (melt fans out 4x by construction and the gate collects
+    the result); the operator itself is whole-corpus.
+
+    Hash parity: values pass through unrounded — both engines read
+    the identical parquet doubles and no arithmetic touches them;
+    NULL orderkeys fall into the kept shard on both engines
+    (COALESCE pinned — a bare modulo would drop them as NULL on
+    both, but the intent should not rest on that accident).
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.coalesce(F.col("l_orderkey") % 7, F.lit(0)) == 0)
+        )
+        .select("l_orderkey", "l_linenumber", *_UNPIVOT_MEASURES)
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=list(_UNPIVOT_MEASURES),
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+    )

@@ -114,6 +114,42 @@ FROM (SELECT node, r FROM {prev}
 _ORACLE_GRAPH_PAGERANK = _duck_pagerank()
 
 
+def _shipment_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE shipment-graph edge builder shared by ``graph_pagerank``
+    and ``graph_degree_stats`` (the _sign_bucket_col discipline:
+    shared expression, so the graph the diagnostics describe cannot
+    drift from the graph the algorithm runs on).
+
+    DISTINCT (part, supplier) shipment pairs inside the module's one
+    -year window, symmetrized, on packed BIGINT node ids (2·pk for
+    parts, 2·sk+1 for suppliers): an 8-byte fixed-width key instead
+    of a 'p:123' string — smaller checkpoint, cheaper hashes,
+    narrower broadcasts; the human-readable label is reconstructed
+    on final output rows only. NOT checkpointed here — iterative
+    callers pin it, single-pass callers stream it.
+    """
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (
+                F.col("l_shipdate")
+                >= F.lit(f"{_PR_START} 00:00:00").cast("timestamp")
+            )
+            & (
+                F.col("l_shipdate")
+                < F.lit(f"{_PR_END} 00:00:00").cast("timestamp")
+            )
+        )
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p_node = (F.col("l_partkey") * 2).cast("bigint")
+    s_node = (F.col("l_suppkey") * 2 + 1).cast("bigint")
+    return ps.select(p_node.alias("src"), s_node.alias("dst")).unionAll(
+        ps.select(s_node.alias("src"), p_node.alias("dst"))
+    )
+
+
 @register(
     "graph_pagerank", _ORACLE_GRAPH_PAGERANK, tags=("graph", "iterative")
 )
@@ -143,32 +179,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT sums are order-free and the top-20 cut (rank DESC, node
     ASC) is exact.
     """
-    ps = (
-        load(spark, sf_dir, "lineitem")
-        .filter(
-            (
-                F.col("l_shipdate")
-                >= F.lit(f"{_PR_START} 00:00:00").cast("timestamp")
-            )
-            & (
-                F.col("l_shipdate")
-                < F.lit(f"{_PR_END} 00:00:00").cast("timestamp")
-            )
-        )
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
-    # packed BIGINT node ids (2·pk for parts, 2·sk+1 for suppliers):
-    # an 8-byte fixed-width key instead of a 'p:123' string — smaller
-    # checkpoint, cheaper hashes, narrower broadcasts; the human-
-    # readable label is reconstructed on the final 20 rows only
-    p_node = (F.col("l_partkey") * 2).cast("bigint")
-    s_node = (F.col("l_suppkey") * 2 + 1).cast("bigint")
-    edges = (
-        ps.select(p_node.alias("src"), s_node.alias("dst"))
-        .unionAll(ps.select(s_node.alias("src"), p_node.alias("dst")))
-        .localCheckpoint()
-    )
+    edges = _shipment_edges(spark, sf_dir).localCheckpoint()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
@@ -384,4 +395,55 @@ def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_wedges",
         "n_triangles",
         F.when(F.col("n_wedges") > 0, dround(ratio, 6)).alias("clustering"),
+    )
+
+
+_ORACLE_GRAPH_DEGREE_STATS = f"""
+WITH ps AS (
+    SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_PR_START} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{_PR_END} 00:00:00'
+), edges AS (
+    SELECT CAST(2 * pk AS BIGINT) AS src,
+           CAST(2 * sk + 1 AS BIGINT) AS dst FROM ps
+    UNION ALL
+    SELECT CAST(2 * sk + 1 AS BIGINT) AS src,
+           CAST(2 * pk AS BIGINT) AS dst FROM ps
+), deg AS (
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+    FROM edges GROUP BY src
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS side,
+       d AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg
+GROUP BY side, d
+"""
+
+
+@register("graph_degree_stats", _ORACLE_GRAPH_DEGREE_STATS, tags=("graph",))
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the shipment graph, split by bipartite
+    side — the structure card read BEFORE running anything iterative
+    on a graph: the max degree bounds wedge counts (triangle-join
+    feasibility), the histogram shape decides whether pagerank's
+    contribution join needs skew salting, and a fat tail here is the
+    earliest warning the graph has hub nodes.
+
+    Scale: same ``_shipment_edges`` expression pagerank runs on (the
+    window predicate pushes to the parquet scan); two cascaded
+    aggregations — per-node degree (shuffle volume = #nodes after
+    map-side combine), then the histogram on the DEGREE-CARDINALITY-
+    sized table. The edge list never rides more than one shuffle.
+    """
+    deg = (
+        _shipment_edges(spark, sf_dir)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    side = F.when(F.col("node") % 2 == 0, "part").otherwise("supplier")
+    return (
+        deg.select(side.alias("side"), "degree")
+        .groupBy("side", "degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     )

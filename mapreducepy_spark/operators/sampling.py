@@ -30,7 +30,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -211,4 +211,72 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     return docs.groupBy(split_col(h2).alias("split"), "lang").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+_RESERVOIR_K = 3
+
+_ORACLE_SAMPLE_GROUP_RESERVOIR = f"""
+WITH h AS (
+    SELECT doc_id, lang, source,
+           md5(CAST(doc_id AS VARCHAR)) AS hk
+    FROM documents
+    WHERE doc_id IS NOT NULL
+),
+r AS (
+    SELECT lang, source, doc_id, hk,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY hk ASC, doc_id ASC
+           ) AS rn
+    FROM h
+)
+SELECT lang, source, doc_id, CAST(rn AS BIGINT) AS pick
+FROM r WHERE rn <= {_RESERVOIR_K}
+"""
+
+
+@register(
+    "sample_group_reservoir",
+    _ORACLE_SAMPLE_GROUP_RESERVOIR,
+    tags=("sampling", "llm"),
+)
+def sample_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum reservoir sample (k=3): within every
+    (lang, source) stratum keep the k docs with the SMALLEST
+    ``md5(doc_id)`` — the keyed-hash trick turned into a reservoir:
+    rank-by-hash is a uniform draw that is deterministic,
+    engine-independent, re-run-stable and (unlike a true streaming
+    reservoir) embarrassingly parallel. The eval-set/spot-check
+    primitive: "give me exactly k docs from every stratum of the
+    100 TB corpus, the same k every run".
+
+    Scale: the ``topk_per_group`` shape on a hash key — one shuffle
+    on the stratum key; rows beyond the per-partition top-k are
+    droppable map-side (window top-k; at extreme per-stratum fanout
+    the same plan runs as partial top-k per partition then merge).
+    NULL doc_id rows are excluded by contract (they are quarantine
+    rows, not sampleable corpus).
+
+    Hash parity: md5 of the decimal string of a BIGINT is identical
+    on both engines; (hk, doc_id) is a total order, so rank ties are
+    impossible and the pick set is unique.
+    """
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.col("hk").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "lang", "source", "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("hk"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RESERVOIR_K)
+        .select(
+            "lang", "source", "doc_id",
+            F.col("rn").cast("bigint").alias("pick"),
+        )
     )
