@@ -345,3 +345,179 @@ def embed_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_zero_q"
         ),
     )
+
+
+# --- top eigenpair via integer power iteration ----------------------
+
+# Covariance quantized to nano-units before the iteration: |cov| ≤
+# 0.25 ⇒ |c| ≤ 2.5e8; with v in micro-units (|v| ≤ 1e6) each
+# product is ≤ 2.5e14 and a 64-term BIGINT dot product tops out at
+# 1.6e16 — exact in int64 with 500× headroom.
+_EIG_C_SCALE = 1_000_000_000.0
+_EIG_V_SCALE = 1_000_000
+_EIG_ITERS = 3
+
+
+def _duck_top_eigen() -> str:
+    """Unrolled DuckDB oracle: exact integer moments → bit-identical
+    covariance doubles → nano-unit integer matrix → ``_EIG_ITERS``
+    integer power steps with L∞ normalization. Mirrors the Spark
+    side term for term (the graph_pagerank unrolling discipline)."""
+    head = f"""
+WITH v AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+      AND len(embedding) = {_DIM}
+),
+e AS (
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_SCALE}
+                      + 0.5) AS BIGINT) AS q
+    FROM v
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+s AS (
+    SELECT dim, CAST(SUM(q) AS BIGINT) AS s
+    FROM e GROUP BY dim
+),
+p AS (
+    SELECT a.dim AS i, b.dim AS j,
+           CAST(SUM(a.q * b.q) AS BIGINT) AS ss
+    FROM e a
+    JOIN e b ON b.vec_id = a.vec_id
+    GROUP BY a.dim, b.dim
+),
+cmat AS (
+    SELECT p.i, p.j,
+           CAST(floor(
+               ((CAST(p.ss AS DOUBLE) / nn.n
+                 - (CAST(sa.s AS DOUBLE) / nn.n)
+                   * (CAST(sb.s AS DOUBLE) / nn.n)) / {_SCALE_SQ})
+               * {_EIG_C_SCALE} + 0.5) AS BIGINT) AS c
+    FROM p
+    CROSS JOIN nn
+    JOIN s sa ON sa.dim = p.i
+    JOIN s sb ON sb.dim = p.j
+),
+v0 AS (
+    SELECT i AS j,
+           CAST(CASE WHEN i = 1 THEN {_EIG_V_SCALE} ELSE 0 END
+                AS BIGINT) AS v
+    FROM (SELECT DISTINCT i FROM cmat)
+)"""
+    ctes = [head]
+    prev = "v0"
+    for t in range(1, _EIG_ITERS + 1):
+        ctes.append(
+            f"""x{t} AS (
+    SELECT c.i, CAST(SUM(c.c * p.v) AS BIGINT) AS x
+    FROM cmat c JOIN {prev} p ON c.j = p.j
+    GROUP BY c.i
+), m{t} AS (
+    SELECT CAST(MAX(ABS(x)) AS BIGINT) AS mx FROM x{t}
+), v{t} AS (
+    SELECT i AS j,
+           CAST(floor((CAST(x AS DOUBLE) / NULLIF(mx, 0))
+                      * {_EIG_V_SCALE} + 0.5) AS BIGINT) AS v
+    FROM x{t} CROSS JOIN m{t}
+)"""
+        )
+        prev = f"v{t}"
+    return (
+        ",\n".join(ctes)
+        + f"""
+SELECT p.j AS dim, p.v AS v_scaled, m.mx AS lam_scaled
+FROM {prev} p CROSS JOIN m{_EIG_ITERS} m
+"""
+    )
+
+
+_ORACLE_EMBED_TOP_EIGEN = _duck_top_eigen()
+
+
+@register(
+    "embed_top_eigen", _ORACLE_EMBED_TOP_EIGEN,
+    tags=("llm", "similarity", "iterative"),
+)
+def embed_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top eigenpair of the embedding covariance matrix by power
+    iteration — the PCA direction a pipeline reads before whitening
+    an embedding store or diagnosing anisotropic collapse (one
+    dominant direction ⇒ the encoder is wasting dimensions; the
+    eigenvalue IS the collapse magnitude). 64 rows: the unit-L∞
+    eigenvector in 1e-6 units plus the eigenvalue estimate in
+    1e-15 units (both exact BIGINTs).
+
+    Scale: the ONLY corpus-sized work is ``_partial_cov``'s Arrow
+    fold (shared verbatim with ``embed_covariance`` — the moments
+    the two keys read cannot drift). The iteration then runs on the
+    DIMENSION-bounded d×d integer matrix (4096 longs — bounded by
+    the schema, not the data), pulled once to the driver exactly
+    like the IVF centroid set: at 100 TB the corpus pass is one
+    map-side-combined shuffle of O(partitions × 4096) longs and the
+    iteration cost does not grow at all. (A DataFrame-join
+    formulation of the same loop was measured 5× slower here — 10+
+    micro-jobs of broadcast scheduling to move 64 rows around.)
+
+    Determinism (the graph_pagerank discipline, applied to linear
+    algebra): exact integer moments → covariance doubles computed by
+    the IDENTICAL expression on both engines (bit-for-bit, the
+    embed_covariance precedent) → quantized to nano-unit BIGINTs, so
+    every Σ c·v dot product is an order-free exact int64 (≤1.6e16,
+    500× headroom) whether numpy or SQL computes it; the L∞
+    renormalization divides two exact ints as float64 and re-floors
+    — deterministic IEEE ops on identical inputs. Eigenvector sign
+    is pinned by the fixed e₁ start, not by convention.
+    """
+    raw = load_spread(spark, sf_dir, "embeddings")
+    emb = raw.filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == _DIM)
+    ).select("embedding")
+    # O(partitions)-bounded pull (one ~4 KB row per partition — the
+    # IVF-centroid class of driver fetch, never grows with rows per
+    # partition); the exact-int partial merge is order-free, so the
+    # driver-side reduction is bit-identical to any tree of merges.
+    partials = emb.mapInPandas(_partial_cov, _PARTIAL_SCHEMA).toPandas()
+    if not len(partials):  # no valid embeddings: the oracle's WITH
+        # chain collapses to zero rows — mirror it
+        return spark.createDataFrame(
+            [], "dim bigint, v_scaled bigint, lam_scaled bigint"
+        )
+    n_tot = np.int64(partials["n"].to_numpy(np.int64).sum())
+    s = np.stack(
+        [np.asarray(r, dtype=np.int64) for r in partials["s"]]
+    ).sum(axis=0)
+    ss = np.stack(
+        [np.asarray(r, dtype=np.int64) for r in partials["ss"]]
+    ).sum(axis=0).reshape(_DIM, _DIM)
+    # covariance doubles by the IDENTICAL elementwise IEEE expression
+    # the oracle runs (div, div, mul, sub, div — the _np_cos
+    # bit-parity precedent), then the nano-unit quantization
+    nd = np.float64(n_tot)
+    sd = s.astype(np.float64) / nd
+    cov = (ss.astype(np.float64) / nd - np.outer(sd, sd)) / _SCALE_SQ
+    C = np.floor(cov * _EIG_C_SCALE + 0.5).astype(np.int64)
+    vec = np.zeros(_DIM, dtype=np.int64)
+    vec[0] = _EIG_V_SCALE
+    mx = np.int64(0)
+    for _ in range(_EIG_ITERS):
+        x = C @ vec  # exact int64 dot products, ≤1.6e16
+        mx = np.abs(x).max()
+        if mx == 0:  # degenerate (all-zero covariance): NULLIF twin
+            vec = np.full(_DIM, None)
+            break
+        vec = np.floor(
+            x.astype(np.float64) / np.float64(mx)
+            * np.float64(_EIG_V_SCALE) + 0.5
+        ).astype(np.int64)
+    rows = [
+        (int(d + 1), None if vec[d] is None else int(vec[d]),
+         None if mx == 0 else int(mx))
+        for d in range(_DIM)
+    ]
+    return spark.createDataFrame(
+        rows, "dim bigint, v_scaled bigint, lam_scaled bigint"
+    )

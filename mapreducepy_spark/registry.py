@@ -136,6 +136,7 @@ _KEY_ORDER = (
     # test_parity at sf0.001, parity_sf at sf0.01/0.1).
     "merge_upsert", "scd2_intervals",
     "unpivot_long", "graph_degree_stats", "sample_group_reservoir",
+    "embed_top_eigen",
     # ---- position 50 = agg_quantile_disc; join_asof (the last r4
     # key) leads the NEXT window. 8 new + 42 of the 43-key r4 block
     # fill this round's 50; join_asof keeps its r4 evidence one more
