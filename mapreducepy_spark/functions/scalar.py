@@ -284,3 +284,53 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "masked_prefix"
         ),
     )
+
+
+_ORACLE_FN_BITWISE = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS and_mask,
+       o_orderkey | 4096 AS or_mask,
+       xor(o_orderkey, CAST(floor(o_custkey) AS BIGINT)) AS xor_cust,
+       o_orderkey << 2 AS shl2,
+       o_orderkey >> 3 AS shr3,
+       CAST(bit_count(o_orderkey) AS INT) AS popcount
+FROM orders
+WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+"""
+
+
+@register("fn_bitwise", _ORACLE_FN_BITWISE, tags=("functions",))
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family completion — bitwise AND/OR/XOR/shift/popcount over
+    BIGINT keys. Not a toy: these are the primitives the engine's
+    own hash-sharding keys ride on (the bucket masks in sim_ann_lsh,
+    the packed node ids in operators/graph.py, shard selectors like
+    ``key & (n-1)``), surfaced as a user-facing query family.
+
+    Scale: pure narrow projection — whole-stage-codegen'd JVM
+    expressions, zero shuffles. NULL keys are excluded by contract
+    (a NULL operand propagates NULL through every bit op on both
+    engines anyway; the filter keeps the key's intent explicit).
+
+    Hash parity: all-int in, all-int out — BIGINT two's-complement
+    semantics agree across engines for non-negative keys; shifts are
+    within-range (orderkeys < 2^61).
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey").isNotNull() & F.col("o_custkey").isNotNull()
+    )
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("and_mask"),
+        k.bitwiseOR(F.lit(4096)).alias("or_mask"),
+        # floor→cast, not a bare cast: an ingest upstream may have
+        # widened the key to DOUBLE (the adversarial fixture does),
+        # and bare double→int casts TRUNCATE on Spark but ROUND on
+        # DuckDB — floor first makes both exact on integral keys
+        k.bitwiseXOR(F.floor(F.col("o_custkey")).cast("bigint"))
+        .alias("xor_cust"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).cast("int").alias("popcount"),
+    )

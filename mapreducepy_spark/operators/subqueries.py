@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..registry import register
+from ..rounding import dround
 
 # Orders whose total quantity exceeds this are "large volume"
 # (fixture max ~460, mean ~103 — keeps ~1.4% of orders at sf0.01).
@@ -666,4 +667,126 @@ def join_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
             .cast("double") / 100.0
         ).alias("revenue"),
+    )
+
+
+# --- Q2: correlated MIN over a multi-join (min-cost supplier) ------
+
+_Q2_REGION = "EUROPE"
+
+_ORACLE_JOIN_MIN_COST = f"""
+WITH cost AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+    SELECT c.l_partkey, c.l_suppkey, c.unit_cost
+    FROM cost c
+    JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{_Q2_REGION}'
+),
+ranked AS (
+    SELECT l_partkey, l_suppkey, unit_cost,
+           ROW_NUMBER() OVER (
+               PARTITION BY l_partkey
+               ORDER BY unit_cost ASC NULLS LAST, l_suppkey ASC NULLS LAST
+           ) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY l_partkey) AS BIGINT)
+               AS n_suppliers
+    FROM eu
+)
+SELECT l_partkey AS partkey,
+       l_suppkey AS best_suppkey,
+       (floor(unit_cost * 1000000.0 + 0.5) / 1000000.0) AS best_cost,
+       n_suppliers
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "join_min_cost_supplier", _ORACLE_JOIN_MIN_COST,
+    tags=("join", "subquery"),
+)
+def join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q2 shape — a correlated MIN subquery over a
+    multi-join ("the supplier offering each part cheapest, among
+    EUROPE suppliers"), decorrelated: per-(part, supplier) unit cost
+    from the fact table, the region filter applied through the
+    supplier→nation→region dimension chain, then an argmin window
+    per part (cost, then suppkey — deterministic on cost ties). The
+    naive form re-runs the MIN subquery per outer row; this runs it
+    once for all parts.
+
+    Scale: the region filter is applied BELOW the aggregation — the
+    dimension chain collapses to a broadcast LEFT SEMI onto the fact
+    table, so only the ~1/|regions| surviving rows ride the one
+    (partkey, suppkey) shuffle (measured 3× faster than
+    aggregate-then-filter at sf0.1, and the gap grows with region
+    selectivity). The argmin window then runs on the AGGREGATED
+    table (|part×supplier| pairs, ~6× smaller than the filtered
+    fact) keyed on partkey. The fact table shuffles exactly once.
+    Filter-first is semantics-preserving here because the predicate
+    is per-SUPPLIER, a grouping key of the MIN.
+
+    Hash parity: MIN over doubles is order-free; the unit-cost
+    division is a single IEEE op on identical parquet doubles;
+    rounding only at output. Zero/NULL quantities are excluded by
+    the > 0 predicate on both engines.
+    """
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name") == _Q2_REGION)
+        .select("r_regionkey")
+    )
+    eu_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    eu = (
+        li.join(
+            F.broadcast(eu_supp),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        # ONE shuffle serves both the aggregation and the argmin
+        # window: hash-partitioning on l_partkey alone satisfies the
+        # (l_partkey, l_suppkey) grouping (prefix partitioning — all
+        # rows of a pair share the partkey partition) AND the
+        # window's partkey requirement, so EnsureRequirements adds no
+        # second Exchange (plan-asserted).
+        .repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+            .alias("unit_cost")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_cost").asc_nulls_last(),
+        F.col("l_suppkey").asc_nulls_last(),
+    )
+    wc = Window.partitionBy("l_partkey")
+    return (
+        eu.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_suppliers", F.count(F.lit(1)).over(wc).cast("bigint")
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("best_suppkey"),
+            dround("unit_cost", 6).alias("best_cost"),
+            "n_suppliers",
+        )
     )

@@ -218,3 +218,64 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         dround(F.sum("value").over(w), 2).alias("trailing_10min_value"),
     )
+
+
+_ORACLE_WIN_FIRST_LAST = """
+SELECT DISTINCT
+       o_custkey AS custkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+       LAST_VALUE(o_orderkey) OVER w AS last_ok,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_ok,
+       FIRST_VALUE(o_orderdate) OVER w AS first_date,
+       LAST_VALUE(o_orderdate) OVER w AS last_date,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_orders
+FROM orders
+WINDOW w AS (
+    PARTITION BY o_custkey
+    ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC NULLS LAST
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
+@register("win_first_last", _ORACLE_WIN_FIRST_LAST, tags=("window",))
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family completion — FIRST_VALUE / LAST_VALUE / NTH_VALUE
+    with an explicit full-partition frame: per customer, the first,
+    last and second order of their history in one pass (the
+    customer-lifecycle card: acquisition order, latest order, the
+    repeat-purchase probe). One row per customer.
+
+    The frame is the POINT: the default window frame with an ORDER
+    BY is unbounded-preceding→CURRENT ROW, under which LAST_VALUE
+    degenerates to "this row" and NTH_VALUE(2) is NULL until row 2 —
+    on BOTH engines. Pinning ROWS UNBOUNDED PRECEDING→UNBOUNDED
+    FOLLOWING makes all three functions read the whole partition,
+    and the total order (date, orderkey) makes them deterministic.
+
+    Scale: one shuffle on the customer key; the unbounded frame is
+    O(1) state per partition pass (Spark evaluates it as a single
+    buffered frame). The DISTINCT collapse rides the same
+    partitioning — no second exchange.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(
+            F.col("o_orderdate").asc_nulls_last(),
+            F.col("o_orderkey").asc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.first("o_orderkey").over(w).alias("first_ok"),
+            F.last("o_orderkey").over(w).alias("last_ok"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+            F.first("o_orderdate").over(w).alias("first_date"),
+            F.last("o_orderdate").over(w).alias("last_date"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_orders"),
+        )
+        .distinct()
+    )

@@ -161,6 +161,17 @@ def test_asof_join_is_union_timeline_not_join(spark, sf_dir, name):
     assert "Window" in plan
 
 
+def test_min_cost_supplier_filters_below_agg_one_shuffle(spark, sf_dir):
+    """Q2 shape: the region filter must reach the fact table as a
+    broadcast LEFT SEMI below the aggregation (filter-first), and
+    ONE partkey exchange must serve both the (partkey, suppkey)
+    grouping (prefix partitioning) and the argmin window."""
+    plan = plan_of(spark, "join_min_cost_supplier", sf_dir, mode="simple")
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
 def test_merge_upsert_is_union_window_not_join(spark, sf_dir):
     """The MERGE must run as union + one key-window (single shuffle,
     untouched base rows ride it once), never as base-join-changes
