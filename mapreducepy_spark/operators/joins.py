@@ -545,3 +545,66 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dround(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+_ORACLE_JOIN_NULL_SAFE = """
+WITH a AS (
+    SELECT NULLIF(o_orderkey % 5, 0) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (floor((SUM(o_totalprice)) * 100.0 + 0.5) / 100.0) AS sum_price
+    FROM orders
+    GROUP BY NULLIF(o_orderkey % 5, 0)
+),
+b AS (
+    SELECT NULLIF(l_orderkey % 5, 0) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY NULLIF(l_orderkey % 5, 0)
+)
+SELECT a.grp, a.n_orders, a.sum_price, b.n_lines
+FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+"""
+
+
+@register("join_null_safe", _ORACLE_JOIN_NULL_SAFE, tags=("join",))
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (Spark ``<=>`` ≡ ANSI ``IS NOT
+    DISTINCT FROM``): the NULL group on one side MATCHES the NULL
+    group on the other — the semantic a plain equi-join silently
+    drops (NULL = NULL is UNKNOWN), and exactly what joining two
+    aggregates on a nullable dimension needs ("unattributed" rows
+    must line up with "unattributed" rows). The nullable key is
+    derived deterministically (``NULLIF(orderkey % 5, 0)``) so the
+    oracle can predict the NULL bucket from construction.
+
+    Scale: Catalyst extracts ``<=>`` as a first-class equi-join key
+    (hash/sort-merge joinable, NULLs routed to one partition like
+    any other key value — NOT a nested-loop residual), so the plan
+    is identical in shape to a plain equi-join; both inputs are
+    pre-aggregated to |groups| rows before the join. A skewed NULL
+    bucket at scale is the join_skew_salted story, unchanged.
+
+    Hash parity: counts are exact; money uses the cent-floor on both
+    engines; the modulo-NULLIF key derivation is integer-exact.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    a = (
+        o.groupBy(
+            F.nullif(F.col("o_orderkey") % 5, F.lit(0)).alias("grp")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dround(F.sum("o_totalprice")).alias("sum_price"),
+        )
+    )
+    b = (
+        li.groupBy(
+            F.nullif(F.col("l_orderkey") % 5, F.lit(0)).alias("grp2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    )
+    return (
+        a.join(b, a.grp.eqNullSafe(b.grp2))
+        .select("grp", "n_orders", "sum_price", "n_lines")
+    )
