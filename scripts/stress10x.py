@@ -113,6 +113,26 @@ OPS = (
     "sim_ann_recall_sampled",
     "multimodal_resize_plan",
     "join_volume_shipping",
+    # round-7 growth block: the as-of pair's forward leg (union
+    # timeline must stay join-free at 10×), the CDC family (MERGE =
+    # one union-window shuffle; SCD2 = one window), the reshape melt
+    # (narrow Expand, fan-out-linear), the graph structure card
+    # (edge-linear), the hash reservoir (topk-per-group shape), the
+    # covariance power iteration (corpus pass must stay
+    # O(partitions×d²), iteration constant), the frame-clause window,
+    # bitwise projection (narrow map), Q2 min-cost (filter-below-agg
+    # broadcast semi must survive AQE at 10×), null-safe join
+    "join_asof_forward",
+    "merge_upsert",
+    "scd2_intervals",
+    "unpivot_long",
+    "graph_degree_stats",
+    "sample_group_reservoir",
+    "embed_top_eigen",
+    "win_first_last",
+    "fn_bitwise",
+    "join_min_cost_supplier",
+    "join_null_safe",
 )
 
 
@@ -203,6 +223,15 @@ def materialize(spark, sf_dir: str, out_dir: str) -> None:
     load(spark, sf_dir, "supplier").write.mode("overwrite").parquet(
         f"{out_dir}/supplier.parquet"
     )
+    # nation/region: pure dimensions, copied as-is (suppkey doesn't
+    # shift, so s_nationkey→n_nationkey stays valid). Without these
+    # the Q7 nation-grid and Q2 min-cost keys CRASH on the 10× dir —
+    # a missing-table abort, observed, that previously cut the run
+    # short at whichever op first read them.
+    for dim in ("nation", "region"):
+        load(spark, sf_dir, dim).write.mode("overwrite").parquet(
+            f"{out_dir}/{dim}.parquet"
+        )
 
 
 def main() -> int:
