@@ -96,7 +96,16 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     nulls-first, DuckDB's is nulls-last, so defaults MUST NOT be
     relied on); balance is deterministically rounded.
     """
-    base = load(spark, sf_dir, "customer").select(
+    unioned = base_snapshot(load(spark, sf_dir, "customer")).unionByName(
+        orders_changelog(load(spark, sf_dir, "orders"))
+    )
+    return live_view(merge_reduce(unioned))
+
+
+def base_snapshot(customer: DataFrame) -> DataFrame:
+    """Customer snapshot in the unioned changelog shape (weight 0 —
+    base rows never count as applied changes)."""
+    return customer.select(
         F.col("c_custkey").alias("key"),
         F.lit(0).alias("is_change"),
         F.lit(None).cast("timestamp").alias("ts"),
@@ -104,8 +113,14 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("balance"),
         F.lit("U").alias("op"),
         F.lit("base").alias("src"),
+        F.lit(0).cast("bigint").alias("weight"),
     )
-    chg = load(spark, sf_dir, "orders").select(
+
+
+def orders_changelog(orders: DataFrame) -> DataFrame:
+    """Orders as a changelog of customer balance (weight 1 each;
+    the deterministic ``_TOMBSTONE_SQL`` rule marks deletes)."""
+    return orders.select(
         F.col("o_custkey").alias("key"),
         F.lit(1).alias("is_change"),
         F.col("o_orderdate").alias("ts"),
@@ -115,7 +130,22 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("U")
         .alias("op"),
         F.lit("chg").alias("src"),
+        F.lit(1).cast("bigint").alias("weight"),
     )
+
+
+def merge_reduce(unioned: DataFrame) -> DataFrame:
+    """The ONE latest-wins fold shared by the batch ``merge_upsert``
+    and the streaming CDC apply (streaming/cdc.py): keep each key's
+    winner row — tombstones INCLUDED (dropping them here would let a
+    late lower-sequence 'U' resurrect a deleted key; deletes
+    materialize only in ``live_view``) — plus the accumulated
+    applied-change count. Because the winner is an argmax over a
+    total order and the count is a sum of carried weights, the fold
+    is ASSOCIATIVE and ORDER-INDEPENDENT: folding batch-by-batch
+    (any split, any arrival order) equals one global fold, which is
+    what the cross-batch replay test pins.
+    """
     w = Window.partitionBy("key").orderBy(
         F.col("is_change").desc(),
         F.col("ts").desc_nulls_last(),
@@ -125,16 +155,22 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wall = Window.partitionBy("key")
     return (
-        base.unionByName(chg)
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n_changes", F.sum("is_change").over(wall))
-        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
-        .select(
-            "key",
-            dround("balance").alias("balance"),
-            F.col("src").alias("last_src"),
-            F.col("n_changes").cast("bigint").alias("n_changes"),
-        )
+        unioned.withColumn("rn", F.row_number().over(w))
+        .withColumn("w_sum", F.sum("weight").over(wall))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "weight")
+        .withColumnRenamed("w_sum", "weight")
+    )
+
+
+def live_view(state: DataFrame) -> DataFrame:
+    """Materialize deletes: the queryable table a reader sees over
+    the merge state (tombstoned keys are absent)."""
+    return state.filter(F.col("op") != "D").select(
+        "key",
+        dround("balance").alias("balance"),
+        F.col("src").alias("last_src"),
+        F.col("weight").cast("bigint").alias("n_changes"),
     )
 
 

@@ -410,3 +410,59 @@ def test_kafka_shape_value_parsing_matches_file_census(spark, sf_dir):
     ).toPandas()
     want = load_catalog()["jsonl_quarantine"].builder(spark, sf_dir).toPandas()
     assert canon_frame(got) == canon_frame(want)  # tombstone invisible
+
+
+def test_cdc_apply_across_batches_matches_merge_upsert(spark, sf_dir, tmp_path):
+    """The streaming CDC apply, replayed across MICRO-BATCH
+    boundaries, converges to the registered batch ``merge_upsert``:
+    orders split by time into two files consumed one per trigger,
+    folded onto the customer base snapshot through the SAME
+    merge_reduce the batch key uses. Equality pins (a) the shared
+    fold (stream and batch cannot drift), (b) tombstone persistence
+    across batches (a delete in batch 0 must still mask the key
+    after batch 1), and (c) the versioned-state idempotence shape.
+    This is the batch-parity anchor for streaming/cdc.py, the
+    attribution/ingest/session convention."""
+    from pyspark.sql import functions as F
+
+    from mapreducepy_spark.operators.cdc import base_snapshot, merge_upsert
+    from mapreducepy_spark.streaming import cdc as scdc
+
+    d = tmp_path / "orders_two_batches"
+    d.mkdir()
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cut = raw.selectExpr(
+        "median(unix_micros(o_orderdate)) AS c"
+    ).collect()[0].c
+    raw.filter(F.unix_micros("o_orderdate") <= cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "tmp_a"))
+    raw.filter(F.unix_micros("o_orderdate") > cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "tmp_b"))
+    import pathlib
+
+    for i, sub in enumerate(("tmp_a", "tmp_b")):
+        for f in pathlib.Path(d / sub).glob("*.parquet"):
+            shutil.move(str(f), d / f"{i}.parquet")
+        shutil.rmtree(d / sub)
+
+    state = str(tmp_path / "cdc_state")
+    scdc.init_state(base_snapshot(load(spark, sf_dir, "customer")), state)
+    q = scdc.start_cdc_apply(
+        scdc.read_orders_stream(spark, str(d), max_files_per_trigger=1),
+        spark,
+        state,
+        str(tmp_path / "cdc_ckpt"),
+    )
+    q.awaitTermination()
+    # two batches + the seed must exist: the boundary was real
+    import os
+
+    assert {v for v in os.listdir(state) if v.startswith("v=")} == {
+        "v=0", "v=1", "v=2"
+    }
+    got = scdc.read_live(spark, state).toPandas()
+    want = merge_upsert(spark, sf_dir).toPandas()
+    assert len(want) > 0
+    assert canon_frame(got) == canon_frame(want)
