@@ -608,3 +608,47 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a.grp.eqNullSafe(b.grp2))
         .select("grp", "n_orders", "sum_price", "n_lines")
     )
+
+
+_ORACLE_JOIN_LATERAL = """
+SELECT o.o_orderkey, o.o_orderdate,
+       t.l_linenumber, t.l_extendedprice
+FROM orders o,
+LATERAL (
+    SELECT l_linenumber, l_extendedprice
+    FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_orderkey % 10 = 0
+    ORDER BY l_extendedprice DESC, l_linenumber ASC
+    LIMIT 2
+) t
+WHERE o.o_orderkey % 10 = 0
+"""
+
+
+@register("join_lateral_topk", _ORACLE_JOIN_LATERAL, tags=("join", "sql"))
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL
+    spelling of top-k-per-group ("each order's 2 priciest lines"),
+    and a DIALECT-PORTABLE key: the ONE SQL text is both the DuckDB
+    oracle and what this builder hands to ``spark.sql`` (the sql.py
+    §3.2 discipline — no second implementation to drift; hash parity
+    is literal by construction, provided both engines decorrelate to
+    the same answer, which the gate verifies).
+
+    Scale: Catalyst decorrelates the lateral to an equi-join on
+    ``l_orderkey`` plus a per-key row_number cut — the
+    ``topk_per_group`` physical shape, NOT a nested loop re-running
+    the subquery per outer row (plan-asserted: no
+    BroadcastNestedLoopJoin/CartesianProduct). The (price,
+    linenumber) order is total within an order, so LIMIT 2 is
+    deterministic on both engines. The orderkey shard bounds the
+    catalog key's output volume; it is repeated INSIDE the lateral
+    (equivalent under the correlation equality) because neither
+    engine infers derived predicates like ``key % 10 = 0`` across a
+    join — without the copy the fact side scans whole (measured:
+    the filter reached only the orders scan).
+    """
+    for t in ("orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_ORACLE_JOIN_LATERAL)

@@ -53,6 +53,7 @@ PORTABLE = (
     "join_exists_chain",
     "join_groupagg_in",
     "join_inner",
+    "join_lateral_topk",
     "join_left",
     "join_multi",
     "join_nested_semi",
