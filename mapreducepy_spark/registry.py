@@ -62,6 +62,7 @@ _MODULES = (
     "mapreducepy_spark.llm.tokenizer",
     "mapreducepy_spark.llm.embedstats",
     "mapreducepy_spark.llm.pipeline",
+    "mapreducepy_spark.llm.pii",
 )
 
 # Explicit catalog order. The driver evaluates ``queries()`` front to
@@ -138,7 +139,7 @@ _KEY_ORDER = (
     "unpivot_long", "graph_degree_stats", "sample_group_reservoir",
     "embed_top_eigen",
     "win_first_last", "fn_bitwise", "join_min_cost_supplier",
-    "join_null_safe", "join_lateral_topk",
+    "join_null_safe", "join_lateral_topk", "text_pii_census",
     # ---- position 50 = agg_quantile_disc; join_asof (the last r4
     # key) leads the NEXT window. 8 new + 42 of the 43-key r4 block
     # fill this round's 50; join_asof keeps its r4 evidence one more
