@@ -1311,3 +1311,119 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     them under a NULL bar).
     """
     return ohlc_aggregate(load(spark, sf_dir, "events"))
+
+
+# --- interval concurrency (sweep-line peak occupancy) ---------------
+
+_CONC_ACTIVE = "10 minutes"  # each event is "active" for this long
+
+_ORACLE_EVENTS_PEAK_CONCURRENCY = f"""
+WITH pts AS (
+    SELECT event_type, ts AS t, 1 AS ds, 0 AS de
+    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    UNION ALL
+    SELECT event_type, ts + INTERVAL '{_CONC_ACTIVE}', 0, 1
+    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+agg AS (
+    SELECT event_type, t,
+           CAST(SUM(ds) AS BIGINT) AS s, CAST(SUM(de) AS BIGINT) AS e
+    FROM pts GROUP BY event_type, t
+),
+run AS (
+    SELECT event_type, t,
+           SUM(s) OVER w - SUM(e) OVER w AS conc
+    FROM agg
+    WINDOW w AS (
+        PARTITION BY event_type ORDER BY t ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+),
+ranked AS (
+    SELECT event_type, t, conc,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY conc DESC, t ASC
+           ) AS rn
+    FROM run
+)
+SELECT event_type,
+       CAST(conc AS BIGINT) AS peak_concurrency,
+       t AS peak_ts
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "events_peak_concurrency", _ORACLE_EVENTS_PEAK_CONCURRENCY,
+    tags=("temporal", "interval"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak occupancy: treating each event as active for
+    a fixed horizon ``[ts, ts+10min)``, the maximum number of
+    simultaneously-active events per type and the earliest instant
+    it occurs — the capacity-planning number (peak concurrent
+    sessions / open intervals) that windowed counts systematically
+    understate (a tumbling bucket counts STARTS per bucket, not
+    overlap).
+
+    The classic algorithm, made deterministic: ±1 deltas at interval
+    endpoints are AGGREGATED PER DISTINCT TIMESTAMP before the
+    running sum — without that collapse, ties inside a timestamp
+    make the running max order-dependent and the answer
+    engine-dependent. Half-open semantics fall out of the algebra:
+    ``conc(t) = starts(≤t) − ends(≤t)`` retires an interval exactly
+    at its end instant.
+
+    Scale: ONE shuffle — an explicit repartition on ``event_type``
+    satisfies the (type, t) delta aggregation (prefix partitioning,
+    the join_min_cost_supplier rule), the cumulative window, and the
+    argmax window. Parallelism is bounded by |types| here; at 100 TB
+    with few types the same sweep runs as the two-pass distributed
+    prefix sum (range-partition by t, per-partition partial sums,
+    broadcast running offsets) — algebra unchanged, and the delta
+    aggregation has already collapsed the data to |distinct t| rows
+    map-side.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    starts = e.select(
+        "event_type", F.col("ts").alias("t"),
+        F.lit(1).alias("ds"), F.lit(0).alias("de"),
+    )
+    ends = e.select(
+        "event_type",
+        (F.col("ts") + F.expr(f"INTERVAL {_CONC_ACTIVE}")).alias("t"),
+        F.lit(0).alias("ds"), F.lit(1).alias("de"),
+    )
+    agg = (
+        starts.unionByName(ends)
+        .repartition(F.col("event_type"))
+        .groupBy("event_type", "t")
+        .agg(
+            F.sum("ds").cast("bigint").alias("s"),
+            F.sum("de").cast("bigint").alias("e"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = agg.select(
+        "event_type", "t",
+        (F.sum("s").over(w) - F.sum("e").over(w)).alias("conc"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("conc").desc(), F.col("t").asc()
+    )
+    return (
+        run.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("conc").cast("bigint").alias("peak_concurrency"),
+            F.col("t").alias("peak_ts"),
+        )
+    )
