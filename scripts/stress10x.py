@@ -5,7 +5,8 @@ plan properties. The point is trend evidence for the 100 TB design
 claims: linear-or-better runtime growth and NO plan degradation
 (same broadcasts, same bucketed joins, no cartesian fallback).
 
-Usage: python scripts/stress10x.py [sf_dir] [out_dir]
+Usage: python scripts/stress10x.py [sf_dir] [out_dir] [op ...]
+(op names default to the full OPS tuple)
 Prints one JSON line per operator and a trailing summary line.
 """
 
@@ -133,6 +134,9 @@ OPS = (
     "fn_bitwise",
     "join_min_cost_supplier",
     "join_null_safe",
+    "join_lateral_topk",
+    "text_pii_census",
+    "events_peak_concurrency",
 )
 
 
@@ -236,7 +240,13 @@ def materialize(spark, sf_dir: str, out_dir: str) -> None:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="stress10x_")
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else ""
+    # an empty/blank out_dir must fall back to a tempdir — f"{''}/x"
+    # resolves to the FILESYSTEM ROOT (observed: one run littered /
+    # with 10× fixture dirs before this guard)
+    if not out_dir.strip():
+        out_dir = tempfile.mkdtemp(prefix="stress10x_")
+    ops = tuple(sys.argv[3:]) or OPS
     spark = get_spark(app_name="stress10x")
     catalog = load_catalog()
 
@@ -245,7 +255,7 @@ def main() -> int:
     print(json.dumps({"step": "materialize", "sec": round(time.time() - t0, 2)}))
 
     results = {}
-    for name in OPS:
+    for name in ops:
         q = catalog[name]
         # baseline at sf0.1, then 10×; count() forces full execution
         tb = time.time()
