@@ -334,3 +334,58 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shr3"),
         F.bit_count(k).cast("int").alias("popcount"),
     )
+
+
+# URL construction rule — both engines mint the SAME url string from
+# the row (the pii.py injection precedent), then Spark's parse_url
+# must recover exactly the components the rule planted (the oracle
+# predicts them from the rule; the parser never sees it).
+_URL_SQL = (
+    "'https://' || lower(source) || '.example.com/docs/' || "
+    "CAST(doc_id AS STRING) || '?lang=' || lang || '&v=2'"
+)
+
+_ORACLE_FN_URL = f"""
+SELECT doc_id,
+       {_URL_SQL} AS url,
+       lower(source) || '.example.com' AS host,
+       '/docs/' || CAST(doc_id AS STRING) AS path,
+       'lang=' || lang || '&v=2' AS query,
+       lang AS lang_param
+FROM documents
+WHERE doc_id IS NOT NULL AND source IS NOT NULL AND lang IS NOT NULL
+"""
+
+
+@register("fn_url", _ORACLE_FN_URL, tags=("functions", "url"))
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family, URL functions — HOST / PATH / QUERY / named query
+    parameter via ``parse_url``: the primitives a web-crawl pipeline
+    needs before host-level dedup, robots grouping, or per-domain
+    quotas. The URL is minted from the row by a deterministic rule
+    (same text on both engines); Spark PARSES it back with the real
+    parser while the oracle PREDICTS the components from the rule —
+    a parser that mishandles the scheme, the query separator, or
+    parameter extraction breaks the hash.
+
+    Scale: pure narrow projection, codegen'd JVM expressions, no
+    shuffle. Rows with a NULL component are excluded by contract (a
+    NULL anywhere makes the whole minted URL NULL on both engines,
+    while the oracle's predicted components would not all be NULL —
+    the filter keeps the contract honest instead of leaning on NULL
+    propagation asymmetry).
+    """
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+        & F.col("source").isNotNull()
+        & F.col("lang").isNotNull()
+    )
+    url = F.expr(_URL_SQL)
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

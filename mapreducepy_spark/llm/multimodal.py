@@ -1050,3 +1050,73 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "doc_id", "width", "height", "scale_num", "scale_den"
     )
+
+
+_ORACLE_PAYLOAD_DEDUP = """
+WITH g AS (
+    SELECT md5(text) AS payload_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(octet_length(encode(text))) AS BIGINT) AS payload_bytes
+    FROM documents
+    WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    GROUP BY md5(text)
+)
+SELECT CAST(SUM(n_copies) AS BIGINT) AS n_payloads,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_groups,
+       CAST(SUM(n_copies - 1) AS BIGINT) AS n_redundant,
+       CAST(SUM((n_copies - 1) * payload_bytes) AS BIGINT)
+           AS bytes_reclaimable
+FROM g
+"""
+
+
+@register(
+    "multimodal_payload_dedup", _ORACLE_PAYLOAD_DEDUP,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup card for BINARY payloads — the multimodal
+    twin of ``dedup_exact`` ("the same image fetched twice under
+    different ids"): md5-of-bytes computed in the Arrow kernel over
+    the real binary column, grouped, summarized as the one-row
+    savings census an ingest reads before decode — total payloads,
+    distinct digests, duplicate groups, redundant copies, and the
+    exact bytes a digest-keyed store reclaims. The oracle recomputes
+    the digests from the same UTF-8 bytes, so a green row certifies
+    the dedup decision was made on byte-identical transport, not on
+    a text proxy. (A census, not a group list: the fixtures plant
+    exact duplicates only at sf0.1, and a key that returns zero rows
+    at the sf0.01 gate proves nothing — the card's totals are
+    non-degenerate at every scale.)
+
+    Scale: the module rule holds — payload bytes never shuffle; only
+    the 32-char digest rides the groupBy (map-side combined), and
+    the census is a second constant-size aggregate. At 100 TB this
+    is the first pass of any image/audio ingest: dedup on content
+    digest BEFORE decode spends GPU/CPU on a copy.
+    """
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    payloads = attach_payload(docs, modality="image").select(
+        "doc_id", "modality", "payload"
+    )
+    groups = (
+        payload_stats(payloads)
+        .groupBy("payload_md5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("payload_bytes").cast("bigint").alias("payload_bytes"),
+        )
+    )
+    return groups.agg(
+        F.sum("n_copies").cast("bigint").alias("n_payloads"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .cast("bigint").alias("n_dup_groups"),
+        F.sum(F.col("n_copies") - 1).cast("bigint").alias("n_redundant"),
+        F.sum((F.col("n_copies") - 1) * F.col("payload_bytes"))
+        .cast("bigint").alias("bytes_reclaimable"),
+    )

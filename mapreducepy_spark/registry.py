@@ -140,7 +140,8 @@ _KEY_ORDER = (
     "embed_top_eigen",
     "win_first_last", "fn_bitwise", "join_min_cost_supplier",
     "join_null_safe", "join_lateral_topk", "text_pii_census",
-    "events_peak_concurrency",
+    "events_peak_concurrency", "multimodal_payload_dedup",
+    "fn_url", "graph_reachability",
     # ---- position 50 = agg_quantile_disc; join_asof (the last r4
     # key) leads the NEXT window. 8 new + 42 of the 43-key r4 block
     # fill this round's 50; join_asof keeps its r4 evidence one more
