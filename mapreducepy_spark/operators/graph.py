@@ -464,7 +464,8 @@ WITH ps AS (
            CAST(2 * pk AS BIGINT) AS dst FROM ps
 ), l0 AS (
     SELECT DISTINCT src AS node FROM edges
-    WHERE src % 2 = 1 AND (src // 2) % {_REACH_SEED_MOD} = 0
+    WHERE src % 2 = 1
+      AND CAST(floor(src / 2) AS BIGINT) % {_REACH_SEED_MOD} = 0
 ), l1 AS (
     SELECT DISTINCT e.dst AS node
     FROM edges e JOIN l0 ON e.src = l0.node

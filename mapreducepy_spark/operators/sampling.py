@@ -219,7 +219,7 @@ _RESERVOIR_K = 3
 _ORACLE_SAMPLE_GROUP_RESERVOIR = f"""
 WITH h AS (
     SELECT doc_id, lang, source,
-           md5(CAST(doc_id AS VARCHAR)) AS hk
+           md5(CAST(doc_id AS STRING)) AS hk
     FROM documents
     WHERE doc_id IS NOT NULL
 ),
