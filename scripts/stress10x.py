@@ -137,6 +137,9 @@ OPS = (
     "join_lateral_topk",
     "text_pii_census",
     "events_peak_concurrency",
+    "multimodal_payload_dedup",
+    "fn_url",
+    "graph_reachability",
 )
 
 
