@@ -790,3 +790,300 @@ def join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_suppliers",
         )
     )
+
+
+# --- Q3 / Q5 / Q8 / Q10: the classic join+agg report shapes --------
+# With these four, the engine covers 17 of the 22 TPC-H query shapes
+# (1,2,3,5,7,8,10,11,13,15,17,18,19,20,21,22 + Q4's EXISTS variant
+# via join_semi); the missing five need columns the fixture does not
+# carry (shipmode/instruct, supplycost, name/address text).
+
+_Q3_CUT = "1996-07-01"
+
+_ORACLE_JOIN_SHIPPING_PRIORITY = f"""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0
+                           + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_CUT} 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_CUT} 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
+@register(
+    "join_shipping_priority", _ORACLE_JOIN_SHIPPING_PRIORITY,
+    tags=("join", "tpch"),
+)
+def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q3 shape — segment-filtered unshipped-revenue top-N:
+    BUILDING customers' orders placed before the cut whose lineitems
+    ship after it, ranked by outstanding revenue; the classic
+    "most valuable open orders" report.
+
+    Scale: lineitem⋈orders is the one fact-fact join (both
+    date-filtered at the scan — PushedFilters on both sides); the
+    customer segment filter broadcasts. Top-10 is
+    TakeOrderedAndProject over the aggregated (order, date) rows —
+    no global sort materializes.
+
+    Hash parity: revenue in exact BIGINT cents (per-row floor, the
+    Q15 discipline) divided once; the ORDER/LIMIT tie-break is total
+    (revenue, date, orderkey).
+    """
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(f"{_Q3_CUT} 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(f"{_Q3_CUT} 00:00:00").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(rev).cast("double") / 100.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+
+
+_Q5_REGIONKEY = 3  # the fixture's EUROPE
+
+_ORACLE_JOIN_LOCAL_SUPPLIER = f"""
+SELECT n.n_name,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0
+                           + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_regionkey = {_Q5_REGIONKEY}
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "join_local_supplier", _ORACLE_JOIN_LOCAL_SUPPLIER,
+    tags=("join", "tpch"),
+)
+def join_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q5 shape — local-supplier volume: revenue per nation
+    where the CUSTOMER and the SUPPLIER share the nation (the
+    same-nation equality is the shape's signature — a correlation
+    between two different dimension paths of the same fact row),
+    restricted to one region and one order year.
+
+    Scale: lineitem⋈orders is the fact-fact join (year predicate
+    pushed to the orders scan); supplier/nation/region broadcast;
+    the customer join carries the same-nation residual on its
+    equi-key. Final rollup is |nations| rows.
+
+    Hash parity: exact-cents revenue, one division.
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_regionkey") == _Q5_REGIONKEY
+    ).select("n_nationkey", "n_name")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg((F.sum(rev).cast("double") / 100.0).alias("revenue"))
+    )
+
+
+_Q8_TYPE = "ECONOMY"
+_Q8_MKT_REGIONKEY = 2  # customers in the fixture's ASIA
+_Q8_SHARE_NATION = "NATION_2"  # measured supplier nation (in ASIA)
+
+_ORACLE_JOIN_MARKET_SHARE = f"""
+WITH sales AS (
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0
+                      + 0.5) AS BIGINT) AS rev_cents,
+           ns.n_name AS supp_nation
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    WHERE p.p_type = '{_Q8_TYPE}'
+      AND nc.n_regionkey = {_Q8_MKT_REGIONKEY}
+)
+SELECT o_year,
+       (floor((CAST(SUM(CASE WHEN supp_nation = '{_Q8_SHARE_NATION}'
+                             THEN rev_cents ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(rev_cents) AS DOUBLE))
+              * 1000000.0 + 0.5) / 1000000.0) AS mkt_share,
+       CAST(SUM(rev_cents) AS DOUBLE) / 100.0 AS total_revenue
+FROM sales
+GROUP BY o_year
+"""
+
+
+@register(
+    "join_market_share", _ORACLE_JOIN_MARKET_SHARE, tags=("join", "tpch")
+)
+def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q8 shape — national market share: within one
+    region's market for one part type, the fraction of yearly
+    revenue supplied by one nation. The signature is the
+    conditional-share aggregation (numerator = CASE-gated sum over
+    the same rows as the denominator — one pass, no self-join) under
+    a two-path nation decorate (customer's nation filters the
+    market, supplier's nation is measured).
+
+    Scale: the part-type filter broadcasts into the fact scan first
+    (most selective); lineitem⋈orders is the fact-fact join;
+    customer joins on its key; nation (twice, aliased) and supplier
+    broadcast. One year-keyed rollup.
+
+    Hash parity: both share terms are exact BIGINT cent sums;
+    the single double division is IEEE-identical on identical ints;
+    share rounded to 1e-6, revenue to cents.
+    """
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == _Q8_TYPE
+    ).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nc = load(spark, sf_dir, "nation").filter(
+        F.col("n_regionkey") == _Q8_MKT_REGIONKEY
+    ).select(F.col("n_nationkey").alias("nc_key"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    rev_cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    sales = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev_cents.alias("rev_cents"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(
+            F.col("supp_nation") == _Q8_SHARE_NATION, F.col("rev_cents")
+        ).otherwise(F.lit(0))
+    )
+    den = F.sum("rev_cents")
+    return sales.groupBy("o_year").agg(
+        dround(num.cast("double") / den.cast("double"), 6).alias("mkt_share"),
+        (den.cast("double") / 100.0).alias("total_revenue"),
+    )
+
+
+_ORACLE_JOIN_RETURNED_ITEMS = """
+SELECT c.c_custkey,
+       n.n_name,
+       (floor(c.c_acctbal * 100.0 + 0.5) / 100.0) AS acctbal,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0
+                           + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c.c_custkey, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+@register(
+    "join_returned_items", _ORACLE_JOIN_RETURNED_ITEMS,
+    tags=("join", "tpch"),
+)
+def join_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q10 shape — returned-item reporting: the 20
+    customers who returned the most revenue in one quarter, decorated
+    with nation and account balance (the "who should support call
+    first" list).
+
+    Scale: both fact scans carry pushed filters (returnflag on
+    lineitem, the quarter on orders); the fact-fact join runs under
+    AQE; nation broadcasts; the customer join keys on custkey.
+    Top-20 is TakeOrderedAndProject over the per-customer rollup.
+
+    Hash parity: revenue in exact cents; acctbal floor-rounded on
+    both engines; (revenue, custkey) is a total order for the cut.
+    """
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "n_name", "c_acctbal")
+        .agg((F.sum(rev).cast("double") / 100.0).alias("revenue"))
+        .select(
+            "c_custkey", "n_name",
+            dround("c_acctbal").alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )

@@ -142,6 +142,8 @@ _KEY_ORDER = (
     "join_null_safe", "join_lateral_topk", "text_pii_census",
     "events_peak_concurrency", "multimodal_payload_dedup",
     "fn_url", "graph_reachability",
+    "join_shipping_priority", "join_local_supplier",
+    "join_market_share", "join_returned_items",
     # ---- position 50 = agg_quantile_disc; join_asof (the last r4
     # key) leads the NEXT window. 8 new + 42 of the 43-key r4 block
     # fill this round's 50; join_asof keeps its r4 evidence one more
