@@ -1087,3 +1087,106 @@ def join_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+_ORACLE_AGG_FORECAST_REVENUE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "agg_forecast_revenue", _ORACLE_AGG_FORECAST_REVENUE,
+    tags=("agg", "tpch"),
+)
+def agg_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q6 shape — forecasting revenue change: the revenue
+    that would have been gained by eliminating small discounts on
+    low-quantity lines in one year. Deliberately the SIMPLEST query
+    in the suite: a conjunctive filter + one global aggregate — its
+    job is proving the fast path stays fast (every predicate reaches
+    the parquet scan as a PushedFilter, the whole plan is one
+    codegen'd stage, zero joins, zero wide shuffles).
+
+    Hash parity: the per-line product floors to exact cents before
+    the BIGINT sum (discount band compares are on stored doubles —
+    equal on both engines since no arithmetic touches them).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            (
+                F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount")))
+                .cast("double") / 100.0
+            ).alias("revenue_delta"),
+        )
+    )
+
+
+_ORACLE_AGG_PROMO_SHARE = """
+WITH pl AS (
+    SELECT CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0
+                      + 0.5) AS BIGINT) AS rev_cents,
+           CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+)
+SELECT (floor((100.0 * CAST(SUM(CASE WHEN is_promo = 1 THEN rev_cents
+                                     ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(rev_cents) AS DOUBLE))
+              * 1000000.0 + 0.5) / 1000000.0) AS promo_revenue_pct,
+       CAST(SUM(rev_cents) AS DOUBLE) / 100.0 AS total_revenue
+FROM pl
+"""
+
+
+@register(
+    "agg_promo_share", _ORACLE_AGG_PROMO_SHARE, tags=("agg", "tpch")
+)
+def agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q14 shape — promotion effect: the percentage of one
+    month's revenue that came from promotional parts. Same
+    conditional-share algebra as ``join_market_share`` (CASE-gated
+    numerator over the denominator's rows, one pass), with the part
+    dimension broadcast into the month-filtered fact scan.
+
+    Hash parity: both terms exact BIGINT cents; one double division,
+    percentage rounded to 1e-6.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_type") == "PROMO", 1).otherwise(0).alias("is_promo"),
+    )
+    rev_cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    pl = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        rev_cents.alias("rev_cents"), "is_promo"
+    )
+    num = F.sum(
+        F.when(F.col("is_promo") == 1, F.col("rev_cents")).otherwise(F.lit(0))
+    )
+    den = F.sum("rev_cents")
+    return pl.agg(
+        dround(
+            F.lit(100.0) * num.cast("double") / den.cast("double"), 6
+        ).alias("promo_revenue_pct"),
+        (den.cast("double") / 100.0).alias("total_revenue"),
+    )
