@@ -140,6 +140,15 @@ OPS = (
     "multimodal_payload_dedup",
     "fn_url",
     "graph_reachability",
+    # TPC-H report shapes: the lineitem-orders fact-fact joins must
+    # hold under AQE at 10x (Q3/Q5/Q8/Q10), the Q6 fast path must
+    # stay one codegen stage, Q14's broadcast must not flip
+    "join_shipping_priority",
+    "join_local_supplier",
+    "join_market_share",
+    "join_returned_items",
+    "agg_forecast_revenue",
+    "agg_promo_share",
 )
 
 
