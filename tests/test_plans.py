@@ -961,3 +961,71 @@ def test_sampled_recall_ground_truth_is_query_sampled(spark, sf_dir):
     # the modulo predicate must sit below the Arrow kernel: every
     # mapInPandas leaf's input subtree carries the filter
     assert "% 5) = 0" in plan or "% 5 = 0" in plan.replace("(", "").replace(")", "")
+
+
+def test_unpivot_is_single_scan_expand_no_shuffle(spark, sf_dir):
+    """The melt must run as ONE scan + Expand (the ANSI UNION-ALL
+    twin would rescan lineitem 4x), and it is a narrow map — no
+    exchange anywhere."""
+    plan = plan_of(spark, "unpivot_long", sf_dir, mode="simple")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+
+
+def test_lateral_topk_decorrelates_to_window_not_nested_loop(spark, sf_dir):
+    """The correlated LATERAL + LIMIT must decorrelate to the
+    topk_per_group shape (equi-join + per-key window), never a
+    nested loop re-running the subquery per outer row."""
+    plan = plan_of(spark, "join_lateral_topk", sf_dir, mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_peak_concurrency_single_shuffle_no_join(spark, sf_dir):
+    """The sweep-line is union + delta-aggregate + two windows, all
+    riding ONE event_type exchange (prefix partitioning)."""
+    plan = plan_of(spark, "events_peak_concurrency", sf_dir, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q3_is_take_ordered_with_pushed_date_filters(spark, sf_dir):
+    """Q3: top-10 must be TakeOrderedAndProject (no global sort
+    materializes) and BOTH fact scans carry their date predicate."""
+    plan = plan_of(spark, "join_shipping_priority", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+
+
+def test_q6_is_one_stage_all_predicates_pushed(spark, sf_dir):
+    """Q6 exists to prove the fast path: zero joins, no wide
+    exchange, and every predicate reaches the parquet scan."""
+    plan = plan_of(spark, "agg_forecast_revenue", sf_dir)
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["join_local_supplier", "join_market_share", "join_returned_items"]
+)
+def test_tpch_report_joins_broadcast_dims_no_cartesian(spark, sf_dir, name):
+    """Q5/Q8/Q10: dimensions must reach the fact as broadcasts and
+    nothing may fall back to a nested loop."""
+    plan = plan_of(spark, name, sf_dir, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_census_is_narrow_map_plus_one_aggregate(spark, sf_dir):
+    """The scrub is codegen'd regex per row; only the |sources|-row
+    census shuffles."""
+    plan = plan_of(spark, "text_pii_census", sf_dir, mode="simple")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
