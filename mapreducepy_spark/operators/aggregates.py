@@ -13,7 +13,7 @@ value hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load, load_spread
@@ -463,6 +463,118 @@ def agg_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.50).alias("p50_price"),
         pick(0.95).alias("p95_price"),
         F.max("n").alias("n_rows"),
+    )
+
+
+# --- exact continuous (interpolated) quantiles ----------------------
+
+# Type-7 (numpy/R default) interpolation, but NOT via each engine's
+# quantile_cont/percentile builtin (their internal formulas differ —
+# the very divergence agg_quantile_disc's docstring warns about).
+# Instead BOTH engines run the same explicit algebra: rank-pick the
+# two bracketing sorted values lo = v[floor(h)], hi = v[floor(h)+1]
+# with h = (n-1)·p + 1, then lo + (h − floor(h))·(hi − lo). Every
+# term is either a data value or an IEEE-double op on identical
+# inputs, so the interpolated result is bit-identical by
+# construction; a 1e-6 round guards the transport.
+def _quantile_cont_sql(p: float) -> tuple[str, str, str]:
+    h = f"(CAST(n - 1 AS DOUBLE) * {p} + 1.0)"
+    lo_rank = f"CAST(floor({h}) AS BIGINT)"
+    lo = (
+        f"MAX(CASE WHEN rn = {lo_rank} THEN l_extendedprice END)"
+    )
+    hi = (
+        f"MAX(CASE WHEN rn = {lo_rank} + 1 THEN l_extendedprice END)"
+    )
+    frac = f"MAX({h} - floor({h}))"
+    return lo, hi, frac
+
+
+_QC_TERMS = {
+    f"p{int(p * 100)}": _quantile_cont_sql(p) for p in (0.5, 0.95)
+}
+
+_ORACLE_AGG_QUANTILE_CONT = f"""
+WITH ranked AS (
+    SELECT l_returnflag, l_extendedprice,
+           row_number() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice) AS rn,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+),
+picks AS (
+    SELECT l_returnflag,
+{",".join(
+    f"           {lo} AS lo_{k}, {hi} AS hi_{k}, {frac} AS f_{k}"
+    for k, (lo, hi, frac) in _QC_TERMS.items()
+)},
+           CAST(MAX(n) AS BIGINT) AS n_rows
+    FROM ranked
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+{",".join(
+    f"       (floor((lo_{k} + f_{k} * (COALESCE(hi_{k}, lo_{k}) - lo_{k}))"
+    f" * 1000000.0 + 0.5) / 1000000.0) AS {k}_price"
+    for k in _QC_TERMS
+)},
+       n_rows
+FROM picks
+"""
+
+
+@register(
+    "agg_quantile_cont", _ORACLE_AGG_QUANTILE_CONT, tags=("agg", "quantile")
+)
+def agg_quantile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous per-group quantiles (p50/p95), type-7
+    interpolation — the companion to ``agg_quantile_disc``. The
+    engine builtins (``percentile`` / ``quantile_cont``) are NOT
+    used: their interpolation algebra differs between engines, so
+    both sides rank-pick the two bracketing sorted values and
+    interpolate with the same explicit IEEE-double formula
+    (``lo + frac·(hi − lo)``, ``h = (n−1)·p + 1``).
+
+    Scale: identical cost to the discrete key — ONE shuffle on the
+    group key plus a per-group sort; at 100 TB swap in
+    ``approx_percentile`` (t-digest sketch, no sort) where
+    interpolated exactness isn't contractual.
+
+    Hash parity: bracketing values are data; ``frac`` and the
+    interpolation are the same double ops on identical inputs;
+    rounded to 1e-6 on both sides.
+    """
+    from pyspark.sql.window import Window
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .filter(F.col("l_extendedprice").isNotNull())
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+
+    def _interp(p: float) -> Column:
+        h = (F.col("n") - 1).cast("double") * F.lit(p) + F.lit(1.0)
+        lo_rank = F.floor(h).cast("long")
+        lo = F.max(
+            F.when(F.col("rn") == lo_rank, F.col("l_extendedprice"))
+        )
+        hi = F.max(
+            F.when(F.col("rn") == lo_rank + 1, F.col("l_extendedprice"))
+        )
+        frac = F.max(h - F.floor(h))
+        val = lo + frac * (F.coalesce(hi, lo) - lo)
+        return F.floor(val * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return ranked.groupBy("l_returnflag").agg(
+        _interp(0.50).alias("p50_price"),
+        _interp(0.95).alias("p95_price"),
+        F.max("n").cast("bigint").alias("n_rows"),
     )
 
 

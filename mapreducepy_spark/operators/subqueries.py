@@ -1190,3 +1190,255 @@ def agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_revenue_pct"),
         (den.cast("double") / 100.0).alias("total_revenue"),
     )
+
+
+# --- Q12 variant: shipping-speed priority census --------------------
+
+# The fixture's lineitem has no l_shipmode / l_commitdate /
+# l_receiptdate, so the Q12 "late by mode" form is unbuildable as
+# written (README's TPC-H table documents the gap). This key keeps
+# the query's SIGNATURE — group by a shipping attribute, CASE-count
+# high-priority vs low-priority order lines inside each group — with
+# the mode replaced by a ship-speed class derived from how long after
+# the order date the line shipped. Interval comparisons (not
+# datediff) so the same SQL text parses on both engines.
+_ORACLE_JOIN_LATE_SHIPMENTS = """
+SELECT CASE WHEN l.l_shipdate < o.o_orderdate THEN 'BACKDATED'
+            WHEN l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+                 THEN 'FAST'
+            WHEN l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+                 THEN 'REGULAR'
+            ELSE 'SLOW' END AS ship_speed,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY ship_speed
+"""
+
+
+@register(
+    "join_late_shipments", _ORACLE_JOIN_LATE_SHIPMENTS,
+    tags=("join", "tpch"),
+)
+def join_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q12 shape (documented variant) — shipping priority
+    census: for one ship-year, how many HIGH-priority vs low-priority
+    order lines fall in each shipping-speed class. Q12's signature is
+    the dual CASE-count over a fact-fact join grouped by a shipping
+    attribute; the fixture lacks ``l_shipmode``, so the class derives
+    from ship lag (interval thresholds against the order date — no
+    engine-specific datediff).
+
+    Scale: the ship-year predicate is pushed to the lineitem scan;
+    lineitem⋈orders co-partitions on the order key under AQE; the
+    dual counts fold map-side into 4 groups.
+
+    Hash parity: integer counts only — nothing to round.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").alias("o_orderdate_"),
+    )
+    speed = (
+        F.when(F.col("l_shipdate") < F.col("o_orderdate_"), "BACKDATED")
+        .when(
+            F.col("l_shipdate")
+            < F.col("o_orderdate_") + F.expr("INTERVAL 30 DAY"),
+            "FAST",
+        )
+        .when(
+            F.col("l_shipdate")
+            < F.col("o_orderdate_") + F.expr("INTERVAL 90 DAY"),
+            "REGULAR",
+        )
+        .otherwise("SLOW")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(speed.alias("ship_speed"), is_high.alias("is_high"))
+        .groupBy("ship_speed")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+# --- Q9 variant: product-line profit by nation and year -------------
+
+# No partsupp table in the fixture, so ps_supplycost does not exist
+# (README's TPC-H table documents the gap). The variant keeps Q9's
+# signature — profit = revenue minus quantity-scaled part cost,
+# aggregated by the SUPPLIER's nation and the order year, for a
+# p_name-matched part family — with the unit cost replaced by a
+# deterministic proxy: half the part's retail price. The 0.5 factor
+# is exact in binary, and retail_cents * quantity is an integer-valued
+# double far below 2^53, so floor() lands identically on both engines.
+_ORACLE_AGG_NATION_PROFIT = """
+WITH profit AS (
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0
+                      + 0.5) AS BIGINT)
+           - CAST(floor(CAST(floor(p.p_retailprice * 100.0 + 0.5)
+                             AS BIGINT) * l.l_quantity * 0.5)
+                  AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%red%'
+)
+SELECT nation, o_year,
+       CAST(SUM(profit_cents) AS DOUBLE) / 100.0 AS sum_profit
+FROM profit
+GROUP BY nation, o_year
+"""
+
+
+@register(
+    "agg_nation_profit", _ORACLE_AGG_NATION_PROFIT, tags=("agg", "tpch")
+)
+def agg_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q9 shape (documented variant) — product-line profit:
+    for every (supplier nation, order year), revenue minus cost over
+    a part family selected by name pattern. The fixture has no
+    partsupp/``ps_supplycost``, so unit cost is a deterministic proxy
+    (half the retail price, exact in cents); the plan is the real
+    Q9 plan — the part-family filter cuts the fact first, two
+    dimension hops decorate the supplier's nation, and the order
+    join supplies the year.
+
+    Scale: part (name-filtered) broadcasts into the lineitem scan —
+    the most selective cut runs first; supplier and nation broadcast;
+    lineitem⋈orders is the one fact-fact shuffle (AQE-planned);
+    final rollup is |nations|·|years| rows.
+
+    Hash parity: profit is an exact BIGINT cent difference per line
+    (retail_cents·qty·0.5 is an exactly-representable double, floored
+    identically); one double division at the end.
+    """
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    rev_cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    cost_cents = F.floor(
+        _cents(F.col("p_retailprice")) * F.col("l_quantity") * F.lit(0.5)
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (rev_cents - cost_cents).alias("profit_cents"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            (F.sum("profit_cents").cast("double") / 100.0).alias("sum_profit")
+        )
+    )
+
+
+# --- Q16 variant: supplier diversity per part bucket -----------------
+
+# No partsupp table, so supplier-part availability derives from the
+# pairs that actually traded (DISTINCT l_partkey, l_suppkey — the
+# fixture's observable supply relation), and the "customer
+# complaints" supplier exclusion becomes the deterministic
+# balance-under-review rule (s_acctbal < 0). The plan signature IS
+# Q16: a distinct pair relation, an excluded-supplier anti-join, a
+# part-attribute filter, COUNT(DISTINCT supplier) per attribute
+# bucket.
+_ORACLE_JOIN_SUPPLIER_PART_COUNT = """
+WITH ps AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+       CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part p ON ps.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 14, 23, 45)
+  AND ps.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register(
+    "join_supplier_part_count", _ORACLE_JOIN_SUPPLIER_PART_COUNT,
+    tags=("join", "tpch"),
+)
+def join_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q16 shape (documented variant) — supplier diversity:
+    how many distinct eligible suppliers can provide each
+    (brand, type, size) part bucket. The fixture has no partsupp, so
+    the supply relation is the distinct (partkey, suppkey) pairs
+    observed in lineitem, and the complaint exclusion is the
+    deterministic negative-balance rule.
+
+    Scale: the distinct-pair reduction is the one fact-sized shuffle
+    (map-side partial distinct collapses each partition to the pair
+    space first); the excluded-supplier set and the filtered part
+    dimension both broadcast (anti-join + inner join); the final
+    COUNT(DISTINCT) groups a pair-sized relation by part attributes.
+
+    Hash parity: integer counts only.
+    """
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 14, 23, 45)
+    ).select(
+        "p_partkey", "p_brand", "p_type", F.col("p_size").cast("int")
+    )
+    return (
+        pairs.join(
+            F.broadcast(bad),
+            pairs.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+    )

@@ -1029,3 +1029,44 @@ def test_pii_census_is_narrow_map_plus_one_aggregate(spark, sf_dir):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_late_shipments_filter_pushed_equi_join_only(spark, sf_dir):
+    """Q12 variant: the ship-year predicate must reach the lineitem
+    scan, and the fact-fact join must be an equi hash join (broadcast
+    at small SF, shuffled-hash/SMJ under AQE at scale) — never a
+    nested loop over the interval CASE."""
+    plan = plan_of(spark, "join_late_shipments", sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nation_profit_part_filter_cuts_fact_first(spark, sf_dir):
+    """Q9 variant: the p_name pattern must be pushed into the part
+    scan and the filtered part dim must broadcast into lineitem —
+    the most selective cut runs first."""
+    plan = plan_of(spark, "agg_nation_profit", sf_dir)
+    assert "StringContains(p_name,red)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_supplier_part_count_distinct_is_partial_then_final(spark, sf_dir):
+    """Q16 variant: the pair-distinct must run map-side partial before
+    its exchange; exclusion is a broadcast anti-join; the part-bucket
+    filter reaches the part scan (size IN-list pushed)."""
+    plan = plan_of(spark, "join_supplier_part_count", sf_dir)
+    assert "In(p_size, [1,14,23,45])" in plan or "In(p_size" in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # distinct + final count-distinct: at least two partial HashAggregates
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_quantile_cont_one_exchange_serves_windows_and_agg(spark, sf_dir):
+    """Continuous quantiles: the group-key exchange must be shared by
+    both window functions AND the final aggregation (they partition
+    on the same key) — one shuffle total, like the discrete twin."""
+    plan = plan_of(spark, "agg_quantile_cont", sf_dir, mode="simple")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan
