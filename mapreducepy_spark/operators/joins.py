@@ -652,3 +652,116 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "lineitem"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_ORACLE_JOIN_LATERAL)
+
+
+# --- interval × interval overlap join -------------------------------
+
+_IVL_BIN_US = 3_600_000_000  # 1-hour bins, in microseconds
+_IVL_US_PER_MIN = 60_000_000.0
+
+
+def _intervals(spark: SparkSession, sf_dir: str, etype: str, pre: str):
+    """Events of one type as [start, end) µs intervals — the payload
+    ``value`` is the duration in minutes (2-decimal double, so
+    value·6e7 is an integer-valued double below 2^53: the floor is
+    exact and both engines agree bit-for-bit)."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == etype)
+    s = F.unix_micros("ts")
+    return e.select(
+        "user_id",
+        s.alias(f"{pre}_s"),
+        (
+            s + F.floor(F.col("value") * F.lit(_IVL_US_PER_MIN)).cast("bigint")
+        ).alias(f"{pre}_e"),
+    )
+
+
+_ORACLE_JOIN_INTERVAL_OVERLAP = """
+WITH a AS (
+    SELECT user_id, epoch_us(ts) AS a_s,
+           epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS a_e
+    FROM events WHERE event_type = 'view'
+),
+b AS (
+    SELECT user_id, epoch_us(ts) AS b_s,
+           epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS b_e
+    FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+    SELECT a.user_id,
+           least(a.a_e, b.b_e) - greatest(a.a_s, b.b_s) AS ov_us
+    FROM a JOIN b
+      ON a.user_id = b.user_id
+     AND a.a_s < b.b_e AND b.b_s < a.a_e
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       (floor(CAST(SUM(ov_us) AS DOUBLE) / 1000000.0 * 100.0 + 0.5)
+        / 100.0) AS overlap_sec,
+       (floor(CAST(MAX(ov_us) AS DOUBLE) / 1000000.0 * 100.0 + 0.5)
+        / 100.0) AS max_overlap_sec
+FROM pairs
+GROUP BY user_id
+"""
+
+
+@register(
+    "join_interval_overlap", _ORACLE_JOIN_INTERVAL_OVERLAP,
+    tags=("join", "range"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join — the missing sibling of
+    ``join_range_binned`` (point-vs-range): per user, every
+    (view-interval, purchase-interval) pair that overlaps in time,
+    rolled up to overlap count and total/max overlap seconds. Spark
+    has no native interval join, so both sides are exploded to the
+    1-hour bins they cover and joined on (user, bin) equality.
+
+    The pair-dedup a naive binning needs is eliminated by the
+    overlap-START-bin rule: an overlapping pair is emitted only from
+    the bin containing ``greatest(a_s, b_s)`` — both intervals cover
+    that instant, so both sides produce that bin, and exactly one bin
+    satisfies the rule. No distinct pass, no wide pair shuffle.
+
+    Scale: cost is O(rows · bins-per-interval) explode plus a hash
+    join keyed (user, bin) — each task sees one bin's occupancy, never
+    the n² pair space. Hot (user, bin) cells take the standard salt
+    treatment; widen/narrow the bin to trade replica count against
+    per-bin pair work (the join_range_binned tuning rule).
+
+    Hash parity: starts/ends are exact integer µs (``unix_micros`` /
+    ``epoch_us``, duration floor exact by construction); overlap sums
+    are BIGINT µs, rounded to 2 decimals only after the division.
+    """
+    a = _intervals(spark, sf_dir, "view", "a")
+    b = _intervals(spark, sf_dir, "purchase", "b")
+
+    def _binned(df: DataFrame, pre: str) -> DataFrame:
+        lo = F.floor(F.col(f"{pre}_s") / F.lit(_IVL_BIN_US))
+        hi = F.floor(F.col(f"{pre}_e") / F.lit(_IVL_BIN_US))
+        return df.withColumn("bin", F.explode(F.sequence(lo, hi)))
+
+    ab = _binned(a, "a")
+    bb = _binned(b, "b").withColumnRenamed("user_id", "b_user")
+    ov_us = F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+    start_bin = F.floor(F.greatest("a_s", "b_s") / F.lit(_IVL_BIN_US))
+    pairs = (
+        ab.join(
+            bb,
+            (ab.user_id == bb.b_user) & (ab.bin == bb.bin),
+        )
+        .filter(
+            (F.col("a_s") < F.col("b_e"))
+            & (F.col("b_s") < F.col("a_e"))
+            & (ab.bin == start_bin)
+        )
+        .select("user_id", ov_us.alias("ov_us"))
+    )
+    sec2 = lambda c: (  # noqa: E731 — µs → 2-decimal seconds
+        F.floor(c.cast("double") / 1e6 * 100.0 + F.lit(0.5)) / 100.0
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        sec2(F.sum("ov_us")).alias("overlap_sec"),
+        sec2(F.max("ov_us")).alias("max_overlap_sec"),
+    )

@@ -1070,3 +1070,16 @@ def test_quantile_cont_one_exchange_serves_windows_and_agg(spark, sf_dir):
     plan = plan_of(spark, "agg_quantile_cont", sf_dir, mode="simple")
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "BatchEvalPython" not in plan
+
+
+def test_interval_overlap_is_binned_equi_join_no_dedup(spark, sf_dir):
+    """Interval×interval overlap must run as a (user, bin) hash join
+    — never a nested loop over the pair space — and the
+    overlap-start-bin rule must remove the pair-dedup aggregate (no
+    distinct between the join and the final user rollup)."""
+    plan = plan_of(spark, "join_interval_overlap", sf_dir, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one join + the final rollup's two-phase agg; a dedup pass would
+    # add a third keyed exchange
+    assert plan.count("Exchange hashpartitioning") <= 3
