@@ -74,7 +74,7 @@ PORTABLE = (
     "merge_upsert", "scd2_intervals", "unpivot_long", "graph_degree_stats", "graph_reachability", "win_first_last", "join_null_safe", "events_peak_concurrency", "sample_group_reservoir", "join_min_cost_supplier", "fn_url", "join_asof_forward",
     "join_shipping_priority", "join_local_supplier", "join_market_share", "join_returned_items", "agg_forecast_revenue", "agg_promo_share",
     "join_late_shipments", "agg_nation_profit",
-    "join_supplier_part_count", "agg_quantile_cont",
+    "join_supplier_part_count", "agg_quantile_cont", "orc_census",
 )
 
 

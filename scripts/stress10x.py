@@ -149,6 +149,17 @@ OPS = (
     "join_returned_items",
     "agg_forecast_revenue",
     "agg_promo_share",
+    # TPC-H completion variants (Q12/Q9/Q16) + the interval-overlap
+    # join (bin occupancy, never pair space), the continuous
+    # quantile (one shuffle + per-group sort, same envelope as the
+    # discrete twin), and the ORC cross-writer census (scan-linear,
+    # constant-row shuffle)
+    "join_late_shipments",
+    "agg_nation_profit",
+    "join_supplier_part_count",
+    "agg_quantile_cont",
+    "join_interval_overlap",
+    "orc_census",
 )
 
 
