@@ -521,3 +521,130 @@ def embed_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim bigint, v_scaled bigint, lam_scaled bigint"
     )
+
+
+# --- matryoshka (MRL) truncation quality card ------------------------
+
+# Truncating an embedding to its first k dims (the MRL deployment
+# trick: one stored vector serves several cost tiers) keeps the
+# fraction ||v[:k]||²/||v||² of its energy, and because the truncated
+# vector is a coordinate prefix of the full one, cos(v, v[:k]) =
+# ||v[:k]||/||v|| — the energy ratio IS the retrieval-quality gauge.
+# Exactness: per-element energy is floored to integer micro-units
+# FIRST (floor(v_i²·1e6 + 0.5), BIGINT), so prefix sums are exact
+# integers on both engines and no float accumulation order can
+# diverge; ratios are rounded to 1e-6 only after one double division.
+_MRL_KS = (8, 16, 32)
+_MRL_THRESH_U = 900_000  # "keeps ≥ 0.9 of its energy"
+
+_ORACLE_EMBED_MRL = f"""
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                               * 1000000.0 + 0.5) AS BIGINT)) AS eng
+    FROM embeddings
+    WHERE len(embedding) = {_DIM}
+),
+tot AS (
+    SELECT vec_id, eng, CAST(list_sum(eng) AS BIGINT) AS total_u
+    FROM e
+    WHERE list_sum(eng) > 0
+),
+per_k AS (
+    SELECT t.vec_id, k.k,
+           CAST(floor(CAST(list_sum(list_slice(t.eng, 1, k.k))
+                           AS DOUBLE)
+                      / CAST(t.total_u AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS keep_u
+    FROM tot t
+    CROSS JOIN (SELECT UNNEST([{", ".join(str(k) for k in _MRL_KS)}])
+                AS k) k
+)
+SELECT CAST(k AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       (floor(CAST(SUM(keep_u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              + 0.5) / 1000000.0) AS avg_keep,
+       (CAST(MIN(keep_u) AS DOUBLE) / 1000000.0) AS min_keep,
+       CAST(SUM(CASE WHEN keep_u < {_MRL_THRESH_U} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_below_90
+FROM per_k
+GROUP BY k
+"""
+
+
+@register(
+    "embed_mrl_error", _ORACLE_EMBED_MRL, tags=("llm", "embedding")
+)
+def embed_mrl_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality card: for each candidate prefix
+    length k, the energy fraction a truncation to k dims keeps —
+    equal to cos²(v, v[:k]), so it is directly the retrieval-quality
+    number an MRL deployment trades against k× storage/FLOP savings.
+    Reports corpus average, worst vector, and how many vectors fall
+    under the 0.9 keep threshold per k.
+
+    Scale: a pure narrow projection — per-element integer-µ-unit
+    energies (one ``transform``), prefix sums via ``slice`` +
+    ``aggregate`` folds, one |Ks|-way explode, then a |Ks|-row
+    aggregate with map-side combine. No shuffle wider than 3 rows
+    per partition, no UDF, no pair space.
+
+    Hash parity: energies are floored to integer micro-units before
+    any summation (exact BIGINT prefix sums both engines); each
+    vector's keep ratio takes ONE double division rounded to 1e-6;
+    the corpus average is a BIGINT sum divided once.
+    """
+    sum_long = lambda arr: F.aggregate(  # noqa: E731 — exact int fold
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    v = load_spread(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == _DIM
+    )
+    eng = F.transform(
+        "embedding",
+        lambda x: F.floor(x * x * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    tot = v.select(
+        eng.alias("eng")
+    ).withColumn("total_u", sum_long(F.col("eng"))).filter(
+        F.col("total_u") > 0
+    )
+    per_k = tot.select(
+        F.explode(
+            F.array(*[F.lit(k) for k in _MRL_KS])
+        ).alias("k"),
+        "eng",
+        "total_u",
+    ).select(
+        F.col("k").cast("int").alias("k"),
+        F.floor(
+            sum_long(F.slice("eng", 1, F.col("k"))).cast("double")
+            / F.col("total_u").cast("double")
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("keep_u"),
+    )
+    return per_k.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (
+            F.floor(
+                F.sum("keep_u").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                + F.lit(0.5)
+            )
+            / F.lit(1_000_000.0)
+        ).alias("avg_keep"),
+        (F.min("keep_u").cast("double") / F.lit(1_000_000.0)).alias(
+            "min_keep"
+        ),
+        F.sum(
+            F.when(F.col("keep_u") < _MRL_THRESH_U, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_below_90"),
+    )

@@ -160,6 +160,9 @@ OPS = (
     "agg_quantile_cont",
     "join_interval_overlap",
     "orc_census",
+    # MRL truncation card: narrow per-row folds + |Ks|-row aggregate
+    # — must stay scan-linear with a constant-size shuffle
+    "embed_mrl_error",
 )
 
 

@@ -1083,3 +1083,13 @@ def test_interval_overlap_is_binned_equi_join_no_dedup(spark, sf_dir):
     # one join + the final rollup's two-phase agg; a dedup pass would
     # add a third keyed exchange
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_mrl_card_is_narrow_scan_one_small_aggregate(spark, sf_dir):
+    """The matryoshka truncation card is per-row integer folds plus a
+    |Ks|-row rollup: no join, no Python worker, exactly one keyed
+    exchange (carrying 3 rows per partition)."""
+    plan = plan_of(spark, "embed_mrl_error", sf_dir, mode="simple")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
