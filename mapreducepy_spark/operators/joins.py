@@ -765,3 +765,125 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         sec2(F.sum("ov_us")).alias("overlap_sec"),
         sec2(F.max("ov_us")).alias("max_overlap_sec"),
     )
+
+
+# --- nearest as-of: completes the backward/forward pair -------------
+
+# Same per-occurrence rid discipline as _ORACLE_JOIN_ASOF. Nearest =
+# minimal |order_date − event_ts| in exact integer µs; ties between
+# a backward and a forward order at the same distance prefer the
+# BACKWARD one (matching the builder's `back_diff <= fwd_diff` pick);
+# ties within the backward side take the largest orderkey (the
+# max-struct carry), within the forward side the smallest (min-struct).
+_ORACLE_JOIN_ASOF_NEAREST = """
+WITH e AS (
+    SELECT event_id, user_id, ts,
+           row_number() OVER (ORDER BY event_id, user_id, ts) AS rid
+    FROM events
+)
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate, diff_us
+FROM (
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+           CAST(abs(epoch_us(e.ts) - epoch_us(o.o_orderdate))
+                AS BIGINT) AS diff_us,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.rid
+               ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate))
+                            ASC NULLS LAST,
+                        CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1
+                             END ASC NULLS LAST,
+                        CASE WHEN o.o_orderdate <= e.ts
+                             THEN -o.o_orderkey ELSE o.o_orderkey
+                             END ASC NULLS LAST
+           ) AS rn
+    FROM e
+    LEFT JOIN orders o ON e.user_id = o.o_custkey
+) t
+WHERE rn = 1
+"""
+
+
+@register(
+    "join_asof_nearest", _ORACLE_JOIN_ASOF_NEAREST, tags=("join", "asof")
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6, nearest direction — for each event, the order of the same
+    user closest in time on EITHER side (the sensor-fusion flavor of
+    as-of). Completes the as-of triple: backward (``join_asof``),
+    forward (``join_asof_forward``), nearest.
+
+    Both directional carries ride ONE union timeline: the backward
+    running ``max(struct)`` over (unbounded-preceding, current) and
+    the forward running ``min(struct)`` over (current,
+    unbounded-following) share the same partitioning AND sort, so
+    Spark plans one exchange + one sort feeding two Window nodes —
+    still no join, still O(1) state per row. The closer candidate
+    wins in exact integer µs; equal distances prefer the backward
+    order (so an order at exactly the event time — visible to both
+    carries — resolves consistently).
+
+    Edge pinned by the sort order: orders sort BEFORE events at equal
+    t (``is_event`` asc), so an exact-tie order is inside the
+    backward frame but NOT the forward one — harmless, because any
+    forward candidate it could have been is a 0-distance tie the
+    backward pick wins anyway.
+    """
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    ev = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<o_orderdate:timestamp,o_orderkey:bigint>")
+        .alias("ord"),
+    )
+    od = o.filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.struct("o_orderdate", "o_orderkey").alias("ord"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_event").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_event").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    tl = (
+        ev.unionByName(od)
+        .withColumn("back", F.max("ord").over(wb))
+        .withColumn("fwd", F.min("ord").over(wf))
+        .filter(F.col("is_event") == 1)
+    )
+    back_diff = F.unix_micros("ts") - F.unix_micros("back.o_orderdate")
+    fwd_diff = F.unix_micros("fwd.o_orderdate") - F.unix_micros("ts")
+    chosen = (
+        F.when(F.col("back").isNull(), F.col("fwd"))
+        .when(F.col("fwd").isNull(), F.col("back"))
+        .when(back_diff <= fwd_diff, F.col("back"))
+        .otherwise(F.col("fwd"))
+    )
+    return tl.select(
+        "event_id",
+        "user_id",
+        "ts",
+        chosen.getField("o_orderkey").alias("o_orderkey"),
+        chosen.getField("o_orderdate").alias("o_orderdate"),
+        F.abs(
+            F.unix_micros("ts")
+            - F.unix_micros(chosen.getField("o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("diff_us"),
+    )

@@ -162,3 +162,104 @@ def scan_profile(
         ]
     )
     return wide.select(F.explode(unpivoted).alias("p")).select("p.*")
+
+
+# --- hive-partitioned layout: partition PRUNING (not just pushdown) --
+
+def ensure_partitioned_fixture(sf_dir: str) -> str:
+    """Write the lang-partitioned (hive-layout) twin of
+    ``{sf_dir}/documents.parquet`` and return its directory. Minted
+    driver-side by pyarrow's dataset writer (a foreign writer, like
+    the ORC fixture, so Spark's partition discovery is exercised
+    against a layout it didn't produce). Deterministic content ⇒ an
+    existing directory is reused as-is; creation is atomic (unique
+    tmp dir + rename, loser of a concurrent race cleans up its tmp).
+    """
+    import hashlib
+    import os
+    import shutil
+    import threading
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from ..sources.jsonl import _fixture_root
+
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    out = os.path.join(
+        _fixture_root(),
+        hashlib.sha1(src.encode()).hexdigest()[:16],
+        "documents_by_lang",
+    )
+    if os.path.isdir(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tmp = (
+        f"{out}.tmp.{os.getpid()}.{threading.get_ident()}"
+        f".{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        pq.write_to_dataset(
+            pq.read_table(src),
+            root_path=tmp,
+            partition_cols=["lang"],
+            basename_template="part-{i}.parquet",
+        )
+        os.rename(tmp, out)
+    except OSError:
+        if not os.path.isdir(out):  # a real failure, not a lost race
+            raise
+    finally:
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_ORACLE_SCAN_PARTITION_PRUNE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM documents
+WHERE lang = 'en'
+GROUP BY source
+"""
+
+
+@register(
+    "scan_partition_prune", _ORACLE_SCAN_PARTITION_PRUNE,
+    tags=("scan", "partition"),
+)
+def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition PRUNING — the other scan-side lever next to
+    ``PushedFilters``: the corpus is laid out hive-partitioned by
+    ``lang`` (the standard 100 TB landing-zone layout: partition by
+    the coarse high-selectivity column, row-group stats handle the
+    rest), and a ``lang = 'en'`` census must plan as
+    ``PartitionFilters`` — directories for the other languages are
+    never LISTED, let alone read, which no row-group statistic can
+    do. The oracle derives the identical census from the flat
+    parquet original, so a hash-green row also certifies Spark's
+    partition discovery over a pyarrow-written hive layout
+    (cross-writer, like the ORC key).
+
+    Scale: at 100 TB the pruned scan is |one partition| instead of
+    |corpus| — the single biggest constant factor available to any
+    query with a partition-aligned predicate; the census itself is
+    one map-side-combining aggregate, |sources| rows.
+
+    Hash parity: integer counts/sums of stored byte-lengths only.
+    """
+    path = ensure_partitioned_fixture(sf_dir)
+    docs = spark.read.parquet(path)
+    return (
+        docs.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+    )

@@ -163,6 +163,11 @@ OPS = (
     # MRL truncation card: narrow per-row folds + |Ks|-row aggregate
     # — must stay scan-linear with a constant-size shuffle
     "embed_mrl_error",
+    # nearest as-of (union timeline: must stay join-free, one user
+    # exchange at 10×) and the partition-pruned census (pruned scan
+    # cost tracks ONE partition, census shuffle constant)
+    "join_asof_nearest",
+    "scan_partition_prune",
 )
 
 

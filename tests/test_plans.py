@@ -1093,3 +1093,25 @@ def test_mrl_card_is_narrow_scan_one_small_aggregate(spark, sf_dir):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_partition_prune_is_partition_filter_not_data_filter(spark, sf_dir):
+    """The lang predicate over the hive layout must become a
+    PartitionFilter (directories never listed), not a data-side
+    PushedFilter, and the partition column must not be read as data."""
+    plan = plan_of(spark, "scan_partition_prune", sf_dir)
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert "(lang" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    read_schema = read_schema_line(
+        CATALOG["scan_partition_prune"].builder(spark, sf_dir)
+    )
+    assert "lang" not in read_schema
+
+
+def test_asof_nearest_is_one_exchange_no_join(spark, sf_dir):
+    """The nearest as-of must plan like its backward/forward siblings:
+    union timeline, NO join node, one user-keyed exchange feeding the
+    dual-frame carries (Spark merges both frames into one Window)."""
+    plan = plan_of(spark, "join_asof_nearest", sf_dir, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
