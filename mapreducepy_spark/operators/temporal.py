@@ -1427,3 +1427,82 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").alias("peak_ts"),
         )
     )
+
+
+# --- calendar densification (gap fill) ------------------------------
+
+_ORACLE_EVENTS_GAP_FILL = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+span AS (
+    SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM daily
+    GROUP BY user_id
+),
+cal AS (
+    SELECT user_id,
+           CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS d
+    FROM span
+)
+SELECT cal.user_id,
+       CAST(cal.d AS VARCHAR) AS day,
+       COALESCE(daily.n, 0) AS n_events
+FROM cal
+LEFT JOIN daily
+  ON daily.user_id = cal.user_id AND daily.d = cal.d
+"""
+
+
+@register("events_gap_fill", _ORACLE_EVENTS_GAP_FILL, tags=("temporal",))
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification — one row per (user, day) across each
+    user's activity span, INCLUDING zero rows for silent days: the
+    gap-fill every time-series model and retention dashboard needs
+    before it can window anything (missing rows are invisible to a
+    frame; explicit zeros are not).
+
+    Scale: the oracle's span→generate_series→LEFT JOIN shape costs a
+    second shuffle and a join; the builder instead fills each gap
+    from its LEFT EDGE — ``lead(d)`` names the next active day, and
+    one ``posexplode(sequence(d, next−1))`` emits the active day
+    (pos 0, real count) plus its trailing silent days (count 0).
+    Every calendar row is produced exactly once, no join, and the
+    explicit user repartition makes ONE exchange serve the daily
+    aggregate AND the lead window (both key on user). Fan-out is
+    bounded by span length, the same envelope as the DAU/WAU
+    contribution trick.
+
+    Hash parity: day rendered as the ISO string both engines print
+    for DATE; counts are integers.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.repartition("user_id")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("d").asc())
+    return (
+        daily.withColumn("nxt", F.lead("d").over(w))
+        .select(
+            "user_id",
+            "n",
+            F.posexplode(
+                F.sequence(
+                    F.col("d"),
+                    F.coalesce(F.date_sub("nxt", 1), F.col("d")),
+                )
+            ).alias("pos", "day_d"),
+        )
+        .select(
+            "user_id",
+            F.col("day_d").cast("string").alias("day"),
+            F.when(F.col("pos") == 0, F.col("n"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("n_events"),
+        )
+    )

@@ -168,6 +168,9 @@ OPS = (
     # cost tracks ONE partition, census shuffle constant)
     "join_asof_nearest",
     "scan_partition_prune",
+    # calendar densification: left-edge explode, fan-out bounded by
+    # span days — must stay join-free with one user exchange at 10×
+    "events_gap_fill",
 )
 
 

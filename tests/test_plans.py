@@ -1115,3 +1115,14 @@ def test_asof_nearest_is_one_exchange_no_join(spark, sf_dir):
     plan = plan_of(spark, "join_asof_nearest", sf_dir, mode="simple")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_gap_fill_is_left_edge_explode_not_span_join(spark, sf_dir):
+    """Calendar densification must fill gaps from the left edge (lead
+    + posexplode) with ONE user-keyed exchange serving both the daily
+    aggregate and the window — never the span/generate_series/LEFT
+    JOIN shape the oracle uses."""
+    plan = plan_of(spark, "events_gap_fill", sf_dir, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Generate" in plan  # the sequence explode is the filler
