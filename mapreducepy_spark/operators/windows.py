@@ -279,3 +279,160 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# --- rolling median over a bounded frame -----------------------------
+
+# Neither engine's windowed median/percentile builtin shares an
+# interpolation formula with the other (the agg_quantile_cont
+# finding), so both sides materialize the ≤7-element frame as a
+# sorted list and run the SAME type-7 algebra on it: h = (n−1)·0.5+1,
+# lo = arr[⌊h⌋], hi = arr[⌊h⌋+1] (NULL out of bounds ⇒ lo), result =
+# lo + (h−⌊h⌋)·(hi−lo). With n ≤ 7 the fraction is exactly 0 or 0.5,
+# so the interpolation is bit-identical by construction.
+_MED_FRAME = 7  # current row + 6 preceding
+
+_ORACLE_WIN_ROLLING_MEDIAN = f"""
+WITH framed AS (
+    SELECT event_id, user_id,
+           list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN {_MED_FRAME - 1} PRECEDING AND CURRENT ROW
+           )) AS arr
+    FROM events
+),
+ranked AS (
+    SELECT event_id, user_id, arr,
+           CAST(len(arr) - 1 AS DOUBLE) * 0.5 + 1.0 AS h
+    FROM framed
+)
+SELECT event_id, user_id,
+       (floor((arr[CAST(floor(h) AS BIGINT)]
+               + (h - floor(h))
+                 * (COALESCE(arr[CAST(floor(h) AS BIGINT) + 1],
+                             arr[CAST(floor(h) AS BIGINT)])
+                    - arr[CAST(floor(h) AS BIGINT)]))
+              * 1000000.0 + 0.5) / 1000000.0) AS med7
+FROM ranked
+"""
+
+
+@register(
+    "win_rolling_median", _ORACLE_WIN_ROLLING_MEDIAN,
+    tags=("window", "quantile"),
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of the last 7 event values per user — the
+    robust-smoothing window every monitoring pipeline wants and no
+    engine pair computes compatibly out of the box (windowed
+    percentile builtins disagree on interpolation, the
+    ``agg_quantile_cont`` finding applied to frames). Both engines
+    sort the materialized ≤7-element frame and run the same explicit
+    type-7 algebra, so the result is bit-identical by construction.
+
+    Scale: ONE user-keyed shuffle; per-row state is the bounded
+    frame (7 values — collect over an UNBOUNDED frame would be the
+    anti-pattern; this is O(frame) per row at any corpus size). The
+    deterministic (ts, event_id) sort makes frame membership — and
+    therefore the answer — partitioning-independent.
+
+    Hash parity: sorted frame values are data; h and the
+    interpolation are identical IEEE ops (fraction exactly 0 or 0.5
+    for n ≤ 7); rounded to 1e-6.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-(_MED_FRAME - 1), Window.currentRow)
+    )
+    framed = e.select(
+        "event_id",
+        "user_id",
+        F.sort_array(F.collect_list("value").over(w)).alias("arr"),
+    )
+    h = (F.size("arr") - 1).cast("double") * F.lit(0.5) + F.lit(1.0)
+    lo_idx = F.floor(h).cast("long")  # 1-based
+    lo = F.get("arr", (lo_idx - 1).cast("int"))
+    hi = F.coalesce(F.get("arr", lo_idx.cast("int")), lo)
+    med = lo + (h - F.floor(h)) * (hi - lo)
+    return framed.select(
+        "event_id",
+        "user_id",
+        (
+            F.floor(med * F.lit(1_000_000.0) + F.lit(0.5))
+            / F.lit(1_000_000.0)
+        ).alias("med7"),
+    )
+
+
+# --- cumulative distinct via first-occurrence flags -------------------
+
+# COUNT(DISTINCT) over a running frame is unsupported in both engines
+# (the events_dau_rolling finding); the standard rewrite marks each
+# (user, event_type)'s FIRST occurrence with one row_number window,
+# then a running SUM of the 0/1 flag is the cumulative distinct count
+# — two windows, both partitioned under user_id, one exchange.
+_ORACLE_WIN_CUM_DISTINCT = """
+WITH flagged AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts ASC, event_id ASC
+                ) = 1 THEN 1 ELSE 0 END AS is_first
+    FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(is_first) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_types_seen
+FROM flagged
+"""
+
+
+@register(
+    "win_cum_distinct", _ORACLE_WIN_CUM_DISTINCT, tags=("window",)
+)
+def win_cum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct event types seen per user as of each event
+    — the "breadth of engagement over time" curve. A running
+    COUNT(DISTINCT) frame is unsupported in both engines, so the
+    first occurrence of each (user, type) is flagged with one
+    row_number window and a running sum of the flag does the
+    counting — O(1) window state instead of a per-row distinct set.
+
+    Scale: the explicit user repartition lets BOTH windows (the
+    (user, type) flagger — user-hash co-locates every subset key —
+    and the user running sum) ride ONE exchange; two in-partition
+    sorts, no join, no set-valued state.
+
+    Hash parity: integer flags and counts; ordering pinned by the
+    unique (ts, event_id) pair.
+    """
+    e = load(spark, sf_dir, "events").repartition("user_id")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(F.row_number().over(w_first) == 1, 1)
+            .otherwise(0)
+            .alias("is_first"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("is_first").over(w_run).cast("bigint").alias(
+                "n_types_seen"
+            ),
+        )
+    )

@@ -75,7 +75,7 @@ PORTABLE = (
     "join_shipping_priority", "join_local_supplier", "join_market_share", "join_returned_items", "agg_forecast_revenue", "agg_promo_share",
     "join_late_shipments", "agg_nation_profit",
     "join_supplier_part_count", "agg_quantile_cont", "orc_census",
-    "scan_partition_prune",
+    "scan_partition_prune", "win_cum_distinct",
 )
 
 

@@ -171,6 +171,10 @@ OPS = (
     # calendar densification: left-edge explode, fan-out bounded by
     # span days — must stay join-free with one user exchange at 10×
     "events_gap_fill",
+    # bounded-frame rolling median (O(frame) state per row) and the
+    # first-occurrence cumulative distinct (both single-exchange)
+    "win_rolling_median",
+    "win_cum_distinct",
 )
 
 

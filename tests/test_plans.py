@@ -1126,3 +1126,15 @@ def test_gap_fill_is_left_edge_explode_not_span_join(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "Generate" in plan  # the sequence explode is the filler
+
+
+@pytest.mark.parametrize("name", ["win_rolling_median", "win_cum_distinct"])
+def test_rolling_windows_one_exchange_no_join(spark, sf_dir, name):
+    """Rolling median (bounded-frame collect) and cumulative distinct
+    (first-occurrence flag + running sum) must each ride ONE
+    user-keyed exchange — the flagger window's (user, type) keys are
+    co-located by the user hash — with no join and no Python."""
+    plan = plan_of(spark, name, sf_dir, mode="simple")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
