@@ -199,6 +199,10 @@ def ensure_partitioned_fixture(sf_dir: str) -> str:
         f".{uuid.uuid4().hex[:8]}"
     )
     try:
+        # pre-create tmp: write_to_dataset creates no directory at all
+        # for a 0-row table (the empty-tables sweep), and the rename
+        # must still install an (empty) layout
+        os.makedirs(tmp, exist_ok=True)
         pq.write_to_dataset(
             pq.read_table(src),
             root_path=tmp,
@@ -252,7 +256,12 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash parity: integer counts/sums of stored byte-lengths only.
     """
     path = ensure_partitioned_fixture(sf_dir)
-    docs = spark.read.parquet(path)
+    # explicit schema: an all-empty layout (0-row source) has no
+    # files to infer from, and partition discovery still needs lang
+    docs = spark.read.schema(
+        "doc_id bigint, text string, source string, n_chars bigint, "
+        "lang string"
+    ).parquet(path)
     return (
         docs.filter(F.col("lang") == "en")
         .groupBy("source")

@@ -1435,7 +1435,9 @@ _ORACLE_EVENTS_GAP_FILL = """
 WITH daily AS (
     SELECT user_id, CAST(ts AS DATE) AS d,
            CAST(COUNT(*) AS BIGINT) AS n
-    FROM events GROUP BY user_id, CAST(ts AS DATE)
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY user_id, CAST(ts AS DATE)
 ),
 span AS (
     SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM daily
@@ -1478,7 +1480,13 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash parity: day rendered as the ISO string both engines print
     for DATE; counts are integers.
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(
+        # a NULL user is not a user and a NULL ts has no calendar day:
+        # GROUP BY would pool the NULLs while the oracle's equi-join
+        # re-derivation can never match them (the join_asof NULL-key
+        # convention, caught by the adversarial events sweep)
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     daily = (
         e.repartition("user_id")
         .groupBy("user_id", F.to_date("ts").alias("d"))

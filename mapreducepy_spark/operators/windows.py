@@ -295,10 +295,16 @@ _MED_FRAME = 7  # current row + 6 preceding
 _ORACLE_WIN_ROLLING_MEDIAN = f"""
 WITH framed AS (
     SELECT event_id, user_id,
-           list_sort(list(value) OVER (
-               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           -- median over OBSERVED values: frame membership is by ROW
+           -- (NULL-value rows occupy a slot) but NULLs are filtered
+           -- before sorting — DuckDB's list() keeps NULLs while
+           -- Spark's collect_list drops them (adversarial sweep);
+           -- NULLS FIRST pins the tie order where event_id is NULL
+           list_sort(list_filter(list(value) OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
                ROWS BETWEEN {_MED_FRAME - 1} PRECEDING AND CURRENT ROW
-           )) AS arr
+           ), x -> x IS NOT NULL)) AS arr
     FROM events
 ),
 ranked AS (
@@ -343,7 +349,10 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .orderBy(
+            F.col("ts").asc_nulls_first(),
+            F.col("event_id").asc_nulls_first(),
+        )
         .rowsBetween(-(_MED_FRAME - 1), Window.currentRow)
     )
     framed = e.select(
@@ -351,6 +360,8 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sort_array(F.collect_list("value").over(w)).alias("arr"),
     )
+    # empty frame (every value in the window NULL) ⇒ NULL median on
+    # both sides: lo indexes out of range ⇒ NULL propagates
     h = (F.size("arr") - 1).cast("double") * F.lit(0.5) + F.lit(1.0)
     lo_idx = F.floor(h).cast("long")  # 1-based
     lo = F.get("arr", (lo_idx - 1).cast("int"))
@@ -378,13 +389,14 @@ WITH flagged AS (
     SELECT event_id, user_id, ts,
            CASE WHEN ROW_NUMBER() OVER (
                     PARTITION BY user_id, event_type
-                    ORDER BY ts ASC, event_id ASC
+                    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
                 ) = 1 THEN 1 ELSE 0 END AS is_first
     FROM events
 )
 SELECT event_id, user_id,
        CAST(SUM(is_first) OVER (
-           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           PARTITION BY user_id
+           ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS BIGINT) AS n_types_seen
 FROM flagged
@@ -412,11 +424,14 @@ def win_cum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events").repartition("user_id")
     w_first = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
+        F.col("ts").asc_nulls_first(), F.col("event_id").asc_nulls_first()
     )
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .orderBy(
+            F.col("ts").asc_nulls_first(),
+            F.col("event_id").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
