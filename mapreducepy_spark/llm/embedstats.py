@@ -648,3 +648,141 @@ def embed_mrl_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_below_90"),
     )
+
+
+# --- product-quantization (PQ) assignment card ------------------------
+
+# The third leg of the embedding-compression triple (int8 =
+# embed_quantize_error, prefix truncation = embed_mrl_error, PQ =
+# this): split each vector into M subvectors, assign every subvector
+# to its nearest codeword in a per-subspace codebook, and report
+# codeword occupancy + reconstruction-error mass. Occupancy skew is
+# the card's point: a dead codeword wastes a code point, an
+# overloaded one means the subspace needs its own training pass.
+#
+# The codebook is deterministic BY CONSTRUCTION (no k-means RNG to
+# diverge on): codeword j of subspace s is the quantized subvector of
+# the corpus vector with vec_id = j. Every coordinate is integer
+# micro-units (floor(x·1e6 + 0.5), |x| < ~1 ⇒ |q| ≤ ~1e6, squared
+# diffs ≤ ~4e12, 8-dim sums exact in int64), so nearest-codeword
+# argmins are exact integer comparisons — no FP tie to disagree on;
+# exact distance ties break to the smallest codeword id on both
+# engines.
+_PQ_M = 8          # subspaces (64 dims / 8)
+_PQ_SUB = _DIM // _PQ_M
+_PQ_K = 16         # codewords per subspace (vec_id 0.._PQ_K-1 seed)
+
+_ORACLE_EMBED_PQ = f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                         AS BIGINT)) AS qv
+    FROM embeddings
+    WHERE len(embedding) = {_DIM}
+),
+subs AS (
+    SELECT vec_id, s.s,
+           list_slice(qv, s.s * {_PQ_SUB} + 1,
+                      s.s * {_PQ_SUB} + {_PQ_SUB}) AS v
+    FROM q
+    CROSS JOIN (SELECT UNNEST(range({_PQ_M})) AS s) s
+),
+cb AS (
+    SELECT vec_id AS cw, s, v AS c FROM subs WHERE vec_id < {_PQ_K}
+),
+dist AS (
+    SELECT subs.vec_id, subs.s, cb.cw,
+           CAST(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+               i -> (subs.v[i] - cb.c[i]) * (subs.v[i] - cb.c[i])))
+               AS BIGINT) AS err
+    FROM subs JOIN cb ON subs.s = cb.s
+),
+best AS (
+    SELECT vec_id, s, cw, err,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY err ASC, cw ASC) AS rn
+    FROM dist
+)
+SELECT CAST(s AS INT) AS s,
+       CAST(cw AS BIGINT) AS codeword,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       CAST(SUM(err) AS BIGINT) AS sum_err_u2
+FROM best
+WHERE rn = 1
+GROUP BY s, cw
+"""
+
+
+@register("embed_pq_codes", _ORACLE_EMBED_PQ, tags=("llm", "embedding"))
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization assignment card: per (subspace, codeword),
+    how many corpus subvectors map there and how much squared
+    reconstruction error they carry — the occupancy/distortion
+    readout a PQ-compressed vector store is tuned by. Codebook =
+    the quantized subvectors of the first K corpus vectors
+    (deterministic; a real deployment would k-means per subspace —
+    the PLAN is identical, only the codeword values change).
+
+    Scale: the codebook is M·K tiny integer rows — broadcast; each
+    vector explodes to its M subvectors (bounded fan-out), distances
+    are an Arrow-free integer fold per (subvector, codeword) pair
+    (M·K·len work per vector, the same FLOP count any PQ encoder
+    pays), the argmin is a groupBy min(struct) — map-side combining —
+    and the final rollup is ≤ M·K rows. No pair space, no Python.
+
+    Hash parity: every distance is an exact int64 sum of squared
+    integer-µ-unit diffs; argmin ties break to the smallest codeword
+    id via the (err, cw) struct min on both engines.
+    """
+    q = load_spread(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == _DIM
+    ).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+    subs = q.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(s) for s in range(_PQ_M)])).alias("s"),
+        "qv",
+    ).select(
+        "vec_id",
+        "s",
+        F.slice(
+            "qv", F.col("s") * _PQ_SUB + 1, _PQ_SUB
+        ).alias("v"),
+    )
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cw"),
+        F.col("s").alias("cb_s"),
+        F.col("v").alias("c"),
+    )
+    err = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dist = subs.join(F.broadcast(cb), subs.s == cb.cb_s).select(
+        "vec_id", "s", "cw", err.alias("err")
+    )
+    best = (
+        dist.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("err", "cw")).alias("b"))
+        .select(
+            "s",
+            F.col("b.cw").alias("codeword"),
+            F.col("b.err").alias("err"),
+        )
+    )
+    return best.groupBy(
+        F.col("s").cast("int").alias("s"),
+        F.col("codeword").cast("bigint").alias("codeword"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.sum("err").cast("bigint").alias("sum_err_u2"),
+    )

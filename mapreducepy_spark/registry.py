@@ -150,7 +150,7 @@ _KEY_ORDER = (
     "join_supplier_part_count", "agg_quantile_cont",
     "join_interval_overlap", "orc_census", "embed_mrl_error",
     "join_asof_nearest", "scan_partition_prune", "events_gap_fill",
-    "win_rolling_median", "win_cum_distinct",
+    "win_rolling_median", "win_cum_distinct", "embed_pq_codes",
     # ---- position 50 = agg_quantile_disc; join_asof (the last r4
     # key) leads the NEXT window. 8 new + 42 of the 43-key r4 block
     # fill this round's 50; join_asof keeps its r4 evidence one more

@@ -175,6 +175,9 @@ OPS = (
     # first-occurrence cumulative distinct (both single-exchange)
     "win_rolling_median",
     "win_cum_distinct",
+    # PQ assignment: broadcast codebook, M·K·len integer folds per
+    # vector — must stay scan-linear with the two small exchanges
+    "embed_pq_codes",
 )
 
 

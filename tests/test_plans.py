@@ -1138,3 +1138,14 @@ def test_rolling_windows_one_exchange_no_join(spark, sf_dir, name):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_pq_codebook_broadcasts_no_python(spark, sf_dir):
+    """PQ assignment: the M*K codebook must broadcast onto the
+    exploded subvectors; distances are integer folds (no Python
+    worker); the argmin + rollup are the only keyed exchanges."""
+    plan = plan_of(spark, "embed_pq_codes", sf_dir, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
