@@ -234,3 +234,74 @@ def clicks_after_views(events: DataFrame, horizon: str = "10 minutes") -> DataFr
         & (F.col("view_ts") < F.col("click_ts"))
         & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {horizon}")),
     ).select("c_user", "click_id", "click_ts", "view_id", "view_ts")
+
+
+def silent_user_alerts(events: DataFrame, threshold_min: int = 360,
+                       watermark: str = "1 hour") -> DataFrame:
+    """T5 — the EMIT-ON-ABSENCE stateful pattern (heartbeat / gap
+    monitor): raise one alert row when a user produces NO event for
+    ``threshold_min`` minutes of EVENT time. Every other stateful
+    operator in this module emits on arriving data; absence can only
+    be observed with an event-time TIMER — the state times out when
+    the watermark passes ``last_seen + threshold`` and the key
+    received nothing newer, which is exactly
+    ``applyInPandasWithState`` + ``EventTimeTimeout``.
+
+    Semantics (pinned by the replay test): an alert (user, last_seen)
+    asserts that at the moment the watermark crossed
+    ``last_seen + threshold`` the user had produced no event newer
+    than ``last_seen``. A user who returns later simply starts a new
+    state — silence followed by reappearance yields one alert, which
+    is what a monitoring consumer wants.
+
+    Scale: state is ONE bigint per live user and the timer erases it
+    at threshold — O(currently-active users), self-bounding; output
+    is alert-rate, not event-rate. This is the 100 TB/day shape for
+    SLA monitors, heartbeat loss, and session-abandonment triggers.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    thr_ms = int(threshold_min) * 60_000
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (last_us,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([key[0]], dtype="int64"),
+                    "last_seen": pd.Series(
+                        [last_us], dtype="datetime64[us]"
+                    ),
+                }
+            )
+            return
+        last_us = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if len(pdf):
+                mx = int(
+                    pdf["ts"].astype("datetime64[us]").astype("int64").max()
+                )
+                last_us = mx if last_us is None else max(last_us, mx)
+        if last_us is not None:
+            state.update((last_us,))
+            state.setTimeoutTimestamp(last_us // 1000 + thr_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "last_seen": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            "user_id bigint, last_seen timestamp",
+            "last_us bigint",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -466,3 +466,71 @@ def test_cdc_apply_across_batches_matches_merge_upsert(spark, sf_dir, tmp_path):
     want = merge_upsert(spark, sf_dir).toPandas()
     assert len(want) > 0
     assert canon_frame(got) == canon_frame(want)
+
+
+def test_silent_user_alerts_fire_on_event_time_timeout(spark, tmp_path):
+    """The EMIT-ON-ABSENCE pattern: alerts must come from event-time
+    TIMERS, not data. Synthetic three-batch replay with exactly known
+    watermark positions:
+
+    - user 1 stops at 01:00 -> deadline 07:00 < batch-1 watermark
+      (07:50): MUST alert with last_seen 01:00.
+    - user 2 stops at 00:30 (deadline 06:30, fires the same way),
+      then REAPPEARS at 23:00 in batch 2 -> exactly one alert (the
+      silence), no second alert for the fresh state whose deadline
+      is past every watermark the stream reaches.
+    - user 3 is active in every batch (it also drives the watermark)
+      and must never alert.
+    """
+    import pandas as pd
+
+    from mapreducepy_spark.streaming.windows import silent_user_alerts
+
+    d = tmp_path / "silent_users"
+    d.mkdir()
+
+    def write(fname, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            str(d / (fname + "_tmp"))
+        )
+        import shutil as _sh
+
+        for f in (d / (fname + "_tmp")).glob("*.parquet"):
+            _sh.move(str(f), d / f"{fname}.parquet")
+        _sh.rmtree(d / (fname + "_tmp"))
+
+    base = "2024-01-01 "
+    write("0", [
+        (0, base + "00:00:00", 1, "view", 1.0, None),
+        (1, base + "01:00:00", 1, "view", 1.0, None),
+        (2, base + "00:30:00", 2, "view", 1.0, None),
+        (3, base + "00:15:00", 3, "view", 1.0, None),
+        (4, base + "08:50:00", 3, "view", 1.0, None),
+    ])
+    write("1", [
+        (5, base + "09:10:00", 3, "view", 1.0, None),
+        (6, base + "15:50:00", 3, "view", 1.0, None),
+    ])
+    write("2", [
+        (7, base + "23:00:00", 2, "view", 1.0, None),
+        (8, base + "16:10:00", 3, "view", 1.0, None),
+        (9, base + "23:50:00", 3, "view", 1.0, None),
+    ])
+
+    stream = sw.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    got = sw.run_available_now(
+        silent_user_alerts(stream, threshold_min=360, watermark="1 hour"),
+        "t_silent_alerts",
+        spark,
+        output_mode="append",
+    ).toPandas()
+    got = got.sort_values("user_id").reset_index(drop=True)
+    assert got["user_id"].tolist() == [1, 2]
+    assert [str(t) for t in got["last_seen"]] == [
+        "2024-01-01 01:00:00",
+        "2024-01-01 00:30:00",
+    ]
