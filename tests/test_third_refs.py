@@ -207,3 +207,42 @@ def test_win_streak_matches_python_islands(spark, sf_dir):
             longest = max(longest, cur)
         assert got.loc[uid, "n_active_days"] == len(ds)
         assert got.loc[uid, "longest_streak"] == longest, uid
+
+
+def test_sim_knn_matches_numpy_bruteforce(spark, sf_dir):
+    """Exact top-3 cosine neighbors recomputed with one numpy GEMM.
+    Scores must agree to the 1e-6 round; neighbor identity must agree
+    except where two candidates tie on the ROUNDED score (then either
+    is a correct top-k member — the engines' own tie rule is
+    (cos DESC, id ASC) on the unrounded value, which numpy's float
+    order reproduces only to ulp)."""
+    got = CATALOG["sim_knn"].builder(spark, sf_dir).toPandas()
+    emb = _pq(sf_dir, "embeddings")
+    mats, ids = [], []
+    for _, row in emb.iterrows():
+        v = np.asarray(row["embedding"], dtype=np.float64)
+        if v.shape[0] == 64 and (v * v).sum() > 0:
+            mats.append(v / np.linalg.norm(v))
+            ids.append(row["vec_id"])
+    m = np.stack(mats)
+    ids_arr = np.asarray(ids)
+    sim = m @ m.T
+    np.fill_diagonal(sim, -np.inf)
+    got_g = got.groupby("query_id")
+    assert set(got["query_id"]) == set(ids)
+    for qi, qid in enumerate(ids_arr):
+        order = np.lexsort((ids_arr, -sim[qi]))[:3]
+        want = {
+            int(ids_arr[j]): _r(float(sim[qi, j]), 6) for j in order
+        }
+        rows = got_g.get_group(qid)
+        assert len(rows) == len(want)
+        for _, r in rows.iterrows():
+            nid, score = int(r["neighbor_id"]), float(r["cos_sim"])
+            if nid in want:
+                assert score == pytest.approx(want[nid], abs=2e-6)
+            else:
+                # rounded-score tie with a listed neighbor
+                assert any(
+                    abs(score - w) <= 2e-6 for w in want.values()
+                ), (qid, nid)
