@@ -780,6 +780,7 @@ WITH e AS (
     SELECT event_id, user_id, ts,
            row_number() OVER (ORDER BY event_id, user_id, ts) AS rid
     FROM events
+    WHERE ts IS NOT NULL
 )
 SELECT event_id, user_id, ts, o_orderkey, o_orderdate, diff_us
 FROM (
@@ -827,10 +828,16 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     backward frame but NOT the forward one — harmless, because any
     forward candidate it could have been is a 0-distance tie the
     backward pick wins anyway.
+
+    NULL-ts events are OUT of the nearest contract (both distances
+    are NULL — "nearest" is undefined; ADVICE r7 showed the engines'
+    NULL-t fallbacks diverge), matching the oracle's ``ts IS NOT
+    NULL`` guard. The backward/forward variants keep their own
+    documented NULL-ts behavior.
     """
     e = load(spark, sf_dir, "events")
     o = load(spark, sf_dir, "orders")
-    ev = e.select(
+    ev = e.filter(F.col("ts").isNotNull()).select(
         "user_id",
         F.col("ts").alias("t"),
         F.lit(1).alias("is_event"),

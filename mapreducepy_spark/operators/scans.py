@@ -186,9 +186,17 @@ def ensure_partitioned_fixture(sf_dir: str) -> str:
     from ..sources.jsonl import _fixture_root
 
     src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    # Cache key includes the source's (mtime_ns, size): regenerating
+    # documents.parquet in place must mint a FRESH layout, not serve
+    # the stale one (ADVICE r7 — the path-only key silently failed
+    # parity against a rewritten source; mtime+size is the same
+    # content fingerprint the ORC fixture's rewrite-always avoids
+    # needing, without paying its every-call rewrite).
+    st = os.stat(src)
+    key = f"{src}\x00{st.st_mtime_ns}\x00{st.st_size}"
     out = os.path.join(
         _fixture_root(),
-        hashlib.sha1(src.encode()).hexdigest()[:16],
+        hashlib.sha1(key.encode()).hexdigest()[:16],
         "documents_by_lang",
     )
     if os.path.isdir(out):

@@ -20,12 +20,17 @@ from ..io import load
 from ..registry import register
 from ..rounding import dround, dround_sql
 
+# NULL event-time is unbucketable: Spark's window() DROPS NULL-ts
+# rows while time_bucket(NULL) would group them under a NaT bucket,
+# so the contract (pinned by the adversarial NULL-ts sweep row) is
+# "no timestamp, no window" — the Structured Streaming semantic.
 _ORACLE_WIN_TUMBLING = """
 SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        (floor((SUM(value)) * 100.0 + 0.5) / 100.0) AS sum_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -58,10 +63,10 @@ def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_WIN_SLIDING = """
 WITH assigned AS (
     SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start, value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     UNION ALL
     SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS bucket_start, value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 )
 SELECT bucket_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -102,11 +107,11 @@ WITH flagged AS (
                   OR date_diff('microsecond', LAG(ts) OVER w, ts) > {_SESSION_GAP_US}
                 THEN 1 ELSE 0 END AS new_sess
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC NULLS FIRST)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
 ), sess AS (
     SELECT user_id, ts, value,
            SUM(new_sess) OVER (
-               PARTITION BY user_id ORDER BY ts ASC, event_id ASC NULLS FIRST
+               PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS session_seq
     FROM flagged
@@ -360,7 +365,7 @@ _ORACLE_EVENTS_PATHS = """
 WITH ordered AS (
     SELECT user_id, event_type,
            LEAD(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts ASC, event_id ASC NULLS FIRST
+               PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
            ) AS next_type
     FROM events
 )
@@ -722,11 +727,11 @@ WITH flagged AS (
                   OR date_diff('microsecond', LAG(ts) OVER w, ts) > {_SESSION_GAP_US}
                 THEN 1 ELSE 0 END AS new_sess
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC NULLS FIRST)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
 ), sess AS (
     SELECT user_id, ts,
            SUM(new_sess) OVER (
-               PARTITION BY user_id ORDER BY ts ASC, event_id ASC NULLS FIRST
+               PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS session_seq
     FROM flagged
@@ -811,7 +816,7 @@ WITH gaps AS (
     SELECT user_id,
            date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC NULLS FIRST)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
 )
 SELECT user_id,
        CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
@@ -971,11 +976,11 @@ WITH flagged AS (
                   OR date_diff('microsecond', LAG(ts) OVER w, ts) > {_SESSION_GAP_US}
                 THEN 1 ELSE 0 END AS new_sess
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC NULLS FIRST)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
 ), sess AS (
     SELECT user_id, event_type,
            SUM(new_sess) OVER (
-               PARTITION BY user_id ORDER BY ts ASC, event_id ASC NULLS FIRST
+               PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS session_seq
     FROM flagged

@@ -101,7 +101,7 @@ SELECT event_id, user_id, ts,
        date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
 FROM events
 WINDOW w AS (PARTITION BY user_id
-             ORDER BY ts ASC, event_id ASC NULLS FIRST)
+             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
 """
 
 
@@ -300,9 +300,15 @@ WITH framed AS (
            -- before sorting — DuckDB's list() keeps NULLs while
            -- Spark's collect_list drops them (adversarial sweep);
            -- NULLS FIRST pins the tie order where event_id is NULL
+           -- (ts, event_id) is NOT unique (the adversarial fixture
+           -- carries duplicate event_ids at one ts with different
+           -- values — ADVICE r7), and with a ROWS frame, membership
+           -- among order-ties is physical row order: value joins the
+           -- ORDER BY so the frame is pinned by data, not file layout
            list_sort(list_filter(list(value) OVER (
                PARTITION BY user_id
-               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST,
+                        value ASC NULLS FIRST
                ROWS BETWEEN {_MED_FRAME - 1} PRECEDING AND CURRENT ROW
            ), x -> x IS NOT NULL)) AS arr
     FROM events
@@ -339,8 +345,13 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE user-keyed shuffle; per-row state is the bounded
     frame (7 values — collect over an UNBOUNDED frame would be the
     anti-pattern; this is O(frame) per row at any corpus size). The
-    deterministic (ts, event_id) sort makes frame membership — and
-    therefore the answer — partitioning-independent.
+    sort key includes ``value`` because (ts, event_id) is NOT unique
+    (adversarial fixture: duplicate event_ids at one ts with
+    different values — ADVICE r7): a ROWS frame decides order-ties
+    by physical row order, so without the value pin frame membership
+    — and the answer — would depend on file layout / partitioning.
+    With the pin, frames of fully-identical rows are interchangeable
+    and the result is partitioning-independent.
 
     Hash parity: sorted frame values are data; h and the
     interpolation are identical IEEE ops (fraction exactly 0 or 0.5
@@ -352,6 +363,7 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(
             F.col("ts").asc_nulls_first(),
             F.col("event_id").asc_nulls_first(),
+            F.col("value").asc_nulls_first(),
         )
         .rowsBetween(-(_MED_FRAME - 1), Window.currentRow)
     )
@@ -384,19 +396,25 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (user, event_type)'s FIRST occurrence with one row_number window,
 # then a running SUM of the 0/1 flag is the cumulative distinct count
 # — two windows, both partitioned under user_id, one exchange.
+# value joins BOTH order keys: (ts, event_id) is not unique (the
+# adversarial dup-id pair), and with ROWS frames the flag placement
+# AND the running-sum frame would otherwise decide ties by physical
+# row order — the same hazard ADVICE r7 proved on win_rolling_median.
 _ORACLE_WIN_CUM_DISTINCT = """
 WITH flagged AS (
-    SELECT event_id, user_id, ts,
+    SELECT event_id, user_id, ts, event_type, value,
            CASE WHEN ROW_NUMBER() OVER (
                     PARTITION BY user_id, event_type
-                    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+                    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST,
+                             event_type ASC NULLS FIRST, value ASC NULLS FIRST
                 ) = 1 THEN 1 ELSE 0 END AS is_first
     FROM events
 )
 SELECT event_id, user_id,
        CAST(SUM(is_first) OVER (
            PARTITION BY user_id
-           ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+           ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST,
+                    event_type ASC NULLS FIRST, value ASC NULLS FIRST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS BIGINT) AS n_types_seen
 FROM flagged
@@ -423,14 +441,22 @@ def win_cum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique (ts, event_id) pair.
     """
     e = load(spark, sf_dir, "events").repartition("user_id")
+    # value joins both order keys — (ts, event_id) is not unique
+    # (adversarial dup-id pair) and ROWS-frame tie placement would
+    # otherwise follow physical row order (the ADVICE r7 hazard)
     w_first = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").asc_nulls_first(), F.col("event_id").asc_nulls_first()
+        F.col("ts").asc_nulls_first(),
+        F.col("event_id").asc_nulls_first(),
+        F.col("event_type").asc_nulls_first(),
+        F.col("value").asc_nulls_first(),
     )
     w_run = (
         Window.partitionBy("user_id")
         .orderBy(
             F.col("ts").asc_nulls_first(),
             F.col("event_id").asc_nulls_first(),
+            F.col("event_type").asc_nulls_first(),
+            F.col("value").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -439,6 +465,8 @@ def win_cum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "ts",
+            "event_type",
+            "value",
             F.when(F.row_number().over(w_first) == 1, 1)
             .otherwise(0)
             .alias("is_first"),

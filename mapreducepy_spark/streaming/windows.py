@@ -286,7 +286,17 @@ def silent_user_alerts(events: DataFrame, threshold_min: int = 360,
                 last_us = mx if last_us is None else max(last_us, mx)
         if last_us is not None:
             state.update((last_us,))
-            state.setTimeoutTimestamp(last_us // 1000 + thr_ms)
+            # Clamp to just past the current watermark: when
+            # threshold_min is smaller than the watermark delay (plus
+            # event lateness) the raw deadline can be <= the current
+            # watermark and Spark throws IllegalArgumentException at
+            # runtime (ADVICE r7). The clamp fires the alert at the
+            # earliest legal instant instead — semantics preserved
+            # ("no event for >= threshold of event time" still holds;
+            # the alert is just emitted as soon as it is provable).
+            deadline = last_us // 1000 + thr_ms
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(deadline, wm + 1))
         yield pd.DataFrame(
             {
                 "user_id": pd.Series([], dtype="int64"),

@@ -136,6 +136,13 @@ def adversarial_events_embeddings(tmp_path_factory):
             (None, "2024-03-04 11:00:00", 7, "view", 3.0, None),
             (100, "2024-03-04 11:00:00", 7, "click", 9.0, "{}"),
             (101, "2024-03-04 11:00:00", 7, "view", 5.0, "{}"),
+            # NULL ts (ADVICE r7: no fixture carried one, leaving
+            # every temporal operator's NULL-time semantics unpinned
+            # — join_asof_nearest diverged exactly there); user 8
+            # also has a non-NULL-ts row so per-user aggregates see
+            # a MIXED NULL/non-NULL timeline, not just an all-NULL user
+            (102, None, 8, "view", 2.0, None),
+            (103, "2024-03-05 12:00:00", 8, "click", 4.0, "{}"),
         ],
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )

@@ -59,3 +59,21 @@ def test_load_catalog_raises_on_phantom_key(monkeypatch):
     )
     with pytest.raises(RuntimeError, match="zz_phantom"):
         registry.load_catalog()
+
+
+def test_migration_doc_counts_match_code():
+    """docs/migration.md states the PORTABLE and catalog key counts in
+    prose; both have drifted silently before (ADVICE r7: '45' survived
+    two catalog growths while PORTABLE reached 71). Derive both from
+    code so the doc can't lie."""
+    import pathlib
+
+    from mapreducepy_spark import sql
+
+    doc = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "docs"
+        / "migration.md"
+    ).read_text()
+    assert f"{len(sql.PORTABLE)} of the catalog" in doc
+    assert f"all {len(CATALOG)} registered" in doc
