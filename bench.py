@@ -44,8 +44,11 @@ _FUNNEL_WHY = (
     "generation + inverted-index intersection of every shared "
     "shingle — intrinsic verified-pair workload, plan-asserted "
     "non-cartesian (tests/test_plans.py dedup_family_never_goes_"
-    "cartesian). Quiet-box min-of-5 floors r6: 1.68–2.08 s; the "
-    "driver's contended runs land 2.0–2.3 s. Ceiling = 3 s."
+    "cartesian). r8: the (doc_id, shingle) index is built ONCE per "
+    "(session, fixture content) and shared across all four funnel "
+    "keys (llm/dedup.py _shingle_index — VERDICT r7 work order #2); "
+    "min-of-5 floors r8: quiet 1.10-1.73 s, CONTENDED (pytest "
+    "saturating the box) 1.07-1.66 s. Ceiling = 3 s."
 )
 _KNOWN_COSTS: dict[str, tuple[float, str]] = {
     "scan_profile": (
@@ -86,9 +89,9 @@ _KNOWN_COSTS: dict[str, tuple[float, str]] = {
         "themselves are degree-bounded (≤K) and node-linear at every "
         "scale — the documented intrinsic pair-space gauge "
         "(stress10x: super-linear on pair space, far sub-quadratic). "
-        "Quiet-box min-of-5 floor r7: 1.71 s — "
-        "driver contention crosses the 2 s tripwire without a "
-        "regression. Ceiling = 3 s.",
+        "r8 floors (shared corpus-broadcast cache): quiet 1.52 s / "
+        "contended 1.61 s — driver contention can cross the 2 s "
+        "tripwire without a regression. Ceiling = 3 s.",
     ),
     "dedup_ngram_jaccard": (3.0, _FUNNEL_WHY),
     "dedup_threshold_sweep": (3.0, _FUNNEL_WHY),
@@ -98,12 +101,16 @@ _KNOWN_COSTS: dict[str, tuple[float, str]] = {
         "the ANN-quality audit runs BOTH registered plans it "
         "reconciles — the exact kNN GEMM ground truth AND the "
         "bucketed ANN — by definition (llm/similarity.py); its cost "
-        "is intrinsically ~sum of the two. Quiet-box interleaved "
-        "min-of-5 floor r7: 1.94 s, i.e. ON the 2 s tripwire, and "
-        "driver-box contended runs land 2.0–2.4 s (r6: 2.343). At "
+        "is intrinsically ~sum of the two. r8: the unit-normalized "
+        "corpus broadcasts are cached per (session, fixture content) "
+        "and shared with sim_knn/the sampled audit (VERDICT r7 work "
+        "order #2), dropping the min-of-5 floor to quiet 1.69 s / "
+        "CONTENDED 2.06 s (pytest saturating the box) from r7's "
+        "1.94 s quiet. The contended floor still crosses the 2 s "
+        "tripwire — intrinsic two-plan cost, within ceiling. At "
         "deployment scale the audit samples the query side "
-        "(documented in the docstring); the catalog key keeps the "
-        "exhaustive contract so the oracle stays exact. Ceiling = 3 s.",
+        "(sim_ann_recall_sampled); this key keeps the exhaustive "
+        "contract so the oracle stays exact. Ceiling = 3 s.",
     ),
     "sim_ann_recall_sampled": (
         3.0,
@@ -115,7 +122,8 @@ _KNOWN_COSTS: dict[str, tuple[float, str]] = {
         "1.05 + sampled exact GEMM 1.31), not FLOP-bound — the "
         "sample's O(n_q*n*d) savings appear as the corpus grows "
         "(stress10x: 7x wall on 10x data vs the exhaustive audit's "
-        "15x). Ceiling = 3 s.",
+        "15x). r8 floors with the shared corpus-broadcast cache: "
+        "quiet 1.50 s / contended 1.94 s. Ceiling = 3 s.",
     ),
 }
 
@@ -156,12 +164,16 @@ def main() -> None:
         (k for k, v in timings.items() if v > _BUDGET_SEC),
         key=lambda k: -timings[k],
     )
-    # an annotated key is excused only up to ITS OWN ceiling
-    over_budget = [
-        k
+    # an annotated key is excused only up to ITS OWN ceiling.
+    # Emitted as {key: sec} (VERDICT r7 item 3): the driver's tail
+    # capture preserves only the END of the per-query line, so the
+    # binding artifact must record a trip's MAGNITUDE inline, not
+    # just its existence.
+    over_budget = {
+        k: timings[k]
         for k in over
         if k not in _KNOWN_COSTS or timings[k] > _KNOWN_COSTS[k][0]
-    ]
+    }
     over_budget_known = {
         k: {
             "sec": timings[k],

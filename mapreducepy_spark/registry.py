@@ -69,142 +69,98 @@ _MODULES = (
 # Explicit catalog order. The driver evaluates ``queries()`` front to
 # back under a bounded budget (every round so far stopped at exactly
 # the first 50 catalog keys), so ordering is evidence policy, not
-# cosmetics. Round-7 policy (VERDICT r6 work orders #1/#4/#5):
+# cosmetics. Round-8 policy (VERDICT r7 work order #1):
 #
-# - first the 8 NEW keys (zero driver evidence):
-#   jsonl_quarantine_shapes (the per-failure-class quarantine
-#   evidence channel, work order #5), multimodal_decode_stats (the
-#   REAL stdlib BMP decode through the binary pipeline, work order
-#   #4), multimodal_audio_stats (the REAL RIFF/WAV PCM16 decode —
-#   the audio twin), and sim_ann_recall_sampled (the
-#   sampled-query-side deployment shape of the ANN recall audit,
-#   the work-order-#2 alternative registered alongside the
-#   annotation), and csv_quarantine (PERMISSIVE CSV ingestion
-#   certifying the partial-parse contract), and
-#   multimodal_frame_index (the video-leg frame-sampling index)
-#   multimodal_resize_plan (decode → integer-exact fit-in-box),
-#   and join_volume_shipping (the TPC-H Q7 two-sided nation grid);
-# - then the 43-key round-4-evidence block — after r6 landed 50/50
-#   green, these are the oldest driver rows left in the catalog
-#   (VERDICT r6: "50 keys on r6, 49 on r5, 43 on r4, zero older");
-#   With 7 + 43 = 50 the window is exactly the new keys plus the
-#   whole r4 block: after it lands green, no catalog key rests on
-#   sub-r5 driver evidence.
-# - BELOW the 50-key line: the rest of the r5-evidence block (they
-#   lead the round-8 refresh), then the r6-green block (freshest),
-#   then — PARKED AT THE VERY TAIL, permanently — the 3
-#   rows-only-by-design keys (agg_approx_distinct, sample_fraction,
-#   sample_stratified): rounds 1 AND 4 both recorded ``err:
-#   "no_oracle"`` with live spark_rows — the protocol structurally
-#   cannot express a rows-only pass, so windowing them again only
-#   burns evidence slots. Their correctness lives in pytest.
+# - the window head is the 36 keys with ZERO driver evidence (the
+#   whole round-7 session-growth block: TPC-H completion variants,
+#   as-of forward/nearest, merge/SCD2/unpivot, graph degree/
+#   reachability, reservoir sampling, embedding compression cards,
+#   partition-prune census, gap fill, rolling median, cumulative
+#   distinct, PII census, URL/bitwise functions, payload dedup);
+# - then ``join_asof`` — the single remaining r4-evidence key (the
+#   oldest driver row in the catalog, flagged by VERDICT r7 #2);
+# - then the 13 OLDEST r5-evidence keys, filling the window to
+#   exactly 50. After this lands green, every catalog key rests on
+#   r5-or-newer evidence and none is driver-unseen.
+# - BELOW the 50-key line: the remaining 36 r5-evidence keys (they
+#   lead the round-9 refresh), then the r6-green block, then the
+#   r7-green block (freshest), then — PARKED AT THE VERY TAIL,
+#   permanently — the 3 rows-only-by-design keys
+#   (agg_approx_distinct, sample_fraction, sample_stratified):
+#   rounds 1 AND 4 both recorded ``err: "no_oracle"`` with live
+#   spark_rows — the protocol structurally cannot express a
+#   rows-only pass, so windowing them again only burns evidence
+#   slots. Their correctness lives in pytest.
 #
 # ``load_catalog`` reorders the registry to this sequence and RAISES
 # if any registered key is missing from it (round-2 postmortem: five
 # keys silently fell to the alphabetical tail, outside any evidence
 # window); tests/test_sql.py additionally pins the two lists equal.
 _KEY_ORDER = (
-    # ---- round-7 window head: NEW keys, zero driver evidence
-    "jsonl_quarantine_shapes", "multimodal_decode_stats",
-    "multimodal_audio_stats", "sim_ann_recall_sampled",
-    "csv_quarantine", "multimodal_frame_index",
-    "multimodal_resize_plan", "join_volume_shipping",
-    # the 43-key round-4-evidence block (work order #1),
-    # long-standing internal order preserved
-    "agg_top_revenue", "join_nested_semi",
-    "text_chunk_overlap", "embed_quantize_error", "dedup_threshold_sweep",
-    "join_groupagg_in", "join_disjunctive", "agg_global_share",
-    "join_anti_scalar", "join_exists_chain",
-    "text_bpe_pairs", "embed_covariance",
-    "agg_count_histogram", "embed_dim_stats", "corpus_mixture_apply",
-    "dedup_containment", "events_rfm", "docs_corpus_card",
-    "sim_ann_recall", "agg_key_skew", "agg_correlated_scalar",
-    "lsh_band_stats", "docs_source_profile", "corpus_mixture_plan",
-    "text_vocab_coverage", "dedup_prefix", "embed_bucket_purity",
-    "sort_limit", "set_union", "set_intersect", "set_except",
-    "win_ntile", "win_dist", "topk_per_group", "agg_pivot",
-    "agg_cube", "agg_grouping_sets", "agg_rollup", "agg_stats",
-    "join_full",
-    "win_running", "agg_quantile_disc", "join_asof",
-    # join_asof_forward: built AFTER the window was frozen — placed
-    # here, just below the line next to join_asof, so the two as-of
-    # directions lead the round-8 window together. Local evidence
-    # now (tests/test_parity.py mirrors the driver gate at sf0.001;
-    # parity_sf at sf0.01/0.1), driver evidence next rotation.
-    "join_asof_forward",
-    # the round-7-session growth block: built after the r7 window
-    # froze, placed below it with join_asof_forward — all of these
-    # lead the round-8 rotation together (local evidence now:
-    # test_parity at sf0.001, parity_sf at sf0.01/0.1).
-    "merge_upsert", "scd2_intervals",
-    "unpivot_long", "graph_degree_stats", "sample_group_reservoir",
-    "embed_top_eigen",
+    # ---- round-8 window head: the 36 zero-driver-evidence keys
+    "join_asof_forward", "merge_upsert", "scd2_intervals", "unpivot_long",
+    "graph_degree_stats", "sample_group_reservoir", "embed_top_eigen",
     "win_first_last", "fn_bitwise", "join_min_cost_supplier",
     "join_null_safe", "join_lateral_topk", "text_pii_census",
-    "events_peak_concurrency", "multimodal_payload_dedup",
-    "fn_url", "graph_reachability",
-    "join_shipping_priority", "join_local_supplier",
-    "join_market_share", "join_returned_items",
-    "agg_forecast_revenue", "agg_promo_share",
-    "join_late_shipments", "agg_nation_profit",
+    "events_peak_concurrency", "multimodal_payload_dedup", "fn_url",
+    "graph_reachability", "join_shipping_priority", "join_local_supplier",
+    "join_market_share", "join_returned_items", "agg_forecast_revenue",
+    "agg_promo_share", "join_late_shipments", "agg_nation_profit",
     "join_supplier_part_count", "agg_quantile_cont",
     "join_interval_overlap", "orc_census", "embed_mrl_error",
     "join_asof_nearest", "scan_partition_prune", "events_gap_fill",
     "win_rolling_median", "win_cum_distinct", "embed_pq_codes",
-    # ---- position 50 = agg_quantile_disc; join_asof (the last r4
-    # key) leads the NEXT window. 8 new + 42 of the 43-key r4 block
-    # fill this round's 50; join_asof keeps its r4 evidence one more
-    # round — acceptable: the done-condition is "oldest evidence
-    # advances", and 8 brand-new keys outrank one r4 refresh. Everything below is OUTSIDE
-    # the driver window: the rest of the r5-evidence block first
-    # (they lead the round-8 refresh), then the r6-green block, then
-    # the parked no-oracle keys.
-    "pipeline_drop_explain",
-    "events_ohlc", "agg_minmax_by", "win_lead_lag", "win_session",
-    "events_session_stats", "events_paths",
+    # the last r4-evidence key + the 13 oldest r5-evidence keys
+    # (window positions 37-50)
+    "join_asof", "pipeline_drop_explain", "events_ohlc", "agg_minmax_by",
+    "win_lead_lag", "win_session", "events_session_stats", "events_paths",
     "events_inter_arrival", "events_attribution", "events_cooccurrence",
     "pipeline_clean_corpus", "pipeline_mixture_manifest", "sample_split",
-    "scan_profile", "fn_regex", "sim_knn", "dedup_embedding",
-    "dedup_near", "dedup_clusters", "dedup_near_verified",
-    "dedup_minhash_est", "dedup_survivors_verified", "dedup_exact",
-    "dedup_simhash",
-    "sim_ann_lsh", "sim_ann_ivf",
-    "text_stats", "text_tfidf",
-    "agg_group",
-    "multimodal_cols",
-    "text_quality", "text_langid", "text_tokens", "text_fingerprint",
-    "win_tumbling", "win_sliding",
-    "events_funnel", "rollup_multires", "join_range_binned",
-    "sample_hash_fraction", "sample_hash_stratified",
-    "join_inner", "agg_count_distinct",
-    "scan_project", "scan_count", "json_extract",
-    "filter_pred", "project_expr", "distinct_rows",
-    # r6-green block (freshest driver evidence)
-    "jsonl_quarantine", "multimodal_payload_stats",
-    "dedup_ngram_jaccard", "dedup_jaccard_capped",
-    "fn_string", "fn_date", "fn_conditional",
-    "fn_json", "fn_levenshtein", "fn_math", "fn_array",
-    "agg_having", "win_rank",
-    "join_theta_range", "win_range_frame",
-    "agg_gini",
-    "agg_histogram", "dedup_keep_first",
-    "join_skew_salted", "text_decontaminate",
-    "join_left", "join_multi", "join_semi", "join_anti",
-    "agg_collect",
-    "events_entropy",
-    "text_charlm", "text_zipf", "text_length_profile",
-    "dedup_cross_source",
-    "text_hapax",
+    # ---- BELOW the driver window ----------------------------------
+    # remaining r5-evidence block (leads the round-9 refresh)
+    "scan_profile", "fn_regex", "sim_knn", "dedup_embedding", "dedup_near",
+    "dedup_clusters", "dedup_near_verified", "dedup_minhash_est",
+    "dedup_survivors_verified", "dedup_exact", "dedup_simhash",
+    "sim_ann_lsh", "sim_ann_ivf", "text_stats", "text_tfidf", "agg_group",
+    "multimodal_cols", "text_quality", "text_langid", "text_tokens",
+    "text_fingerprint", "win_tumbling", "win_sliding", "events_funnel",
+    "rollup_multires", "join_range_binned", "sample_hash_fraction",
+    "sample_hash_stratified", "join_inner", "agg_count_distinct",
+    "scan_project", "scan_count", "json_extract", "filter_pred",
+    "project_expr", "distinct_rows",
+    # r6-green block
+    "jsonl_quarantine", "multimodal_payload_stats", "dedup_ngram_jaccard",
+    "dedup_jaccard_capped", "fn_string", "fn_date", "fn_conditional",
+    "fn_json", "fn_levenshtein", "fn_math", "fn_array", "agg_having",
+    "win_rank", "join_theta_range", "win_range_frame", "agg_gini",
+    "agg_histogram", "dedup_keep_first", "join_skew_salted",
+    "text_decontaminate", "join_left", "join_multi", "join_semi",
+    "join_anti", "agg_collect", "events_entropy", "text_charlm",
+    "text_zipf", "text_length_profile", "dedup_cross_source", "text_hapax",
     "text_pack_sequences", "text_bigrams", "text_quality_filter",
-    "embed_norm_bins",
-    "events_retention", "win_streak",
-    "agg_weighted_avg", "agg_mode",
-    "text_contamination_ngram",
+    "embed_norm_bins", "events_retention", "win_streak",
+    "agg_weighted_avg", "agg_mode", "text_contamination_ngram",
     "text_repetition", "text_oov_rate", "events_anomaly",
-    "events_dau_rolling",
-    "text_keywords", "text_perplexity_proxy",
-    "agg_pareto", "events_user_lifecycle",
-    "graph_pagerank", "graph_knn_triangles",
+    "events_dau_rolling", "text_keywords", "text_perplexity_proxy",
+    "agg_pareto", "events_user_lifecycle", "graph_pagerank",
+    "graph_knn_triangles",
+    # r7-green block (freshest driver evidence)
+    "jsonl_quarantine_shapes", "multimodal_decode_stats",
+    "multimodal_audio_stats", "sim_ann_recall_sampled", "csv_quarantine",
+    "multimodal_frame_index", "multimodal_resize_plan",
+    "join_volume_shipping", "agg_top_revenue", "join_nested_semi",
+    "text_chunk_overlap", "embed_quantize_error", "dedup_threshold_sweep",
+    "join_groupagg_in", "join_disjunctive", "agg_global_share",
+    "join_anti_scalar", "join_exists_chain", "text_bpe_pairs",
+    "embed_covariance", "agg_count_histogram", "embed_dim_stats",
+    "corpus_mixture_apply", "dedup_containment", "events_rfm",
+    "docs_corpus_card", "sim_ann_recall", "agg_key_skew",
+    "agg_correlated_scalar", "lsh_band_stats", "docs_source_profile",
+    "corpus_mixture_plan", "text_vocab_coverage", "dedup_prefix",
+    "embed_bucket_purity", "sort_limit", "set_union", "set_intersect",
+    "set_except", "win_ntile", "win_dist", "topk_per_group", "agg_pivot",
+    "agg_cube", "agg_grouping_sets", "agg_rollup", "agg_stats",
+    "join_full", "win_running", "agg_quantile_disc",
     # parked permanently (see policy comment above): the protocol
     # records "err: no_oracle" for these — proven in r1 AND r4
     "agg_approx_distinct", "sample_fraction", "sample_stratified",
