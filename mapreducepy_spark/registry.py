@@ -55,6 +55,7 @@ _MODULES = (
     "mapreducepy_spark.sources.jsonl",
     "mapreducepy_spark.sources.csv_source",
     "mapreducepy_spark.sources.orc_source",
+    "mapreducepy_spark.sources.avro_source",
     "mapreducepy_spark.functions.scalar",
     "mapreducepy_spark.llm.dedup",
     "mapreducepy_spark.llm.similarity",
@@ -144,6 +145,12 @@ _KEY_ORDER = (
     "events_dau_rolling", "text_keywords", "text_perplexity_proxy",
     "agg_pareto", "events_user_lifecycle", "graph_pagerank",
     "graph_knn_triangles",
+    # round-8 session growth block: built after the r8 window froze,
+    # so zero driver evidence yet — local evidence only (parity at
+    # sf0.001/0.01/0.1, sweeps, plan asserts). Zero-evidence keys
+    # lead the round-9 window head (the r7 precedent), ahead of the
+    # r5 refresh block above.
+    "avro_census",
     # r7-green block (freshest driver evidence)
     "jsonl_quarantine_shapes", "multimodal_decode_stats",
     "multimodal_audio_stats", "sim_ann_recall_sampled", "csv_quarantine",

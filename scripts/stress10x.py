@@ -123,6 +123,11 @@ OPS = (
     # O(partitions×d²), iteration constant), the frame-clause window,
     # bitwise projection (narrow map), Q2 min-cost (filter-below-agg
     # broadcast semi must survive AQE at 10×), null-safe join
+    # round-11 (driver r8): the stdlib-Avro census — decode cost must
+    # stay byte-linear with a constant-row shuffle; at 10x the part
+    # files grow 10x but the per-file decode is a single pass, and
+    # parallelism stays per-file (the binaryFile unit, documented)
+    "avro_census",
     "join_asof_forward",
     "merge_upsert",
     "scd2_intervals",
