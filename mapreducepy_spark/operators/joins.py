@@ -387,9 +387,17 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("ts"),
         F.struct("o_orderdate", "o_orderkey").alias("ord"),
     )
+    # t sorts NULLS LAST: a NULL-ts event must see an EMPTY forward
+    # frame (its match is NULL — the oracle's `o_orderdate >= ts` is
+    # never true for NULL ts). Spark's default asc() is nulls-FIRST,
+    # which would seat NULL-ts events at the partition head and hand
+    # them the user's earliest order — the join_asof_nearest NULL-ts
+    # hazard (ADVICE r7), mirrored. With nulls-last they sit at the
+    # tail where the only following rows are other event rows, whose
+    # NULL ord the min-carry ignores.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("t").asc(), F.col("is_event").desc())
+        .orderBy(F.col("t").asc_nulls_last(), F.col("is_event").desc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     return (

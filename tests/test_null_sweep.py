@@ -310,6 +310,12 @@ def adversarial_tpch(tmp_path_factory):
             (5, 2, None, None, None, "2-HIGH"),             # NULL status/price/date
             (6, 3, "F", 1200.0, "2000-12-01", "1-URGENT"),  # recent order
             (7, 1, "O", 300.0, None, "4-NOT SPECIFIED"),    # NULL date
+            # custkey 8 = the NULL-ts events user: the multi-table
+            # sweep must prove a NULL-ts event matches NO order even
+            # when its user HAS orders (the as-of forward/nearest
+            # NULL-ts hazard passed coincidentally while no order
+            # shared that user — ADVICE r7, made structural here)
+            (8, 8, "O", 425.0, "2024-02-01", "3-MEDIUM"),
         ],
         columns=[
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
