@@ -794,3 +794,157 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
         F.sum("err").cast("bigint").alias("sum_err_u2"),
     )
+
+
+# --- per-dimension z-score outlier census -----------------------------
+
+# The outlier gate a pipeline runs before indexing a new embedding
+# batch. NORM outliers are useless here (the corpus is exactly
+# unit-normalized — embed_norm_bins pins that invariant), so the gate
+# is per-DIMENSION: a vector is flagged when any component sits more
+# than _OUTLIER_SIGMA standard deviations from that dimension's
+# corpus mean — the "one weird axis" failure (a clipped activation, a
+# NaN replaced by a sentinel, an encoder version skew) that norm and
+# bucket diagnostics both miss.
+_OUTLIER_SIGMA = 4.0
+
+_ORACLE_EMBED_OUTLIER = f"""
+WITH v AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_SCALE} + 0.5)
+                         AS BIGINT)) AS q
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = {_DIM}
+),
+e AS (
+    SELECT vec_id, label,
+           CAST(generate_subscripts(q, 1) AS BIGINT) AS dim,
+           unnest(q) AS qv
+    FROM v
+),
+stats AS (
+    SELECT dim,
+           CAST(SUM(qv) AS DOUBLE) / COUNT(*) AS mu_u,
+           sqrt(CAST(SUM(qv * qv) AS DOUBLE) / COUNT(*)
+                - (CAST(SUM(qv) AS DOUBLE) / COUNT(*))
+                  * (CAST(SUM(qv) AS DOUBLE) / COUNT(*))) AS sd_u
+    FROM e GROUP BY dim
+),
+sarr AS (
+    -- per-row maxz via an array lookup instead of unnest+regroup:
+    -- regrouping would need a unique per-row id, which duplicate or
+    -- NULL vec_ids cannot guarantee
+    SELECT list(mu_u ORDER BY dim) AS mu, list(sd_u ORDER BY dim) AS sd
+    FROM stats
+),
+z AS (
+    SELECT v.label,
+           list_max(list_transform(range(1, 64 + 1),
+               i -> abs((CAST(v.q[i] AS DOUBLE) - sarr.mu[i])
+                        / NULLIF(sarr.sd[i], 0.0)))) AS maxz
+    FROM v CROSS JOIN sarr
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN maxz > {_OUTLIER_SIGMA} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       CAST(SUM(CAST(floor(maxz * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_maxz_u
+FROM z
+GROUP BY label
+"""
+
+
+@register(
+    "embed_outlier_census", _ORACLE_EMBED_OUTLIER,
+    tags=("llm", "embedding", "quality"),
+)
+def embed_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label census of per-dimension z-score outliers: a vector
+    is flagged when any component sits > 4σ from its dimension's
+    corpus mean. Catches single-axis corruption (clipped activations,
+    sentinel-filled NaNs, encoder version skew) that norm and bucket
+    diagnostics miss on a unit-normalized store.
+
+    Scale: pass 1 folds the corpus into 64 exact integer moment pairs
+    (one JVM hash aggregate, map-side combining — shuffle is O(128)
+    longs per partition); the 64 (mu, sd) doubles are then driver-
+    embedded as LITERAL arrays (the IVF-centroid class of bounded
+    pull — 1 row, never grows with the corpus) so pass 2 is a pure
+    narrow map: two zip_with folds + array_max per row, then the
+    |labels|-row census. No join, no vector shuffle, no Python.
+
+    Hash parity: moments are exact BIGINTs (the _partial_cov µ-unit
+    discipline); mu/sd/z are derived from them by the IDENTICAL
+    double expression shape on both engines (Python's int/int
+    division and math.sqrt are the same IEEE ops DuckDB runs);
+    per-vector maxz is floored to µ-units BEFORE the census sum, so
+    the aggregate is exact-int. Zero-variance dims divide by
+    NULL(ified) sd and drop out of the max on both engines.
+    """
+    import math
+
+    raw = load_spread(spark, sf_dir, "embeddings")
+    emb = raw.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == _DIM)
+    )
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(_SCALE) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    # pass 1 rides the SHARED _partial_cov Arrow fold (the
+    # embed_covariance / embed_top_eigen moment machinery — exact
+    # integer partials, O(partitions) rows pulled): the diagonal of
+    # Σqqᵀ plus Σq and n are precisely the per-dim moments, and the
+    # numpy fold measured ~2x faster than the equivalent 129-column
+    # JVM aggregate (which parked this key ON the 2 s bench tripwire)
+    partials = emb.select("embedding").mapInPandas(
+        _partial_cov, _PARTIAL_SCHEMA
+    ).toPandas()
+    if not len(partials):
+        return spark.createDataFrame(
+            [], "label bigint, n_vectors bigint, n_flagged bigint, "
+                "sum_maxz_u bigint"
+        )
+    n = int(np.int64(partials["n"].to_numpy(np.int64).sum()))
+    s_vec = np.stack(
+        [np.asarray(r, dtype=np.int64) for r in partials["s"]]
+    ).sum(axis=0)
+    ss_diag = np.stack(
+        [np.asarray(r, dtype=np.int64) for r in partials["ss"]]
+    ).sum(axis=0).reshape(_DIM, _DIM).diagonal()
+    mu, sd = [], []
+    for d in range(_DIM):
+        mu_u = int(s_vec[d]) / n              # int/int -> IEEE double
+        var = int(ss_diag[d]) / n - mu_u * mu_u
+        sd_u = math.sqrt(var) if var > 0 else 0.0
+        mu.append(mu_u)
+        sd.append(None if sd_u == 0.0 else sd_u)
+    mu_lit = F.array(*[F.lit(v) for v in mu])
+    sd_lit = F.array(
+        *[F.lit(v).cast("double") for v in sd]
+    )
+    dev = F.zip_with(q, mu_lit, lambda a, b: a.cast("double") - b)
+    z = F.zip_with(dev, sd_lit, lambda a, b: F.abs(a / b))
+    maxz = F.array_max(z)
+    return (
+        emb.select("label", maxz.alias("maxz"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(
+                F.when(F.col("maxz") > _OUTLIER_SIGMA, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum(
+                F.floor(F.col("maxz") * F.lit(1_000_000.0) + F.lit(0.5))
+                .cast("long")
+            )
+            .cast("bigint")
+            .alias("sum_maxz_u"),
+        )
+    )

@@ -418,19 +418,29 @@ _DUCK_BUCKET_RAW = " + ".join(
 )
 
 
-def _sign_bucket_col():
+def _sign_bucket_col(offset: int = 0):
     """Spark twin of ``_DUCK_BUCKET_RAW``: the sign-LSH bucket key as
     a pure JVM expression over the raw embedding — the ONE definition
-    shared by ``sim_ann_lsh`` and ``embed_bucket_purity`` so the
-    bucket assignment cannot drift between the ANN join and its
-    diagnostic."""
+    shared by ``sim_ann_lsh``, ``embed_bucket_purity`` and the
+    multi-table probe (``offset`` selects which dimension block
+    plays the hyperplane set) so the bucket assignment cannot drift
+    between the ANN join and its diagnostics."""
     bucket = None
     for i in range(_N_PLANES):
         term = F.when(
-            F.element_at("embedding", i + 1).cast("double") > 0, F.lit(1 << i)
+            F.element_at("embedding", offset + i + 1).cast("double") > 0,
+            F.lit(1 << i),
         ).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
     return bucket.cast("int")
+
+
+def _duck_bucket_at(offset: int) -> str:
+    """DuckDB twin of ``_sign_bucket_col(offset)`` over the unit CTE."""
+    return " + ".join(
+        f"(CASE WHEN unit[{offset + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_N_PLANES)
+    )
 
 _ORACLE_SIM_ANN = f"""
 WITH {_DUCK_NORMED_CTE},
@@ -513,6 +523,157 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bucketed.groupBy("bucket").applyInPandas(
         bucket_top1, "query_id bigint, neighbor_id bigint, bucket int, cos_sim double"
+    )
+
+
+# --- multi-table sign-LSH probe --------------------------------------
+
+# Table t buckets on the sign bits of dimension block t (dims 1-4,
+# then 5-8): two independent hyperplane sets, the standard LSH recall
+# lever the sim_ann_lsh docstring prices ("#independent tables —
+# union of probes"). The exact answer over the UNION of both tables'
+# candidates is the better of the two per-table top-1s, because each
+# table's top-1 is already the max over its own candidate set.
+_N_TABLES = 2
+
+
+def _duck_table_top1(offset: int, table: int) -> str:
+    """One table's bucketed top-1 as a DuckDB CTE body (rank on the
+    UNROUNDED cosine, exactly the sim_ann_lsh oracle's shape)."""
+    return f"""
+    SELECT query_id, neighbor_id, cos_sim, {table} AS src_table
+    FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_DUCK_COS.format(a="a.unit", b="b.unit")} AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_DUCK_COS.format(a="a.unit", b="b.unit")}
+                                DESC,
+                            b.vec_id ASC
+               ) AS rn
+        FROM (SELECT vec_id, unit, {_duck_bucket_at(offset)} AS bucket
+              FROM normed) a
+        JOIN (SELECT vec_id, unit, {_duck_bucket_at(offset)} AS bucket
+              FROM normed) b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ) WHERE rn = 1
+"""
+
+
+_ORACLE_SIM_ANN_MULTITABLE = f"""
+WITH {_DUCK_NORMED_CTE},
+t0 AS ({_duck_table_top1(0, 0)}),
+t1 AS ({_duck_table_top1(_N_PLANES, 1)}),
+u AS (
+    -- round BEFORE the cross-table pick: the Spark side transports
+    -- per-table winners as rounded doubles, so the combine must rank
+    -- on the same rounded value or a round-to-equal pair could pick
+    -- different tables on the two engines
+    SELECT query_id, neighbor_id,
+           (floor(cos_sim * 1000000.0 + 0.5) / 1000000.0) AS cos_sim,
+           src_table
+    FROM (SELECT * FROM t0 UNION ALL SELECT * FROM t1)
+),
+best AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(src_table AS INT) AS src_table,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC, src_table ASC
+           ) AS rn
+    FROM u
+)
+SELECT query_id, neighbor_id, cos_sim, src_table
+FROM best WHERE rn = 1
+"""
+
+
+@register(
+    "sim_ann_multitable", _ORACLE_SIM_ANN_MULTITABLE,
+    tags=("llm", "similarity", "lsh"),
+)
+def sim_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN: two independent hyperplane sets
+    (dimension blocks 1-4 and 5-8) each produce a bucketed exact
+    top-1, and each query keeps the better candidate — the standard
+    recall lever for LSH retrieval (a pair split across buckets in
+    one table collides in the other with independent probability).
+    ``src_table`` records which table won, so the marginal recall of
+    the second table is directly readable from the output — the
+    number a deployment looks at before paying for table #3.
+
+    Scale: exactly 2× the ``sim_ann_lsh`` plan — two bucket-keyed
+    shuffles and Σ O(bucket²) GEMMs, still never O(n²); the combine
+    is one window over 2 rows per query. Tables are embarrassingly
+    parallel (independent stages, no barrier between them until the
+    final union).
+
+    Hash parity: per-table ranking on the unrounded bit-identical
+    cosine with the neighbor tie-break (the sim_knn discipline);
+    the cross-table pick runs on the ROUNDED cosine with
+    (neighbor_id, src_table) breaking exact ties — both sides
+    identical by construction.
+    """
+    emb = (
+        _valid_embeddings(load(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding")
+    )
+
+    def table_top1(table: int):
+        def top1(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series(dtype="int64"),
+                        "neighbor_id": pd.Series(dtype="int64"),
+                        "cos_sim": pd.Series(dtype="float64"),
+                        "src_table": pd.Series(dtype="int32"),
+                    }
+                )
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            unit = _np_unit(
+                np.stack(pdf["embedding"].to_list()).astype(np.float64)
+            )
+            sim = _np_cos(unit, unit)
+            np.fill_diagonal(sim, -np.inf)
+            out_n = np.empty(len(ids), np.int64)
+            out_c = np.empty(len(ids), np.float64)
+            for i in range(len(ids)):
+                order = np.lexsort((ids, -sim[i]))
+                j = order[0] if ids[order[0]] != ids[i] else order[1]
+                out_n[i] = ids[j]
+                out_c[i] = sim[i, j]
+            return pd.DataFrame(
+                {
+                    "query_id": ids,
+                    "neighbor_id": out_n,
+                    "cos_sim": _dround_np(out_c),
+                    "src_table": np.full(len(ids), table, np.int32),
+                }
+            )
+
+        return top1
+
+    schema = (
+        "query_id bigint, neighbor_id bigint, cos_sim double, "
+        "src_table int"
+    )
+    tables = [
+        emb.withColumn("bucket", _sign_bucket_col(t * _N_PLANES))
+        .groupBy("bucket")
+        .applyInPandas(table_top1(t), schema)
+        for t in range(_N_TABLES)
+    ]
+    u = tables[0].unionByName(tables[1])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(),
+        F.col("neighbor_id").asc(),
+        F.col("src_table").asc(),
+    )
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", "cos_sim", "src_table")
     )
 
 

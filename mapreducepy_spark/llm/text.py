@@ -1460,3 +1460,140 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_digest"),
     )
+
+
+# --- per-source distribution drift (chi-square vs the corpus) --------
+
+_ORACLE_TEXT_SOURCE_DRIFT = """
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS w
+    FROM documents
+),
+obs AS (
+    SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks WHERE w <> '' GROUP BY source, w
+),
+gtok AS (
+    SELECT w, CAST(SUM(c) AS BIGINT) AS g FROM obs GROUP BY w
+),
+srctot AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM obs GROUP BY source
+),
+grand AS (SELECT CAST(SUM(g) AS BIGINT) AS gt FROM gtok),
+grid AS (
+    SELECT st.source, gl.w, st.t, gl.g, COALESCE(o.c, 0) AS c
+    FROM srctot st
+    CROSS JOIN gtok gl
+    LEFT JOIN obs o ON o.source IS NOT DISTINCT FROM st.source
+                   AND o.w = gl.w
+),
+terms AS (
+    SELECT source, t, c,
+           CAST(floor(
+               ((CAST(c AS DOUBLE)
+                 - CAST(t AS DOUBLE) * CAST(g AS DOUBLE) / grand.gt)
+                * (CAST(c AS DOUBLE)
+                   - CAST(t AS DOUBLE) * CAST(g AS DOUBLE) / grand.gt))
+               / (CAST(t AS DOUBLE) * CAST(g AS DOUBLE) / grand.gt)
+               * 1000000.0 + 0.5) AS BIGINT) AS term_u,
+           CASE WHEN c > 0 THEN 1 ELSE 0 END AS seen
+    FROM grid CROSS JOIN grand
+)
+SELECT source,
+       CAST(MAX(t) AS BIGINT) AS n_tokens,
+       CAST(SUM(seen) AS BIGINT) AS vocab_seen,
+       CAST(COUNT(*) AS BIGINT) AS vocab_total,
+       CAST(SUM(term_u) AS BIGINT) AS chi2_u
+FROM terms
+GROUP BY source
+"""
+
+
+@register(
+    "text_source_drift", _ORACLE_TEXT_SOURCE_DRIFT,
+    tags=("llm", "text", "quality"),
+)
+def text_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift vs the whole corpus: the
+    chi-square statistic of each source's word counts against the
+    corpus-wide expectation, plus its vocabulary coverage — the
+    mixture-monitoring number that flags a source whose language
+    shifted (crawl rot, template takeover, encoding breakage) before
+    it poisons a training mix. Expected count for (source, token) is
+    ``t·g/GT`` (source mass × global token share); unseen tokens
+    contribute their full expectation, so the statistic covers the
+    whole vocabulary grid, not just observed pairs.
+
+    Scale: one corpus-sized explode + count (map-side combining),
+    then every derived table is VOCABULARY- or SOURCE-bounded — the
+    grid is |sources| × |vocab| (broadcast the source totals onto
+    it). At 100 TB the same plan runs with the vocabulary capped to
+    the top-K global tokens first (one extra vocabulary-sized
+    filter); the fixture vocabulary is small enough to keep the full
+    grid, so the oracle stays exact.
+
+    Hash parity: counts are exact BIGINTs; each chi-square term is
+    computed by the identical double expression shape and floored to
+    µ-units PER CELL, so the per-source sum is exact-int (the
+    sim_ann_recall regret discipline — a raw double Σ over thousands
+    of cells would be summation-order-dependent).
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    obs = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # obs feeds FOUR subtrees (glob, srctot, grand-via-glob, and the
+    # grid's left-join probe): pin it once (the shingle-index rule)
+    obs = obs.localCheckpoint()
+    glob = obs.groupBy("w").agg(F.sum("c").cast("bigint").alias("g"))
+    srctot = obs.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    grand = glob.agg(F.sum("g").cast("bigint").alias("gt"))
+    # explicit aliases: the eqNullSafe probe needs disambiguation
+    st = srctot.alias("st")
+    gl = glob.alias("gl")
+    ob = obs.alias("ob")
+    grid = (
+        F.broadcast(st)
+        .crossJoin(gl)
+        .join(
+            ob,
+            F.col("ob.source").eqNullSafe(F.col("st.source"))
+            & (F.col("ob.w") == F.col("gl.w")),
+            "left",
+        )
+        .select(
+            F.col("st.source").alias("source"),
+            F.col("st.t").alias("t"),
+            F.col("gl.g").alias("g"),
+            F.coalesce(F.col("ob.c"), F.lit(0)).alias("c"),
+        )
+        .crossJoin(F.broadcast(grand))
+    )
+    exp = F.col("t").cast("double") * F.col("g").cast("double") / F.col("gt")
+    term_u = F.floor(
+        (F.col("c").cast("double") - exp)
+        * (F.col("c").cast("double") - exp)
+        / exp
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        grid.select(
+            "source",
+            "t",
+            term_u.alias("term_u"),
+            F.when(F.col("c") > 0, 1).otherwise(0).alias("seen"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("t").cast("bigint").alias("n_tokens"),
+            F.sum("seen").cast("bigint").alias("vocab_seen"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab_total"),
+            F.sum("term_u").cast("bigint").alias("chi2_u"),
+        )
+    )

@@ -1112,3 +1112,135 @@ def agg_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+# --- median absolute deviation (robust dispersion) --------------------
+
+# MAD = median(|x - median(x)|) per group, both medians the explicit
+# type-7 algebra (the agg_quantile_cont discipline — engine builtins
+# interpolate differently). The inner median is 1e-6-rounded BEFORE
+# the deviations so both engines subtract the identical double.
+
+def _mad_median_sql(val: str, src: str) -> str:
+    """One type-7 p50 pass as a DuckDB CTE pair body over ``src``
+    (already filtered non-NULL), grouped by o_orderpriority."""
+    h = "(CAST(n - 1 AS DOUBLE) * 0.5 + 1.0)"
+    lo_rank = f"CAST(floor({h}) AS BIGINT)"
+    return f"""
+    SELECT o_orderpriority,
+           (floor((MAX(CASE WHEN rn = {lo_rank} THEN {val} END)
+                   + MAX({h} - floor({h}))
+                     * (COALESCE(MAX(CASE WHEN rn = {lo_rank} + 1
+                                          THEN {val} END),
+                                 MAX(CASE WHEN rn = {lo_rank}
+                                          THEN {val} END))
+                        - MAX(CASE WHEN rn = {lo_rank} THEN {val} END)))
+                  * 1000000.0 + 0.5) / 1000000.0) AS m,
+           CAST(MAX(n) AS BIGINT) AS n_rows
+    FROM (
+        SELECT o_orderpriority, {val},
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY {val}) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM {src}
+    )
+    GROUP BY o_orderpriority
+"""
+
+
+_ORACLE_AGG_MAD = f"""
+WITH base AS (
+    SELECT o_orderpriority, o_totalprice
+    FROM orders WHERE o_totalprice IS NOT NULL
+),
+med AS ({_mad_median_sql("o_totalprice", "base")}),
+dev AS (
+    SELECT b.o_orderpriority, abs(b.o_totalprice - m.m) AS d
+    FROM base b
+    JOIN med m ON b.o_orderpriority IS NOT DISTINCT FROM m.o_orderpriority
+),
+mad AS ({_mad_median_sql("d", "dev")})
+SELECT m.o_orderpriority,
+       m.n_rows,
+       m.m AS median_price,
+       a.m AS mad_price
+FROM med m
+JOIN mad a ON m.o_orderpriority IS NOT DISTINCT FROM a.o_orderpriority
+"""
+
+
+@register("agg_mad", _ORACLE_AGG_MAD, tags=("agg", "quantile", "robust"))
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of order totals per priority — the
+    robust dispersion gauge (stddev is dominated by the tail a
+    quality gate is trying to find; MAD isn't). Two type-7 median
+    passes: the group median, then the median of |x − median|, the
+    inner one 1e-6-rounded before the deviations so both engines
+    subtract the identical double.
+
+    Scale: two window-sorted passes over the fact table, both
+    partitioned on the SAME group key (the second input is the first
+    pass's deviations, so the partitioning is reusable); the group
+    medians ride a broadcast join back onto the rows. At 100 TB the
+    same statistic runs on ``approx_percentile`` sketches where
+    exactness isn't contractual — plan shape unchanged.
+
+    Hash parity: the quantile_cont rank-pick algebra at p = 0.5 on
+    both passes; NULL-priority groups line up via null-safe joins.
+    """
+    from pyspark.sql.window import Window
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .filter(F.col("o_totalprice").isNotNull())
+    )
+
+    def p50(df: DataFrame, val: str) -> DataFrame:
+        w = Window.partitionBy("o_orderpriority").orderBy(val)
+        wn = Window.partitionBy("o_orderpriority")
+        ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(wn)
+        )
+        h = (F.col("n") - 1).cast("double") * F.lit(0.5) + F.lit(1.0)
+        lo_rank = F.floor(h).cast("long")
+        lo = F.max(F.when(F.col("rn") == lo_rank, F.col(val)))
+        hi = F.max(F.when(F.col("rn") == lo_rank + 1, F.col(val)))
+        frac = F.max(h - F.floor(h))
+        m = lo + frac * (F.coalesce(hi, lo) - lo)
+        return ranked.groupBy("o_orderpriority").agg(
+            (
+                F.floor(m * F.lit(1_000_000.0) + F.lit(0.5))
+                / F.lit(1_000_000.0)
+            ).alias("m"),
+            F.max("n").cast("bigint").alias("n_rows"),
+        )
+
+    med = p50(base, "o_totalprice")
+    b = base.alias("b")
+    mm = med.select(
+        F.col("o_orderpriority").alias("mprio"), "m"
+    ).alias("mm")
+    dev = b.join(
+        F.broadcast(mm),
+        F.col("b.o_orderpriority").eqNullSafe(F.col("mm.mprio")),
+    ).select(
+        F.col("b.o_orderpriority").alias("o_orderpriority"),
+        F.abs(F.col("b.o_totalprice") - F.col("mm.m")).alias("d"),
+    )
+    mad = p50(dev, "d")
+    return (
+        med.alias("me")
+        .join(
+            mad.alias("ma"),
+            F.col("me.o_orderpriority").eqNullSafe(
+                F.col("ma.o_orderpriority")
+            ),
+        )
+        .select(
+            F.col("me.o_orderpriority").alias("o_orderpriority"),
+            F.col("me.n_rows").alias("n_rows"),
+            F.col("me.m").alias("median_price"),
+            F.col("ma.m").alias("mad_price"),
+        )
+    )

@@ -280,3 +280,85 @@ def sample_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("pick"),
         )
     )
+
+
+# --- weight-proportional deterministic sampling ----------------------
+
+# Acceptance: keep a doc iff u16 < floor(w·65536), where u16 is the
+# first 4 md5 hex chars of doc_id as an integer (a deterministic
+# uniform in [0, 65536)) and w = least(1, n_chars/800) is the
+# quality-proportional keep probability. Every term is integer or a
+# single double multiply+floor — identical on both engines; hex→int
+# is Spark conv(h,16,10) ≡ DuckDB ('0x'||h)::BIGINT (verified equal).
+_W_DENOM = 800.0
+
+_ORACLE_SAMPLE_WEIGHTED = f"""
+WITH t AS (
+    SELECT lang, source, doc_id, n_chars,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               AS u16,
+           CAST(floor(least(1.0, CAST(n_chars AS DOUBLE) / {_W_DENOM})
+                      * 65536.0) AS BIGINT) AS cut
+    FROM documents
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN u16 < cut THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN u16 < cut THEN doc_id ELSE 0 END) AS BIGINT)
+           AS kept_id_sum
+FROM t
+GROUP BY lang, source
+"""
+
+
+@register(
+    "sample_weighted_hash", _ORACLE_SAMPLE_WEIGHTED, tags=("sampling", "llm")
+)
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional DETERMINISTIC sampling — the mixture-
+    building primitive: each document is kept with probability equal
+    to its quality weight (here length-proportional, capped at 1),
+    decided by comparing a keyed-hash uniform against the weight.
+    Unlike RNG importance sampling, the decision is a pure function
+    of (doc_id, features): re-runs, engine swaps and repartitions
+    keep the SAME documents, and upweighting a source in tomorrow's
+    mixture never resamples yesterday's survivors. Census per (lang,
+    source) with an exact kept-id checksum so the hash pins
+    membership, not just counts.
+
+    Scale: narrow map (one md5 + one compare per row), zero shuffle
+    before the |langs|·|sources| census; as a filter it composes
+    with pushdown like the other hash samplers. NULL doc_id or
+    n_chars ⇒ NULL predicate ⇒ dropped on both engines (quarantine
+    rows are not sampleable corpus).
+
+    Hash parity: u16 and cut are exact BIGINTs; the only double op
+    (least + divide + floor·65536) runs the same IEEE shape on both
+    engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    u16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+        16, 10,
+    ).cast("bigint")
+    cut = F.floor(
+        F.least(
+            F.lit(1.0), F.col("n_chars").cast("double") / F.lit(_W_DENOM)
+        )
+        * F.lit(65536.0)
+    ).cast("bigint")
+    kept = u16 < cut
+    return (
+        docs.select("lang", "source", "doc_id", kept.alias("kept"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_id_sum"),
+        )
+    )

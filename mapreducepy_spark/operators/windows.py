@@ -479,3 +479,111 @@ def win_cum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- bounded exponential moving average -------------------------------
+
+# α = 1/2 EXACTLY: every weight is a power of two, and scaling a
+# double by 2^-k is exact in IEEE-754 (pure exponent shift) — so the
+# only rounding in the whole EMA is the additions, which both engines
+# run in the same index order (the _DUCK_COS sequential-fold
+# discipline). An α that is not a dyadic rational would put a libm
+# pow() in the hot path, where engines may differ in the last ulp.
+_EMA_FRAME = 8  # current row + 7 preceding
+
+_ORACLE_WIN_EMA = f"""
+WITH framed AS (
+    SELECT event_id, user_id,
+           -- frame membership is by ROW (the rolling-median rule);
+           -- NULL values are dropped from the fold; value joins the
+           -- ORDER BY because (ts, event_id) is not unique
+           list_filter(list(value) OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST,
+                        value ASC NULLS FIRST
+               ROWS BETWEEN {_EMA_FRAME - 1} PRECEDING AND CURRENT ROW
+           ), x -> x IS NOT NULL) AS arr
+    FROM events
+),
+sized AS (
+    SELECT event_id, user_id, arr, len(arr) AS n FROM framed
+)
+SELECT event_id, user_id,
+       CASE WHEN n = 0 THEN NULL ELSE
+           (floor(list_sum(list_transform(range(1, n + 1),
+               j -> arr[CAST(j AS BIGINT)]
+                    * (CASE WHEN j = 1
+                            THEN 1.0 / CAST(1 << (n - 1) AS DOUBLE)
+                            ELSE 1.0 / CAST(1 << (n - j + 1) AS DOUBLE)
+                       END)))
+             * 1000000.0 + 0.5) / 1000000.0)
+       END AS ema8
+FROM sized
+"""
+
+
+@register("win_ema", _ORACLE_WIN_EMA, tags=("window", "smoothing"))
+def win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded exponential moving average (α = ½, last 8 observed
+    values) per user — the monitoring smoother next to the rolling
+    median: recency-weighted, so a level shift shows up in 1-2 events
+    instead of 4. The recursion ``ema_k = (x_k + ema_{k-1})/2`` from
+    a fresh start per frame has the closed form
+    ``Σ_j c_j·x_j`` with ``c_1 = 2^{-(n-1)}``, ``c_j = 2^{-(n-j+1)}``
+    — computed as an explicit index fold so both engines run the
+    identical IEEE ops in the identical order.
+
+    Scale: ONE user-keyed shuffle, O(frame)=8 state per row (an
+    UNBOUNDED ema would be the window-unfriendly recursion; bounding
+    the frame is what makes it a plain window aggregate). The total
+    (ts, event_id, value) sort pins frame membership AND fold order,
+    so the answer is partitioning-independent.
+
+    Hash parity: weights are exact powers of two (exponent shifts);
+    additions run in index order on both engines; 1e-6 round guards
+    transport.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc_nulls_first(),
+            F.col("event_id").asc_nulls_first(),
+            F.col("value").asc_nulls_first(),
+        )
+        .rowsBetween(-(_EMA_FRAME - 1), Window.currentRow)
+    )
+    # collect_list drops NULLs and yields frame (= sort) order
+    framed = e.select(
+        "event_id", "user_id", F.collect_list("value").over(w).alias("arr")
+    )
+    n = F.size("arr")
+    # exact 2^-k weights via a literal lookup (element k+1 = 2^-k):
+    # shiftleft needs a literal bit count, and pow() would put libm
+    # in the parity path — the array literals are exact doubles
+    pow2 = F.array(*[F.lit(0.5**k) for k in range(_EMA_FRAME)])
+    coef = lambda j: F.element_at(  # noqa: E731
+        pow2,
+        (F.when(j == 1, n - 1).otherwise(n - j + 1) + 1).cast("int"),
+    )
+    # greatest(n, 1): sequence(1, 0) would infer step -1 and emit
+    # [1, 0], whose 0 index errors element_at — the n = 0 case is
+    # already forced NULL by the outer branch, this just keeps the
+    # unevaluated expression well-formed
+    weighted = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda j: F.element_at("arr", j.cast("int")) * coef(j),
+    )
+    ema = F.aggregate(
+        weighted, F.lit(0.0).cast("double"), lambda acc, x: acc + x
+    )
+    return framed.select(
+        "event_id",
+        "user_id",
+        F.when(
+            n == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.floor(ema * F.lit(1_000_000.0) + F.lit(0.5))
+            / F.lit(1_000_000.0)
+        ).alias("ema8"),
+    )

@@ -150,7 +150,8 @@ _KEY_ORDER = (
     # sf0.001/0.01/0.1, sweeps, plan asserts). Zero-evidence keys
     # lead the round-9 window head (the r7 precedent), ahead of the
     # r5 refresh block above.
-    "avro_census",
+    "avro_census", "sample_weighted_hash", "embed_outlier_census",
+    "sim_ann_multitable", "text_source_drift", "win_ema", "agg_mad",
     # r7-green block (freshest driver evidence)
     "jsonl_quarantine_shapes", "multimodal_decode_stats",
     "multimodal_audio_stats", "sim_ann_recall_sampled", "csv_quarantine",

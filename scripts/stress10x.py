@@ -128,6 +128,14 @@ OPS = (
     # files grow 10x but the per-file decode is a single pass, and
     # parallelism stays per-file (the binaryFile unit, documented)
     "avro_census",
+    # round-11 growth: multi-table LSH (2x bucket GEMMs — must stay
+    # sub-quadratic like its single-table sibling), the per-dim
+    # outlier gate (two corpus passes, both narrow), the drift grid
+    # (vocab x sources bounded), the weighted sampler (pure map)
+    "sim_ann_multitable",
+    "embed_outlier_census",
+    "text_source_drift",
+    "sample_weighted_hash",
     "join_asof_forward",
     "merge_upsert",
     "scd2_intervals",

@@ -1149,3 +1149,65 @@ def test_pq_codebook_broadcasts_no_python(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+# --- round-8 growth keys -------------------------------------------------
+
+
+def test_weighted_hash_is_narrow_map_one_aggregate(spark, sf_dir):
+    """No shuffle before the census; no join; the md5 predicate is a
+    pure projection. (simple mode: each node printed once.)"""
+    plan = plan_of(spark, "sample_weighted_hash", sf_dir, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1  # the census aggregate only
+    assert "partial_count" in plan_of(spark, "sample_weighted_hash", sf_dir)
+
+
+def test_outlier_census_second_pass_is_narrow_map(spark, sf_dir):
+    """Pass 2 (z-scores vs driver-embedded literals) must be a pure
+    narrow map + one census aggregate: no join, no Python in the
+    returned plan (pass 1's Arrow fold runs eagerly at build time),
+    exactly one exchange."""
+    plan = plan_of(spark, "embed_outlier_census", sf_dir, mode="simple")
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan  # pass 2 is JVM-only
+    assert plan.count("Exchange") == 1
+
+
+def test_multitable_is_two_bucket_gemms_no_cartesian(spark, sf_dir):
+    """Two independent bucket-keyed FlatMapGroups (one per hyperplane
+    table), no cartesian; the combine is a WindowGroupLimit (per-
+    partition top-1 heap below the final query-keyed exchange)."""
+    plan = plan_of(spark, "sim_ann_multitable", sf_dir, mode="simple")
+    assert plan.count("FlatMapGroupsInPandas") == 2
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_source_drift_grid_broadcasts_small_sides(spark, sf_dir):
+    """The |sources|x|vocab| grid joins broadcast the bounded sides;
+    no cartesian anywhere (the sources x vocab cross join rides a
+    broadcast of the |sources|-row side)."""
+    plan = plan_of(spark, "text_source_drift", sf_dir, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_win_ema_one_exchange_no_join(spark, sf_dir):
+    plan = plan_of(spark, "win_ema", sf_dir, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1  # the user-keyed window sort
+
+
+def test_agg_mad_broadcasts_medians_onto_rows(spark, sf_dir):
+    """The group medians (5 rows) ride broadcast joins back onto the
+    fact rows; both median passes partition on the same key."""
+    plan = plan_of(spark, "agg_mad", sf_dir, mode="simple")
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_avro_census_decode_is_single_pass(spark, sf_dir):
+    plan = plan_of(spark, "avro_census", sf_dir, mode="simple")
+    assert plan.count("MapInPandas") == 1
+    assert "Join" not in plan
