@@ -1244,3 +1244,64 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ma.m").alias("mad_price"),
         )
     )
+
+
+# --- sketch-accuracy contract for approx_count_distinct ---------------
+
+# The driver protocol cannot hash-match an approximate VALUE (the
+# parked agg_approx_distinct lesson: engines' HLL sketches differ),
+# but it CAN hash-match a BOUND: emit the exact distinct count plus a
+# boolean asserting Spark's own HLL landed within the documented
+# error envelope of that exact count. The oracle states the CONTRACT
+# (exact count + literal TRUE): if the sketch ever drifts outside the
+# envelope, the flag flips and the driver's hash mismatches — turning
+# the sketch's accuracy into driver-checkable evidence instead of a
+# pytest-only claim.
+_ACD_RSD = 0.02          # requested relative standard deviation
+_ACD_BOUND = 0.10        # acceptance envelope: 5 sigma of the rsd
+
+_ORACLE_AGG_ACD_BOUND = f"""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_bound
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "agg_approx_distinct_bound", _ORACLE_AGG_ACD_BOUND,
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL accuracy as a driver-checkable contract: per group, the
+    EXACT distinct part count plus a flag asserting Spark's
+    ``approx_count_distinct`` (rsd 2%) landed within 10% of it. The
+    oracle pins (exact, TRUE) — the approximate value itself never
+    crosses engines (their sketches legitimately differ; the parked
+    ``agg_approx_distinct`` protocol finding), but the accuracy
+    CLAIM does, so a sketch regression flips a hash instead of
+    hiding in a rows-only check.
+
+    Scale: this is the audit shape — exact countDistinct (one
+    dedup shuffle) runs NEXT TO the sketch for the comparison, the
+    same both-plans-by-definition cost as sim_ann_recall; a
+    deployment runs the sketch alone (one map-side-combining pass,
+    no dedup shuffle) once audited. HLL is deterministic for fixed
+    data (hash-based, no RNG), so the flag is stable.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", _ACD_RSD).alias("approx"),
+    )
+    err = F.abs(
+        F.col("approx").cast("double") - F.col("exact_parts").cast("double")
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            err <= F.lit(_ACD_BOUND) * F.col("exact_parts").cast("double")
+        ).alias("within_bound"),
+    )

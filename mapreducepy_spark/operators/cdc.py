@@ -236,3 +236,133 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         dround("o_totalprice").alias("price"),
     )
+
+
+# --- point-in-time (feature-store) join over the SCD2 dimension ------
+
+# The probe scd2_intervals' docstring promises: for each event, the
+# dimension VERSION whose half-open [valid_from, valid_to) interval
+# contains the event time. Because the versions TILE each key's
+# timeline (valid_to = next valid_from), containment is exactly
+# "latest valid_from <= ts" — the as-of backward carry — with one
+# subtlety: duplicate valid_from dates create zero-length intervals
+# that contain nothing, and the max-struct carry's (valid_from,
+# version) order picks the HIGHEST version among the tie, which is
+# precisely the row whose valid_to extends past the tie date. So the
+# PIT join is join_asof's union-timeline plan probing scd2's output:
+# one shuffle, no join node, O(1) state per row.
+
+_ORACLE_JOIN_PIT = f"""
+WITH v AS (
+    SELECT o_custkey AS custkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w AS valid_to,
+           o_orderkey AS orderkey
+    FROM orders
+    WHERE COALESCE(o_custkey % 10, 0) = 0 AND o_custkey IS NOT NULL
+    WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC NULLS LAST
+    )
+),
+e AS (
+    SELECT event_id, user_id, ts,
+           row_number() OVER (ORDER BY event_id, user_id, ts) AS rid
+    FROM events
+    WHERE user_id IS NOT NULL AND user_id % 10 = 0
+)
+SELECT event_id, user_id, ts, version, orderkey, valid_from
+FROM (
+    SELECT e.event_id, e.user_id, e.ts, e.rid,
+           v.version, v.orderkey, v.valid_from,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.rid ORDER BY v.version DESC NULLS LAST
+           ) AS rn
+    FROM e
+    LEFT JOIN v
+      ON e.user_id = v.custkey
+     AND v.valid_from <= e.ts
+     AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+) t
+WHERE rn = 1
+"""
+
+
+@register("join_point_in_time", _ORACLE_JOIN_PIT, tags=("join", "asof", "cdc"))
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each event (of the SCD2-sharded users)
+    picks the dimension VERSION valid at its timestamp — the
+    feature-store primitive that makes training features leakage-free
+    (a model must see the attribute value AS OF the event, never a
+    later revision). Probes the exact version chain
+    ``scd2_intervals`` emits.
+
+    Scale: the ``join_asof`` union-timeline plan, UNCHANGED — union
+    the version starts and the events on one per-user timeline,
+    carry the running max(struct(valid_from, version, orderkey)),
+    keep event rows. ONE shuffle, no join node, no per-event version
+    fan-out; half-open tiling makes "latest start <= ts" equal to
+    interval containment, and the struct order resolves zero-length
+    versions (duplicate dates) to the surviving one.
+
+    NULL semantics: NULL-ts events sort first (asc) and see an empty
+    backward frame ⇒ NULL version, matching the oracle's
+    ``valid_from <= NULL`` never-true; NULL-date versions are
+    filtered from the timeline like join_asof's NULL-key rule.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & (F.col("user_id") % 10 == 0)
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.coalesce(F.col("o_custkey") % 10, F.lit(0)) == 0)
+        & F.col("o_custkey").isNotNull()
+    )
+    wv = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last(),
+    )
+    versions = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.row_number().over(wv).cast("bigint").alias("version"),
+        F.col("o_orderkey").alias("orderkey"),
+    ).filter(F.col("t").isNotNull())
+    ev = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<valid_from:timestamp,version:bigint,orderkey:bigint>")
+        .alias("ver"),
+    )
+    vd = versions.select(
+        "user_id",
+        "t",
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.struct(
+            F.col("t").alias("valid_from"), "version", "orderkey"
+        ).alias("ver"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_event").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.unionByName(vd)
+        .withColumn("best", F.max("ver").over(w))
+        .filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("best.version").alias("version"),
+            F.col("best.orderkey").alias("orderkey"),
+            F.col("best.valid_from").alias("valid_from"),
+        )
+    )

@@ -280,3 +280,120 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("bigint").alias("max_doc_id"),
         )
     )
+
+
+# --- schema evolution: mergeSchema over heterogeneous part files -----
+
+def ensure_evolved_fixture(sf_dir: str) -> str:
+    """Write the schema-evolution twin of documents: part-0 carries
+    the ORIGINAL five columns (even doc_ids), part-1 adds a sixth
+    ``quality_u`` column (odd doc_ids; value = (doc_id % 100)·10⁴ —
+    deterministic so the oracle can re-derive it). Both parts are
+    pyarrow-written (foreign writer), cache keyed by source content
+    (mtime+size), atomic tmp+rename — the ensure_partitioned_fixture
+    discipline."""
+    import hashlib
+    import os
+    import shutil
+    import threading
+    import uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..sources.jsonl import _fixture_root
+
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    st = os.stat(src)
+    key = f"{src}\x00{st.st_mtime_ns}\x00{st.st_size}\x00evolved"
+    out = os.path.join(
+        _fixture_root(),
+        hashlib.sha1(key.encode()).hexdigest()[:16],
+        "documents_evolved",
+    )
+    if os.path.isdir(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tmp = (
+        f"{out}.tmp.{os.getpid()}.{threading.get_ident()}"
+        f".{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        os.makedirs(tmp, exist_ok=True)
+        t = pq.read_table(src)
+        ids = t["doc_id"].to_pandas()  # Int64-capable; NULLs -> NaN
+        # NULL doc_ids go to the OLD-schema part (mod NULL = NULL is
+        # never 1) — quarantine rows never gain new columns
+        odd_mask = pa.array(
+            [(v is not None and not pd.isna(v) and int(v) % 2 == 1)
+             for v in ids],
+            type=pa.bool_(),
+        )
+        pq.write_table(
+            t.filter(pc.invert(odd_mask)), f"{tmp}/part-0.parquet"
+        )
+        new = t.filter(odd_mask)
+        quality_u = pa.array(
+            [int(v) % 100 * 10_000 for v in new["doc_id"].to_pandas()],
+            type=pa.int64(),
+        )
+        new = new.append_column("quality_u", quality_u)
+        pq.write_table(new, f"{tmp}/part-1.parquet")
+        os.rename(tmp, out)
+    except OSError:
+        if not os.path.isdir(out):
+            raise
+    finally:
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_ORACLE_SCAN_SCHEMA_MERGE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_with_quality,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN (doc_id % 100) * 10000
+                     ELSE 0 END) AS BIGINT) AS sum_quality_u
+FROM documents
+GROUP BY lang
+"""
+
+
+@register(
+    "scan_schema_merge", _ORACLE_SCAN_SCHEMA_MERGE,
+    tags=("scan", "schema"),
+)
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across part files: the corpus lands as one
+    old-schema part and one part carrying an ADDED column, and the
+    read must unify them (``mergeSchema``) with NULL-fill for the
+    old rows — the lake reality every long-lived dataset hits the
+    day a column is added. The census counts non-NULL occurrences
+    and sums the new column per language; the oracle re-derives both
+    from the construction rule over the FLAT original, so a green
+    hash proves the merged read dropped no row, invented no value,
+    and NULL-filled exactly the old part.
+
+    Scale: ``mergeSchema`` reconciles FOOTERS at planning time (cost
+    ~ #files, not bytes — at 100 TB prefer an explicit contract
+    schema on the reader, which skips footer reconciliation
+    entirely; both paths NULL-fill identically, and this key pins
+    that semantic). The census is one map-side-combining aggregate.
+    """
+    path = ensure_evolved_fixture(sf_dir)
+    docs = spark.read.option("mergeSchema", "true").parquet(path)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("quality_u").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_with_quality"),
+        F.sum(F.coalesce(F.col("quality_u"), F.lit(0)))
+        .cast("bigint")
+        .alias("sum_quality_u"),
+    )

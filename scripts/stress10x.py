@@ -136,6 +136,10 @@ OPS = (
     "embed_outlier_census",
     "text_source_drift",
     "sample_weighted_hash",
+    # the PIT probe (union-timeline, must stay join-free and
+    # event-linear at 10x) and the HLL accuracy audit (one scan)
+    "join_point_in_time",
+    "agg_approx_distinct_bound",
     "join_asof_forward",
     "merge_upsert",
     "scd2_intervals",

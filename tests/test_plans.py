@@ -1211,3 +1211,28 @@ def test_avro_census_decode_is_single_pass(spark, sf_dir):
     plan = plan_of(spark, "avro_census", sf_dir, mode="simple")
     assert plan.count("MapInPandas") == 1
     assert "Join" not in plan
+
+
+def test_point_in_time_is_union_timeline_no_join(spark, sf_dir):
+    """The PIT join must ride join_asof's union-timeline plan: no
+    join node, one user-keyed exchange, version shards filtered at
+    the scans (pushed predicates on custkey/user_id)."""
+    plan = plan_of(spark, "join_point_in_time", sf_dir, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + version rank
+    assert "PushedFilters" in plan_of(spark, "join_point_in_time", sf_dir)
+
+
+def test_approx_bound_single_aggregate_both_measures(spark, sf_dir):
+    """Exact countDistinct and the HLL sketch must ride ONE
+    aggregation pipeline over one scan — the audit never scans
+    twice."""
+    plan = plan_of(spark, "agg_approx_distinct_bound", sf_dir, mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "approx_count_distinct" in plan
+
+
+def test_schema_merge_census_is_one_scan_one_aggregate(spark, sf_dir):
+    plan = plan_of(spark, "scan_schema_merge", sf_dir, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
