@@ -1305,3 +1305,122 @@ def agg_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             err <= F.lit(_ACD_BOUND) * F.col("exact_parts").cast("double")
         ).alias("within_bound"),
     )
+
+
+# --- higher moments: skewness / kurtosis -------------------------------
+
+# The A6 completion: third and fourth standardized moments per group,
+# computed from EXACT integer power sums so the result is summation-
+# order-free (the embed-moments discipline). l_discount quantizes to
+# centi-units <= 10, so Σq⁴ <= 1e4·|rows| stays exact in int64 up to
+# ~9e14 rows — far beyond any SF. skew = m3/(m2·√m2): the √·mul form,
+# NOT pow(m2, 1.5) — pow is libm and engines may differ in the last
+# ulp; sqrt is IEEE-exact and the multiply is correctly rounded.
+
+_ORACLE_AGG_MOMENTS = """
+WITH q AS (
+    SELECT l_returnflag,
+           CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS q
+    FROM lineitem WHERE l_discount IS NOT NULL
+),
+sums AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q) AS BIGINT) AS s1,
+           CAST(SUM(q*q) AS BIGINT) AS s2,
+           CAST(SUM(q*q*q) AS BIGINT) AS s3,
+           CAST(SUM(q*q*q*q) AS BIGINT) AS s4
+    FROM q GROUP BY l_returnflag
+),
+mom AS (
+    SELECT l_returnflag, n,
+           CAST(s1 AS DOUBLE) / n AS mu,
+           CAST(s2 AS DOUBLE) / n AS r2,
+           CAST(s3 AS DOUBLE) / n AS r3,
+           CAST(s4 AS DOUBLE) / n AS r4
+    FROM sums
+),
+cm AS (
+    SELECT l_returnflag, n, mu,
+           r2 - mu * mu AS m2,
+           r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+           r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+              - 3.0 * mu * mu * mu * mu AS m4
+    FROM mom
+)
+SELECT l_returnflag, n,
+       (floor((mu / 100.0) * 1000000.0 + 0.5) / 1000000.0) AS mean_disc,
+       (floor(m2 * 1000000.0 + 0.5) / 1000000.0) AS m2_centi,
+       (floor((m3 / NULLIF(m2 * sqrt(m2), 0.0)) * 1000000.0 + 0.5)
+           / 1000000.0) AS skewness,
+       (floor((m4 / NULLIF(m2 * m2, 0.0) - 3.0) * 1000000.0 + 0.5)
+           / 1000000.0) AS excess_kurtosis
+FROM cm
+"""
+
+
+@register("agg_moments", _ORACLE_AGG_MOMENTS, tags=("agg", "stats"))
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis of the discount distribution per
+    return flag — the distribution-shape card next to ``agg_stats``'
+    spread measures (a quality gate reads skew/kurtosis to detect a
+    clipped or bimodal metric before alerting on its mean). Engine
+    builtins are NOT used (their correction conventions differ);
+    both sides derive population moments from exact integer power
+    sums with the identical raw→central algebra.
+
+    Scale: ONE map-side-combining aggregation (five integer sums per
+    group); the moment algebra runs on the |groups|-row result. The
+    quantization bound is schema-level (centi-units ≤ 10 ⇒ Σq⁴
+    exact past 9e14 rows), so the plan is exact at any fixture SF
+    and documents its own overflow horizon.
+
+    Hash parity: power sums are exact BIGINTs; mu/m2/m3/m4 and both
+    ratios are identical IEEE expression shapes (√·mul, never
+    pow(x, 1.5)); 1e-6 round guards transport. Zero-variance groups
+    yield NULL skew/kurtosis via the NULLIF guard on both engines.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount").isNotNull()
+    )
+    q = F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    sums = li.select("l_returnflag", q.alias("q")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q"))
+        .cast("bigint")
+        .alias("s3"),
+        F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q"))
+        .cast("bigint")
+        .alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    r2 = F.col("s2").cast("double") / F.col("n")
+    r3 = F.col("s3").cast("double") / F.col("n")
+    r4 = F.col("s4").cast("double") / F.col("n")
+    m2 = r2 - mu * mu
+    m3 = r3 - F.lit(3.0) * mu * r2 + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        r4
+        - F.lit(4.0) * mu * r3
+        + F.lit(6.0) * mu * mu * r2
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    rnd = lambda c: (  # noqa: E731
+        F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)
+    )
+    denom_skew = F.nullif(m2 * F.sqrt(m2), F.lit(0.0))
+    denom_kurt = F.nullif(m2 * m2, F.lit(0.0))
+    return sums.select(
+        "l_returnflag",
+        "n",
+        rnd(mu / F.lit(100.0)).alias("mean_disc"),
+        rnd(m2).alias("m2_centi"),
+        rnd(m3 / denom_skew).alias("skewness"),
+        rnd(m4 / denom_kurt - F.lit(3.0)).alias("excess_kurtosis"),
+    )

@@ -1236,3 +1236,12 @@ def test_schema_merge_census_is_one_scan_one_aggregate(spark, sf_dir):
     plan = plan_of(spark, "scan_schema_merge", sf_dir, mode="simple")
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_moments_one_scan_one_aggregate(spark, sf_dir):
+    """Five integer power sums ride ONE map-side-combining aggregate
+    over one scan — never a pass per moment."""
+    plan = plan_of(spark, "agg_moments", sf_dir, mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan_of(spark, "agg_moments", sf_dir)

@@ -412,3 +412,34 @@ def test_asof_forward_matches_bruteforce(spark, sf_dir):
         else:
             assert (str(int(t.o_orderkey)), str(t.o_orderdate)) == w, t
     assert len(got) == len(e)
+
+
+# --- agg_moments vs numpy moment formulas -------------------------------
+
+
+def test_moments_match_numpy(spark, sf_dir):
+    got = (
+        CATALOG["agg_moments"]
+        .builder(spark, sf_dir)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    li = _pq(sf_dir, "lineitem")
+    li = li[li.l_discount.notna()]
+    for flag, g in li.groupby("l_returnflag"):
+        q = np.floor(g["l_discount"].to_numpy(np.float64) * 100 + 0.5)
+        mu, m2 = q.mean(), ((q - q.mean()) ** 2).mean()
+        m3 = ((q - q.mean()) ** 3).mean()
+        m4 = ((q - q.mean()) ** 4).mean()
+        assert int(got.loc[flag, "n"]) == len(q)
+        assert got.loc[flag, "mean_disc"] == pytest.approx(
+            mu / 100, abs=2e-6
+        )
+        assert got.loc[flag, "m2_centi"] == pytest.approx(m2, abs=2e-6)
+        if m2 > 0:
+            assert got.loc[flag, "skewness"] == pytest.approx(
+                m3 / m2**1.5, abs=1e-4
+            )
+            assert got.loc[flag, "excess_kurtosis"] == pytest.approx(
+                m4 / m2**2 - 3, abs=1e-4
+            )
