@@ -366,3 +366,29 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.valid_from").alias("valid_from"),
         )
     )
+
+
+def pit_versions(orders: DataFrame) -> DataFrame:
+    """The MATERIALIZED SCD2 dimension the streaming PIT twin probes:
+    (custkey, version, valid_from, valid_to, orderkey) for the %10
+    shard — the same version chain ``join_point_in_time`` walks with
+    its join-free carry, here as the explicit table a deployment
+    would persist (the dimension IS materialized in a feature store;
+    only the batch backfill gets to fuse the derivation and the probe
+    into one window)."""
+    o = orders.filter(
+        (F.coalesce(F.col("o_custkey") % 10, F.lit(0)) == 0)
+        & F.col("o_custkey").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last(),
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.col("o_orderkey").alias("orderkey"),
+    )

@@ -102,3 +102,43 @@ def last_touch(pairs: DataFrame) -> DataFrame:
             F.col("best.view_ts").alias("view_ts"),
         )
     )
+
+
+def pit_enrich(events: DataFrame, versions: DataFrame) -> DataFrame:
+    """Stream-STATIC point-in-time enrichment: each (sharded) event
+    picks the SCD2 dimension version valid at its timestamp — the
+    online half of ``operators.cdc.join_point_in_time`` (whose batch
+    backfill fuses derivation and probe into one window; a live
+    stream probes the MATERIALIZED dimension instead).
+
+    Stream-static joins keep NO state: every micro-batch joins
+    against the static table as-of that batch, which is exactly the
+    feature-store read path (the dimension is broadcast when small —
+    at 100 TB of events the static version table is keys × versions,
+    usually broadcastable; otherwise it shuffles once per batch).
+    The interval predicate (non-equi on ts) is allowed because the
+    static side needs no watermark eviction. LEFT join keeps
+    pre-first-version events with NULL attributes — the batch twin's
+    contract, replay-pinned by tests/test_streaming.py.
+    """
+    e = events.filter(
+        F.col("user_id").isNotNull() & (F.col("user_id") % 10 == 0)
+    ).alias("e")
+    v = versions.alias("v")
+    return e.join(
+        v,
+        (F.col("e.user_id") == F.col("v.custkey"))
+        & (F.col("v.valid_from") <= F.col("e.ts"))
+        & (
+            F.col("v.valid_to").isNull()
+            | (F.col("e.ts") < F.col("v.valid_to"))
+        ),
+        "left",
+    ).select(
+        "e.event_id",
+        "e.user_id",
+        "e.ts",
+        "v.version",
+        "v.orderkey",
+        "v.valid_from",
+    )

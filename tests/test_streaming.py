@@ -534,3 +534,31 @@ def test_silent_user_alerts_fire_on_event_time_timeout(spark, tmp_path):
         "2024-01-01 01:00:00",
         "2024-01-01 00:30:00",
     ]
+
+
+def test_pit_enrich_stream_matches_batch_point_in_time(
+    spark, sf_dir, events_dir
+):
+    """Stream-static PIT enrichment: replaying the events fixture
+    through a file-source stream against the MATERIALIZED SCD2
+    dimension must equal the batch join_point_in_time key (which
+    fuses dimension derivation and probe into one window). Half-open
+    interval containment guarantees at most one version matches, so
+    the stream-static LEFT join emits exactly one row per sharded
+    event — no downstream compact needed."""
+    from mapreducepy_spark.operators.cdc import pit_versions
+    from mapreducepy_spark.registry import load_catalog
+    from mapreducepy_spark.streaming import joins as sj
+
+    versions = pit_versions(load(spark, sf_dir, "orders"))
+    stream = sw.read_events_stream(spark, events_dir)
+    got = sw.run_available_now(
+        sj.pit_enrich(stream, versions), "t_pit", spark
+    ).toPandas()
+    want = (
+        load_catalog()["join_point_in_time"]
+        .builder(spark, sf_dir)
+        .toPandas()
+    )
+    assert len(got) > 0
+    assert canon_frame(got) == canon_frame(want)
