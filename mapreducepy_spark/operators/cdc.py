@@ -392,3 +392,110 @@ def pit_versions(orders: DataFrame) -> DataFrame:
         F.lead("o_orderdate").over(w).alias("valid_to"),
         F.col("o_orderkey").alias("orderkey"),
     )
+
+
+# --- dimension churn between two point-in-time snapshots ---------------
+
+# Two PIT lookups at literal dates over the same version chain, full-
+# outer-compared per key: which dimension keys appeared, disappeared,
+# changed attribute, or held steady between snapshot A and B — the
+# warehouse-maintenance diff a team reads after a backfill ("how much
+# of the dimension did this reload actually move?").
+_SNAP_A = "1996-06-01 00:00:00"
+_SNAP_B = "1999-06-01 00:00:00"
+
+
+def _duck_snapshot(ts: str) -> str:
+    return f"""
+    SELECT custkey, orderkey
+    FROM v
+    WHERE valid_from <= TIMESTAMP '{ts}'
+      AND (valid_to IS NULL OR TIMESTAMP '{ts}' < valid_to)
+"""
+
+
+_ORACLE_CDC_SNAPSHOT_DIFF = f"""
+WITH v AS (
+    SELECT o_custkey AS custkey,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w AS valid_to,
+           o_orderkey AS orderkey
+    FROM orders
+    WHERE COALESCE(o_custkey % 10, 0) = 0 AND o_custkey IS NOT NULL
+      AND o_orderdate IS NOT NULL
+    WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC NULLS LAST
+    )
+),
+a AS ({_duck_snapshot(_SNAP_A)}),
+b AS ({_duck_snapshot(_SNAP_B)}),
+j AS (
+    SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+           a.orderkey AS ok_a, b.orderkey AS ok_b
+    FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+)
+SELECT CASE WHEN ok_a IS NULL THEN 'appeared'
+            WHEN ok_b IS NULL THEN 'disappeared'
+            WHEN ok_a = ok_b THEN 'unchanged'
+            ELSE 'changed' END AS class,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MIN(custkey) AS BIGINT) AS min_key,
+       CAST(MAX(custkey) AS BIGINT) AS max_key
+FROM j
+GROUP BY 1
+"""
+
+
+@register(
+    "cdc_snapshot_diff", _ORACLE_CDC_SNAPSHOT_DIFF, tags=("cdc", "scd2")
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension churn between two point-in-time snapshots: evaluate
+    the SCD2 version chain at two literal dates and classify every
+    key as appeared / disappeared / changed / unchanged — the
+    reload-audit census. ("disappeared" is reachable only through
+    zero-length duplicate-date versions or a NULL-bounded tail, so
+    its absence is itself a signal the chain tiles cleanly.)
+
+    Scale: the version chain derives once (one dimension-keyed
+    window); each snapshot is a FILTER on it (interval containment
+    at a literal — no join, no second pass over orders); the diff is
+    one full-outer join of two key-sized sides, aggregated to four
+    rows. At 100 TB the orders scan dominates and is shared; the
+    snapshots are |keys| rows each.
+
+    Hash parity: pure integer keys/counts; class labels from the
+    identical CASE shape.
+    """
+    versions = pit_versions(load(spark, sf_dir, "orders"))
+    # derive once, filter twice: the chain feeds both snapshots
+    versions = versions.localCheckpoint()
+
+    def snapshot(ts: str, out: str) -> DataFrame:
+        return versions.filter(
+            (F.col("valid_from") <= F.lit(ts).cast("timestamp"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.lit(ts).cast("timestamp") < F.col("valid_to"))
+            )
+        ).select("custkey", F.col("orderkey").alias(out))
+
+    a = snapshot(_SNAP_A, "ok_a").alias("a")
+    b = snapshot(_SNAP_B, "ok_b").alias("b")
+    j = a.join(b, F.col("a.custkey") == F.col("b.custkey"), "full").select(
+        F.coalesce(F.col("a.custkey"), F.col("b.custkey")).alias("custkey"),
+        "ok_a",
+        "ok_b",
+    )
+    cls = (
+        F.when(F.col("ok_a").isNull(), "appeared")
+        .when(F.col("ok_b").isNull(), "disappeared")
+        .when(F.col("ok_a") == F.col("ok_b"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.groupBy(cls.alias("class")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.min("custkey").cast("bigint").alias("min_key"),
+        F.max("custkey").cast("bigint").alias("max_key"),
+    )

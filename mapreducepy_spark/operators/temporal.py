@@ -1519,3 +1519,104 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_events"),
         )
     )
+
+
+# --- rate-burst detection over tumbling buckets ------------------------
+
+# events_anomaly flags VALUE outliers; this flags RATE bursts — the
+# ops-monitoring sibling: a 10-minute bucket whose event count
+# exceeds _BURST_FACTOR x the trailing mean of the previous
+# _BURST_TRAIL present buckets of the same type. Trailing stats are
+# over PRESENT buckets (empty buckets emit no row — densifying the
+# bucket axis first is events_gap_fill's job and would make "burst"
+# relative to calendar time instead of activity; both semantics are
+# legitimate, this key pins the activity-relative one).
+_BURST_TRAIL = 6
+_BURST_FACTOR = 3.0
+
+_ORACLE_EVENTS_BURST = f"""
+WITH b AS (
+    SELECT event_type, time_bucket(INTERVAL '10 minutes', ts) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+),
+t AS (
+    SELECT event_type, bucket, n_events,
+           SUM(n_events) OVER w AS tsum,
+           COUNT(*) OVER w AS tcnt
+    FROM b
+    WINDOW w AS (
+        PARTITION BY event_type ORDER BY bucket ASC
+        ROWS BETWEEN {_BURST_TRAIL} PRECEDING AND 1 PRECEDING
+    )
+)
+SELECT event_type, bucket, n_events,
+       (floor((CAST(tsum AS DOUBLE) / tcnt) * 1000000.0 + 0.5)
+           / 1000000.0) AS trail_avg,
+       CASE WHEN tcnt >= 3
+             AND CAST(n_events AS DOUBLE)
+                 > {_BURST_FACTOR} * (CAST(tsum AS DOUBLE) / tcnt)
+            THEN 1 ELSE 0 END AS is_burst
+FROM t
+"""
+
+
+@register("events_burst_detect", _ORACLE_EVENTS_BURST, tags=("temporal", "quality"))
+def events_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-burst detection: per event type, flag 10-minute buckets
+    whose count exceeds 3x the trailing mean of the previous (up to
+    6) active buckets — the rate-anomaly monitor next to
+    ``events_anomaly``'s value z-scores (a bot flood or a retry storm
+    moves the RATE long before any value distribution shifts). A
+    minimum of 3 trailing buckets gates the flag so cold starts
+    don't alarm.
+
+    Scale: the tumbling count collapses the stream to |types|x
+    |buckets| rows map-side; ONE type-keyed exchange then serves the
+    trailing window. The trailing mean is sum/count over the frame —
+    computed as the explicit division (never the engine's AVG, whose
+    internal accumulation is engine-specific over frames).
+
+    Hash parity: counts exact; the division and the 3x compare are
+    the identical IEEE shape on both engines (the compare runs on
+    the unrounded quotient; 1e-6 round guards only the emitted
+    column).
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    b = (
+        e.groupBy(
+            "event_type", F.window("ts", "10 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "event_type", F.col("w.start").alias("bucket"), "n_events"
+        )
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(-_BURST_TRAIL, -1)
+    )
+    tsum = F.sum("n_events").over(wt)
+    tcnt = F.count(F.lit(1)).over(wt)
+    avg = tsum.cast("double") / tcnt
+    return b.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        (
+            F.floor(avg * F.lit(1_000_000.0) + F.lit(0.5))
+            / F.lit(1_000_000.0)
+        ).alias("trail_avg"),
+        F.when(
+            (tcnt >= 3)
+            & (F.col("n_events").cast("double") > F.lit(_BURST_FACTOR) * avg),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_burst"),
+    )

@@ -153,7 +153,8 @@ _KEY_ORDER = (
     "avro_census", "sample_weighted_hash", "embed_outlier_census",
     "sim_ann_multitable", "text_source_drift", "win_ema", "agg_mad",
     "join_point_in_time", "agg_approx_distinct_bound",
-    "scan_schema_merge", "agg_moments",
+    "scan_schema_merge", "agg_moments", "events_burst_detect",
+    "cdc_snapshot_diff",
     # r7-green block (freshest driver evidence)
     "jsonl_quarantine_shapes", "multimodal_decode_stats",
     "multimodal_audio_stats", "sim_ann_recall_sampled", "csv_quarantine",

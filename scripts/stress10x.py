@@ -140,6 +140,7 @@ OPS = (
     # event-linear at 10x) and the HLL accuracy audit (one scan)
     "join_point_in_time",
     "agg_approx_distinct_bound",
+    "events_burst_detect",
     "join_asof_forward",
     "merge_upsert",
     "scd2_intervals",

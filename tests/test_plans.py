@@ -1245,3 +1245,20 @@ def test_moments_one_scan_one_aggregate(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") == 1
     assert "partial_sum" in plan_of(spark, "agg_moments", sf_dir)
+
+
+def test_burst_detect_one_type_exchange(spark, sf_dir):
+    """Tumbling count collapses map-side; ONE type-keyed exchange
+    serves the trailing window. No join."""
+    plan = plan_of(spark, "events_burst_detect", sf_dir, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial_count" in plan_of(spark, "events_burst_detect", sf_dir)
+
+
+def test_snapshot_diff_derives_chain_once(spark, sf_dir):
+    """Both snapshots must FILTER the one checkpointed version chain
+    — two scans of the checkpoint, never two windows over orders."""
+    plan = plan_of(spark, "cdc_snapshot_diff", sf_dir, mode="simple")
+    assert plan.count("Scan ExistingRDD") == 2  # the checkpoint, twice
+    assert plan.count("Window") == 0  # chain derived before the plan
