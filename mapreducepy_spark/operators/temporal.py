@@ -1036,10 +1036,17 @@ def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     divided once as double in the identical formula shape
     (events_session_stats rule).
     """
+    # st feeds FOUR plan subtrees (the session count, the per-type
+    # singles, and both sides of the pair self-join): without a cut,
+    # each consumer re-executes the two sessionization windows over
+    # the full event stream — measured 19x wall on 10x data in the
+    # round-11 stress sweep (4 recomputes of a 10x window), 2.3x
+    # after this checkpoint. The shingle-index rule, applied here.
     st = (
         _sessionized(spark, sf_dir)
         .select("user_id", "session_seq", "event_type")
         .distinct()
+        .localCheckpoint()
     )
     n = st.select("user_id", "session_seq").distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions")
