@@ -76,6 +76,10 @@ PORTABLE = (
     "join_late_shipments", "agg_nation_profit",
     "join_supplier_part_count", "agg_quantile_cont", "orc_census",
     "scan_partition_prune", "win_cum_distinct",
+    # round-8 growth keys, portability verified empirically
+    "avro_census", "scan_schema_merge", "agg_mad", "agg_moments",
+    "agg_approx_distinct_bound", "join_point_in_time",
+    "cdc_snapshot_diff",
 )
 
 
