@@ -1597,3 +1597,106 @@ def text_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term_u").cast("bigint").alias("chi2_u"),
         )
     )
+
+
+# --- language-ID quality card (per-class precision/recall/F1) ---------
+
+_ORACLE_TEXT_LANGID_QUALITY = f"""
+WITH cm AS ({_duck_langid()}),
+rt AS (
+    SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_actual
+    FROM cm GROUP BY lang
+),
+ct AS (
+    SELECT predicted_lang, CAST(SUM(n_docs) AS BIGINT) AS n_predicted
+    FROM cm GROUP BY predicted_lang
+),
+tp AS (
+    SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS tp
+    FROM cm WHERE lang = predicted_lang GROUP BY lang
+),
+j AS (
+    SELECT rt.lang, rt.n_actual,
+           COALESCE(ct.n_predicted, 0) AS n_predicted,
+           COALESCE(tp.tp, 0) AS tp
+    FROM rt
+    LEFT JOIN ct ON ct.predicted_lang = rt.lang
+    LEFT JOIN tp ON tp.lang = rt.lang
+),
+pr AS (
+    SELECT lang, n_actual, n_predicted, tp,
+           CAST(tp AS DOUBLE) / NULLIF(n_predicted, 0) AS p,
+           CAST(tp AS DOUBLE) / NULLIF(n_actual, 0) AS r
+    FROM j
+)
+SELECT lang, n_actual, n_predicted, tp,
+       (floor(p * 1000000.0 + 0.5) / 1000000.0) AS precision_,
+       (floor(r * 1000000.0 + 0.5) / 1000000.0) AS recall_,
+       (floor((2.0 * p * r / NULLIF(p + r, 0.0)) * 1000000.0 + 0.5)
+           / 1000000.0) AS f1
+FROM pr
+"""
+
+
+@register(
+    "text_langid_quality", _ORACLE_TEXT_LANGID_QUALITY,
+    tags=("llm", "text", "langid"),
+)
+def text_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the keyword language
+    identifier against the stored labels — the model-eval card a
+    pipeline reads before trusting lang-ID for routing or filtering
+    (the confusion matrix itself is ``text_langid``; this key reduces
+    it to the three numbers per class that gate deployment).
+
+    Scale: the corpus-sized work IS ``text_langid``'s one token pass;
+    everything here is algebra on the ≤|langs|² matrix (class-count
+    rows — three tiny aggregates and two broadcast-sized joins).
+
+    Hash parity: tp/fp/fn are exact integers; precision/recall/F1
+    are the identical division shapes with NULLIF zero-guards
+    (a class never predicted has NULL precision on both engines,
+    never a crash or an engine-specific 0/0).
+    """
+    cm = text_langid(spark, sf_dir)
+    rt = cm.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_actual")
+    )
+    ct = cm.groupBy("predicted_lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_predicted")
+    )
+    tp = (
+        cm.filter(F.col("lang") == F.col("predicted_lang"))
+        .groupBy("lang")
+        .agg(F.sum("n_docs").cast("bigint").alias("tp"))
+    )
+    j = (
+        rt.join(
+            F.broadcast(ct),
+            rt.lang == ct.predicted_lang,
+            "left",
+        )
+        .join(F.broadcast(tp), "lang", "left")
+        .select(
+            "lang",
+            "n_actual",
+            F.coalesce("n_predicted", F.lit(0)).alias("n_predicted"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    p = F.col("tp").cast("double") / F.nullif(
+        F.col("n_predicted"), F.lit(0)
+    )
+    r = F.col("tp").cast("double") / F.nullif(F.col("n_actual"), F.lit(0))
+    rnd = lambda c: (  # noqa: E731
+        F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)
+    )
+    return j.select(
+        "lang",
+        "n_actual",
+        "n_predicted",
+        "tp",
+        rnd(p).alias("precision_"),
+        rnd(r).alias("recall_"),
+        rnd(F.lit(2.0) * p * r / F.nullif(p + r, F.lit(0.0))).alias("f1"),
+    )
