@@ -112,6 +112,17 @@ _KNOWN_COSTS: dict[str, tuple[float, str]] = {
         "(sim_ann_recall_sampled); this key keeps the exhaustive "
         "contract so the oracle stays exact. Ceiling = 3 s.",
     ),
+    "agg_approx_distinct_bound": (
+        3.0,
+        "the HLL accuracy audit runs the EXACT countDistinct next to "
+        "the sketch by definition (the oracle pins the exact count; "
+        "the flag certifies the sketch against it) — the "
+        "sim_ann_recall audit shape. Isolated min-of-5 floor r8: "
+        "1.61 s quiet AND 1.65 s under full-suite contention; inside "
+        "a full 203-key bench session the same plan reads 2.2-2.4 s "
+        "(accumulated JVM/GC state, not a plan change). A deployment "
+        "runs the sketch alone once audited. Ceiling = 3 s.",
+    ),
     "sim_ann_recall_sampled": (
         3.0,
         "the deployment shape of sim_ann_recall: full ANN output "
