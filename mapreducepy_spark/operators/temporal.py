@@ -1627,3 +1627,150 @@ def events_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_burst"),
     )
+
+
+# --- funnel conversion timing ------------------------------------------
+
+# events_funnel counts WHO converts; this measures HOW FAST — the
+# p50/p90 delay between funnel stages, the product metric that decides
+# where the funnel leaks time. Delays are exact integer microsecond
+# gaps between the staged minima; quantiles are the shared type-7
+# rank-pick algebra (agg_quantile_cont), never an engine builtin.
+
+_ORACLE_EVENTS_FUNNEL_TIMING = """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t1
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    GROUP BY e.user_id
+),
+gaps AS (
+    SELECT 'view>click' AS stage,
+           date_diff('microsecond', v.t1, c.t2) AS gap_us
+    FROM c JOIN v ON v.user_id = c.user_id
+    UNION ALL
+    SELECT 'click>purchase',
+           date_diff('microsecond', c.t2, p.t3)
+    FROM p JOIN c ON c.user_id = p.user_id
+),
+ranked AS (
+    SELECT stage, CAST(gap_us AS DOUBLE) AS g,
+           row_number() OVER (PARTITION BY stage ORDER BY gap_us) AS rn,
+           COUNT(*) OVER (PARTITION BY stage) AS n
+    FROM gaps
+)
+SELECT stage,
+       CAST(MAX(n) AS BIGINT) AS n_users,
+       (floor((MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5 + 1.0) AS BIGINT) THEN g END)
+               + MAX((CAST(n - 1 AS DOUBLE) * 0.5 + 1.0) - floor(CAST(n - 1 AS DOUBLE) * 0.5 + 1.0))
+                 * (COALESCE(MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5 + 1.0) AS BIGINT) + 1 THEN g END),
+                             MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5 + 1.0) AS BIGINT) THEN g END))
+                    - MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5 + 1.0) AS BIGINT) THEN g END)))
+              / 1000000.0 * 1000000.0 + 0.5) / 1000000.0) AS p50_sec,
+       (floor((MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9 + 1.0) AS BIGINT) THEN g END)
+               + MAX((CAST(n - 1 AS DOUBLE) * 0.9 + 1.0) - floor(CAST(n - 1 AS DOUBLE) * 0.9 + 1.0))
+                 * (COALESCE(MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9 + 1.0) AS BIGINT) + 1 THEN g END),
+                             MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9 + 1.0) AS BIGINT) THEN g END))
+                    - MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9 + 1.0) AS BIGINT) THEN g END)))
+              / 1000000.0 * 1000000.0 + 0.5) / 1000000.0) AS p90_sec
+FROM ranked
+GROUP BY stage
+"""
+
+
+@register(
+    "events_funnel_timing", _ORACLE_EVENTS_FUNNEL_TIMING,
+    tags=("temporal", "funnel", "quantile"),
+)
+def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion LATENCY: p50/p90 delay from first view to
+    first subsequent click, and from that click to first subsequent
+    purchase — ``events_funnel`` counts who converts, this measures
+    how fast, which is the number that localizes where a funnel
+    leaks time.
+
+    Scale: the staged-min joins are the proven funnel shape (each
+    stage ≤ one row per user, user-keyed); the quantile pass is the
+    agg_quantile_cont rank-pick over the |converting users| gap rows
+    — two stages share one exchange via the stage partition key.
+
+    Hash parity: gaps are exact integer µs converted once to double
+    (exact below 2^53); the type-7 interpolation is the shared
+    explicit algebra; seconds emerge from one division of the
+    pre-rounded value on both engines.
+    """
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.alias("e")
+        .join(v.alias("v"), "user_id")
+        .filter(
+            (F.col("e.event_type") == "click")
+            & (F.col("e.ts") > F.col("v.t1"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.alias("e")
+        .join(c.alias("c"), "user_id")
+        .filter(
+            (F.col("e.event_type") == "purchase")
+            & (F.col("e.ts") > F.col("c.t2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    g1 = (
+        c.join(v, "user_id")
+        .select(
+            F.lit("view>click").alias("stage"),
+            (F.unix_micros("t2") - F.unix_micros("t1")).alias("gap_us"),
+        )
+    )
+    g2 = (
+        p.join(c, "user_id")
+        .select(
+            F.lit("click>purchase").alias("stage"),
+            (F.unix_micros("t3") - F.unix_micros("t2")).alias("gap_us"),
+        )
+    )
+    gaps = g1.unionByName(g2)
+    w = Window.partitionBy("stage").orderBy("gap_us")
+    wn = Window.partitionBy("stage")
+    ranked = gaps.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    gd = F.col("gap_us").cast("double")
+
+    def interp(pq: float):
+        h = (F.col("n") - 1).cast("double") * F.lit(pq) + F.lit(1.0)
+        lo_rank = F.floor(h).cast("long")
+        lo = F.max(F.when(F.col("rn") == lo_rank, gd))
+        hi = F.max(F.when(F.col("rn") == lo_rank + 1, gd))
+        frac = F.max(h - F.floor(h))
+        val = (lo + frac * (F.coalesce(hi, lo) - lo)) / F.lit(1_000_000.0)
+        return (
+            F.floor(val * F.lit(1_000_000.0) + F.lit(0.5))
+            / F.lit(1_000_000.0)
+        )
+
+    return ranked.groupBy("stage").agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        interp(0.5).alias("p50_sec"),
+        interp(0.9).alias("p90_sec"),
+    )

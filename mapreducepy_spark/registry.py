@@ -154,7 +154,7 @@ _KEY_ORDER = (
     "sim_ann_multitable", "text_source_drift", "win_ema", "agg_mad",
     "join_point_in_time", "agg_approx_distinct_bound",
     "scan_schema_merge", "agg_moments", "events_burst_detect",
-    "cdc_snapshot_diff", "text_langid_quality",
+    "cdc_snapshot_diff", "text_langid_quality", "events_funnel_timing",
     # r7-green block (freshest driver evidence)
     "jsonl_quarantine_shapes", "multimodal_decode_stats",
     "multimodal_audio_stats", "sim_ann_recall_sampled", "csv_quarantine",

@@ -141,6 +141,7 @@ OPS = (
     "join_point_in_time",
     "agg_approx_distinct_bound",
     "events_burst_detect",
+    "events_funnel_timing",
     "join_asof_forward",
     "merge_upsert",
     "scd2_intervals",

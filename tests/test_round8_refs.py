@@ -443,3 +443,56 @@ def test_moments_match_numpy(spark, sf_dir):
             assert got.loc[flag, "excess_kurtosis"] == pytest.approx(
                 m4 / m2**2 - 3, abs=1e-4
             )
+
+
+# --- physical-order invariance of ROWS-frame windows ---------------------
+
+
+@pytest.mark.parametrize(
+    "key", ["win_rolling_median", "win_cum_distinct", "win_ema"]
+)
+def test_rows_frame_windows_are_physical_order_invariant(
+    spark, tmp_path, key
+):
+    """ADVICE r7 reproduced and pinned: with duplicate (ts, event_id)
+    rows, a ROWS frame decides order-ties by PHYSICAL row order
+    unless the window ORDER BY is total — reversing the duplicate
+    rows (and scattering input partitions) must not change any
+    output row. The three bounded/running-frame keys each carry the
+    value tie-break that makes this hold."""
+    import pandas as pd
+
+    from mapreducepy_spark.registry import load_catalog
+
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "view", 10.0, None),
+        (99, "2024-03-03 10:00:00", 6, "view", None, None),
+        (99, "2024-03-03 10:00:00", 6, "view", 7.5, "{}"),
+        (99, "2024-03-03 10:00:00", 6, "click", 2.0, None),
+        (100, "2024-03-03 10:05:00", 6, "view", 1.0, None),
+    ]
+    outs = []
+    for order in ([0, 1, 2, 3, 4], [4, 3, 2, 1, 0]):
+        ev = pd.DataFrame(
+            [rows[i] for i in order],
+            columns=[
+                "event_id", "ts", "user_id", "event_type", "value",
+                "props",
+            ],
+        )
+        ev["event_id"] = ev["event_id"].astype("Int64")
+        ev["ts"] = pd.to_datetime(ev["ts"]).astype("datetime64[us]")
+        d = tmp_path / f"{key}_{order[0]}"
+        d.mkdir()
+        ev.to_parquet(d / "events.parquet", index=False)
+        df = load_catalog()[key].builder(spark, str(d))
+        # scatter the physical layout on top of the file order
+        pdf = (
+            df.repartition(7)
+            .toPandas()
+            .astype(str)
+            .sort_values(list(df.columns))
+            .reset_index(drop=True)
+        )
+        outs.append(pdf)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
