@@ -1262,3 +1262,12 @@ def test_snapshot_diff_derives_chain_once(spark, sf_dir):
     plan = plan_of(spark, "cdc_snapshot_diff", sf_dir, mode="simple")
     assert plan.count("Scan ExistingRDD") == 2  # the checkpoint, twice
     assert plan.count("Window") == 0  # chain derived before the plan
+
+
+def test_funnel_timing_stage_quantiles_share_one_exchange(spark, sf_dir):
+    """Both stage-gap quantile windows ride the stage partition key;
+    the staged mins are user-keyed aggregates — no cartesian, and the
+    gap table never exceeds one row per converting user."""
+    plan = plan_of(spark, "events_funnel_timing", sf_dir, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan_of(spark, "events_funnel_timing", sf_dir)
