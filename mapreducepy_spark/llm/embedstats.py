@@ -824,11 +824,15 @@ e AS (
     FROM v
 ),
 stats AS (
+    -- greatest(var, 0): the Spark side guards var > 0 (a float-
+    -- rounding negative epsilon on a near-constant dimension would
+    -- otherwise make sqrt return NaN here and propagate through
+    -- list_max while Spark drops the dim — ADVICE r8)
     SELECT dim,
            CAST(SUM(qv) AS DOUBLE) / COUNT(*) AS mu_u,
-           sqrt(CAST(SUM(qv * qv) AS DOUBLE) / COUNT(*)
+           sqrt(greatest(CAST(SUM(qv * qv) AS DOUBLE) / COUNT(*)
                 - (CAST(SUM(qv) AS DOUBLE) / COUNT(*))
-                  * (CAST(SUM(qv) AS DOUBLE) / COUNT(*))) AS sd_u
+                  * (CAST(SUM(qv) AS DOUBLE) / COUNT(*)), 0.0)) AS sd_u
     FROM e GROUP BY dim
 ),
 sarr AS (
@@ -840,7 +844,7 @@ sarr AS (
 ),
 z AS (
     SELECT v.label,
-           list_max(list_transform(range(1, 64 + 1),
+           list_max(list_transform(range(1, {_DIM} + 1),
                i -> abs((CAST(v.q[i] AS DOUBLE) - sarr.mu[i])
                         / NULLIF(sarr.sd[i], 0.0)))) AS maxz
     FROM v CROSS JOIN sarr

@@ -507,17 +507,27 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         np.fill_diagonal(sim, -np.inf)  # exclude self
         out_n = np.empty(len(ids), np.int64)
         out_c = np.empty(len(ids), np.float64)
+        keep = np.ones(len(ids), bool)
         for i in range(len(ids)):
-            order = np.lexsort((ids, -sim[i]))
-            j = order[0] if ids[order[0]] != ids[i] else order[1]
+            # mask EVERY same-id candidate (not a one-step fallback):
+            # with 3+ rows sharing a vec_id in one bucket the fallback
+            # could pick a same-id neighbor the oracle's
+            # a.vec_id <> b.vec_id filter rejects (ADVICE r8)
+            masked = np.where(ids == ids[i], -np.inf, sim[i])
+            j = int(np.lexsort((ids, -masked))[0])
+            if masked[j] == -np.inf:
+                keep[i] = False  # bucket holds no distinct-id neighbor
+                continue
             out_n[i] = ids[j]
-            out_c[i] = sim[i, j]
+            out_c[i] = masked[j]
         return pd.DataFrame(
             {
-                "query_id": ids,
-                "neighbor_id": out_n,
-                "bucket": np.full(len(ids), pdf["bucket"].iloc[0], np.int32),
-                "cos_sim": _dround_np(out_c),
+                "query_id": ids[keep],
+                "neighbor_id": out_n[keep],
+                "bucket": np.full(
+                    int(keep.sum()), pdf["bucket"].iloc[0], np.int32
+                ),
+                "cos_sim": _dround_np(out_c[keep]),
             }
         )
 
@@ -638,17 +648,23 @@ def sim_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
             np.fill_diagonal(sim, -np.inf)
             out_n = np.empty(len(ids), np.int64)
             out_c = np.empty(len(ids), np.float64)
+            keep = np.ones(len(ids), bool)
             for i in range(len(ids)):
-                order = np.lexsort((ids, -sim[i]))
-                j = order[0] if ids[order[0]] != ids[i] else order[1]
+                # full same-id mask — see the sim_ann_lsh kernel
+                # (ADVICE r8: this key was the flagged instance)
+                masked = np.where(ids == ids[i], -np.inf, sim[i])
+                j = int(np.lexsort((ids, -masked))[0])
+                if masked[j] == -np.inf:
+                    keep[i] = False
+                    continue
                 out_n[i] = ids[j]
-                out_c[i] = sim[i, j]
+                out_c[i] = masked[j]
             return pd.DataFrame(
                 {
-                    "query_id": ids,
-                    "neighbor_id": out_n,
-                    "cos_sim": _dround_np(out_c),
-                    "src_table": np.full(len(ids), table, np.int32),
+                    "query_id": ids[keep],
+                    "neighbor_id": out_n[keep],
+                    "cos_sim": _dround_np(out_c[keep]),
+                    "src_table": np.full(int(keep.sum()), table, np.int32),
                 }
             )
 
@@ -865,17 +881,24 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         np.fill_diagonal(sim, -np.inf)
         out_n = np.empty(len(ids), np.int64)
         out_c = np.empty(len(ids), np.float64)
+        keep = np.ones(len(ids), bool)
         for i in range(len(ids)):
-            order = np.lexsort((ids, -sim[i]))
-            j = order[0] if ids[order[0]] != ids[i] else order[1]
+            # full same-id mask — see the sim_ann_lsh kernel (ADVICE r8)
+            masked = np.where(ids == ids[i], -np.inf, sim[i])
+            j = int(np.lexsort((ids, -masked))[0])
+            if masked[j] == -np.inf:
+                keep[i] = False
+                continue
             out_n[i] = ids[j]
-            out_c[i] = sim[i, j]
+            out_c[i] = masked[j]
         return pd.DataFrame(
             {
-                "query_id": ids,
-                "neighbor_id": out_n,
-                "cell": np.full(len(ids), pdf["cell"].iloc[0], np.int32),
-                "cos_sim": _dround_np(out_c),
+                "query_id": ids[keep],
+                "neighbor_id": out_n[keep],
+                "cell": np.full(
+                    int(keep.sum()), pdf["cell"].iloc[0], np.int32
+                ),
+                "cos_sim": _dround_np(out_c[keep]),
             }
         )
 

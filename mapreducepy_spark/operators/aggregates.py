@@ -1424,3 +1424,109 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(m3 / denom_skew).alias("skewness"),
         rnd(m4 / denom_kurt - F.lit(3.0)).alias("excess_kurtosis"),
     )
+
+
+# --- quantile-sketch accuracy contract ------------------------------
+
+# The t-digest/GK counterpart of agg_approx_distinct_bound: the
+# quantile sketch every 100 TB deployment uses instead of a per-group
+# sort, audited as a driver-checkable contract. The guarantee being
+# certified is RANK error (approx_percentile with accuracy a has rank
+# error <= 1/a), so the flag asks whether the sketch's pick lies
+# between the exact (q − eps) and (q + eps) DISCRETE quantiles — the
+# value-space image of a ±eps rank window. eps = 0.02 is a 20x
+# envelope over the requested 1/1000 rank error (the _ACD_BOUND
+# discipline: generous enough that sketch-merge nondeterminism can
+# never flip the flag, tight enough that a broken sketch trips it).
+# The approximate VALUE is never emitted — only the exact quantile
+# and the claim cross engines, so partial-merge order cannot touch
+# the hash.
+_AQB_ACC = 1000
+_AQB_EPS = 0.02
+
+_ORACLE_AGG_AQB = """
+WITH ranked AS (
+    SELECT l_returnflag, l_extendedprice,
+           row_number() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice) AS rn,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
+SELECT l_returnflag,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       (floor((MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                        THEN l_extendedprice END)) * 1000000.0 + 0.5)
+        / 1000000.0) AS exact_p50,
+       TRUE AS within_bound
+FROM ranked
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "agg_approx_quantile_bound", _ORACLE_AGG_AQB, tags=("agg", "approx")
+)
+def agg_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch accuracy as a driver-checkable contract: per
+    group, the EXACT discrete median (lower-median rank pick —
+    deterministic under ties because equal values at the boundary
+    rank give the same pick regardless of tie order) plus a flag
+    asserting ``percentile_approx`` (rank accuracy 1/1000) landed
+    inside the exact ±2%-rank value envelope. The oracle pins
+    (exact_p50, TRUE); the sketch value itself never crosses engines
+    (GK-summary merge order is not contractual) — only the accuracy
+    CLAIM does, the ``agg_approx_distinct_bound`` discipline.
+
+    Scale: the audit shape — the exact side costs one group-keyed
+    sort-window (same plan as ``agg_quantile_disc``); a deployment
+    runs the sketch alone (ONE map-side-combining aggregation, no
+    sort, constant memory per group), which is the entire point of
+    auditing it once and trusting it at 100 TB.
+    """
+    from pyspark.sql.window import Window
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .filter(F.col("l_extendedprice").isNotNull())
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").asc()
+    )
+    wn = Window.partitionBy("l_returnflag")
+    r = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    mid = F.ceil(F.lit(0.5) * F.col("n")).cast("long")
+    lo = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.lit(0.5 - _AQB_EPS) * F.col("n")).cast("long"),
+    )
+    hi = F.least(
+        F.col("n").cast("long"),
+        F.ceil(F.lit(0.5 + _AQB_EPS) * F.col("n")).cast("long"),
+    )
+    agg = r.groupBy("l_returnflag").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        dround(
+            F.max(F.when(F.col("rn") == mid, F.col("l_extendedprice"))), 6
+        ).alias("exact_p50"),
+        F.max(F.when(F.col("rn") == lo, F.col("l_extendedprice"))).alias(
+            "lo_val"
+        ),
+        F.max(F.when(F.col("rn") == hi, F.col("l_extendedprice"))).alias(
+            "hi_val"
+        ),
+        F.expr(
+            f"percentile_approx(l_extendedprice, 0.5, {_AQB_ACC})"
+        ).alias("approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_p50",
+        (
+            (F.col("approx") >= F.col("lo_val"))
+            & (F.col("approx") <= F.col("hi_val"))
+        ).alias("within_bound"),
+    )

@@ -902,3 +902,197 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("diff_us"),
     )
+
+
+# --- co-located bucketed join (zero-exchange fact-fact join) ---------
+
+_N_BUCKETS = 8
+
+
+def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders and lineitem as BUCKETED + per-bucket-SORTED
+    tables on their join key, once per fixture content, and return
+    the table names. Content-keyed names (path + mtime_ns + size) so
+    a regenerated fixture mints fresh tables and two sessions over
+    the same bytes share them; ``mode("overwrite")`` makes a fresh
+    in-memory catalog over leftover files self-healing.
+
+    The ``repartition(_N_BUCKETS, key)`` before the write gives ONE
+    file per bucket — multi-file buckets would force a per-bucket
+    sort back into the read side and (pre-Spark-3.0 semantics) extra
+    tasks; one sorted file per bucket is the layout the zero-exchange
+    read relies on.
+    """
+    import hashlib
+    import os
+
+    fps = []
+    for t in ("orders", "lineitem"):
+        src = os.path.abspath(f"{sf_dir}/{t}.parquet")
+        st = os.stat(src)
+        fps.append(f"{src}\x00{st.st_mtime_ns}\x00{st.st_size}")
+    fp = hashlib.sha1("|".join(fps).encode()).hexdigest()[:12]
+    names = (f"orders_bkt_{fp}", f"lineitem_bkt_{fp}")
+    for t, name, key in (
+        ("orders", names[0], "o_orderkey"),
+        ("lineitem", names[1], "l_orderkey"),
+    ):
+        if spark.catalog.tableExists(name):
+            continue
+        # a PREVIOUS session's managed-table directory without a
+        # catalog entry (the in-memory catalog dies with the session)
+        # makes saveAsTable fail LOCATION_ALREADY_EXISTS — remove the
+        # orphan and rebuild; bucket metadata lives in the catalog, so
+        # the files alone cannot be trusted as a bucketed table anyway
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        ).path or "spark-warehouse"
+        orphan = os.path.join(wh, name)
+        if os.path.isdir(orphan):
+            shutil.rmtree(orphan, ignore_errors=True)
+        (
+            load(spark, sf_dir, t)
+            .repartition(_N_BUCKETS, F.col(key))
+            .write.bucketBy(_N_BUCKETS, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return names
+
+
+_ORACLE_JOIN_BUCKETED = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       (floor((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5)
+        / 100.0) AS revenue
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("join_bucketed", _ORACLE_JOIN_BUCKETED, tags=("join", "bucketing"))
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join on CO-LOCATED BUCKETED tables — the
+    100 TB-defining layout decision: both sides are written
+    ``bucketBy(N, join_key)`` + ``sortBy`` so the sort-merge join
+    consumes the bucket layout directly and the plan carries ZERO
+    Exchange on the join key (plan-pinned in tests/test_plans.py).
+    At warehouse scale this is the difference between re-shuffling
+    the two biggest tables on every nightly join and never shuffling
+    them at all — the shuffle is paid ONCE at write time and
+    amortized over every downstream join on that key.
+
+    The ``hint("merge")`` pins the strategy: at test scale orders is
+    broadcast-sized, and a broadcast would silently skip the very
+    machinery this key certifies (at 100 TB neither fact side fits a
+    broadcast, so SMJ-over-buckets is the only plan).
+
+    Hash parity: count/countDistinct are exact; revenue follows the
+    repo's established float-sum-then-dround(2) discipline (same as
+    ``join_shipping_priority``). The oracle re-derives from the FLAT
+    parquet — a green hash proves the bucketed write+read round-trip
+    dropped and duplicated nothing.
+    """
+    o_name, l_name = _ensure_bucketed_tables(spark, sf_dir)
+    o = spark.table(o_name).select("o_orderkey", "o_orderpriority")
+    li = spark.table(l_name).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    j = o.hint("merge").join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+        dround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+# --- as-of join with a staleness tolerance (feature-store TTL) -------
+
+# Max staleness before a carried match is discarded: 25 years in µs.
+# Deliberately large — the fixture's events all post-date the order
+# history by decades (events 2024, orders 1995–2001), so a
+#"realistic" 30-day TTL would degenerate to all-NULL; 25 years
+# splits the corpus ~98/2 fresh/stale, exercising both arms.
+_ASOF_TOL_US = 25 * 365 * 86_400 * 1_000_000
+
+_ORACLE_JOIN_ASOF_TOL = f"""
+WITH e AS (
+    SELECT event_id, user_id, ts,
+           row_number() OVER (ORDER BY event_id, user_id, ts) AS rid
+    FROM events
+),
+best AS (
+    SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+    FROM (
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.rid
+                   ORDER BY o.o_orderdate DESC NULLS LAST,
+                            o.o_orderkey DESC NULLS LAST
+               ) AS rn
+        FROM e
+        LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    ) t
+    WHERE rn = 1
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN fresh THEN o_orderkey END AS o_orderkey,
+       CASE WHEN fresh THEN o_orderdate END AS o_orderdate,
+       CASE WHEN fresh THEN CAST(lag_us AS BIGINT) END AS lag_us
+FROM (
+    SELECT *,
+           epoch_us(ts) - epoch_us(o_orderdate) AS lag_us,
+           o_orderdate IS NOT NULL AND ts IS NOT NULL
+               AND epoch_us(ts) - epoch_us(o_orderdate)
+                   <= {_ASOF_TOL_US} AS fresh
+    FROM best
+) f
+"""
+
+
+@register(
+    "join_asof_tolerance", _ORACLE_JOIN_ASOF_TOL, tags=("join", "asof")
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a MAX-STALENESS bound — the feature-store TTL
+    semantics: the latest at-or-before match only counts if it is
+    fresh enough (here ≤ ``_ASOF_TOL_US``); a staler match is
+    discarded and the event gets NULLs, exactly as if no match
+    existed. A training pipeline uses this to refuse features whose
+    snapshot is too old to be causally meaningful.
+
+    Plan: the proven ``join_asof`` union-window core (ONE user-keyed
+    shuffle, O(1) state, no join node) plus a stateless freshness
+    projection on top — the tolerance adds ZERO shuffle. The naive
+    alternative (join with a two-sided range predicate
+    ``ts - tol <= date <= ts``) re-introduces the per-event history
+    fan-out this formulation exists to avoid.
+
+    Hash parity: lag is exact integer µs; NULL ts / no-match rows
+    take the NULL arm on both engines.
+    """
+    base = join_asof(spark, sf_dir)
+    lag = F.unix_micros("ts") - F.unix_micros("o_orderdate")
+    ok = (
+        F.col("o_orderdate").isNotNull()
+        & F.col("ts").isNotNull()
+        & (lag <= F.lit(_ASOF_TOL_US))
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(ok, F.col("o_orderkey")).alias("o_orderkey"),
+        F.when(ok, F.col("o_orderdate")).alias("o_orderdate"),
+        F.when(ok, lag).cast("bigint").alias("lag_us"),
+    )

@@ -307,7 +307,7 @@ def ensure_evolved_fixture(sf_dir: str) -> str:
 
     src = os.path.abspath(f"{sf_dir}/documents.parquet")
     st = os.stat(src)
-    key = f"{src}\x00{st.st_mtime_ns}\x00{st.st_size}\x00evolved"
+    key = f"{src}\x00{st.st_mtime_ns}\x00{st.st_size}\x00evolved-v2"
     out = os.path.join(
         _fixture_root(),
         hashlib.sha1(key.encode()).hexdigest()[:16],
@@ -325,9 +325,14 @@ def ensure_evolved_fixture(sf_dir: str) -> str:
         t = pq.read_table(src)
         ids = t["doc_id"].to_pandas()  # Int64-capable; NULLs -> NaN
         # NULL doc_ids go to the OLD-schema part (mod NULL = NULL is
-        # never 1) — quarantine rows never gain new columns
+        # never 1) — quarantine rows never gain new columns.
+        # abs() before %: Python modulo follows the divisor's sign,
+        # SQL modulo the dividend's, so a negative doc_id would be
+        # routed/valued differently than the oracle re-derives
+        # (ADVICE r8); abs makes the rule sign-stable and matches the
+        # oracle's abs() exactly.
         odd_mask = pa.array(
-            [(v is not None and not pd.isna(v) and int(v) % 2 == 1)
+            [(v is not None and not pd.isna(v) and abs(int(v)) % 2 == 1)
              for v in ids],
             type=pa.bool_(),
         )
@@ -336,7 +341,7 @@ def ensure_evolved_fixture(sf_dir: str) -> str:
         )
         new = t.filter(odd_mask)
         quality_u = pa.array(
-            [int(v) % 100 * 10_000 for v in new["doc_id"].to_pandas()],
+            [abs(int(v)) % 100 * 10_000 for v in new["doc_id"].to_pandas()],
             type=pa.int64(),
         )
         new = new.append_column("quality_u", quality_u)
@@ -354,9 +359,9 @@ def ensure_evolved_fixture(sf_dir: str) -> str:
 _ORACLE_SCAN_SCHEMA_MERGE = """
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(SUM(CASE WHEN abs(doc_id) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_with_quality,
-       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN (doc_id % 100) * 10000
+       CAST(SUM(CASE WHEN abs(doc_id) % 2 = 1 THEN (abs(doc_id) % 100) * 10000
                      ELSE 0 END) AS BIGINT) AS sum_quality_u
 FROM documents
 GROUP BY lang

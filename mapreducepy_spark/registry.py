@@ -70,23 +70,23 @@ _MODULES = (
 # Explicit catalog order. The driver evaluates ``queries()`` front to
 # back under a bounded budget (every round so far stopped at exactly
 # the first 50 catalog keys), so ordering is evidence policy, not
-# cosmetics. Round-8 policy (VERDICT r7 work order #1):
+# cosmetics. Round-9 policy (VERDICT r8 work order #1):
 #
-# - the window head is the 36 keys with ZERO driver evidence (the
-#   whole round-7 session-growth block: TPC-H completion variants,
-#   as-of forward/nearest, merge/SCD2/unpivot, graph degree/
-#   reachability, reservoir sampling, embedding compression cards,
-#   partition-prune census, gap fill, rolling median, cumulative
-#   distinct, PII census, URL/bitwise functions, payload dedup);
-# - then ``join_asof`` — the single remaining r4-evidence key (the
-#   oldest driver row in the catalog, flagged by VERDICT r7 #2);
-# - then the 13 OLDEST r5-evidence keys, filling the window to
-#   exactly 50. After this lands green, every catalog key rests on
-#   r5-or-newer evidence and none is driver-unseen.
-# - BELOW the 50-key line: the remaining 36 r5-evidence keys (they
-#   lead the round-9 refresh), then the r6-green block, then the
-#   r7-green block (freshest), then — PARKED AT THE VERY TAIL,
-#   permanently — the 3 rows-only-by-design keys
+# - the window head is the 15 round-8 session-growth keys with ZERO
+#   driver evidence (Avro census, point-in-time/CDC, HLL bound,
+#   MAD/moments, EMA, burst/funnel-timing, weighted sampling,
+#   embedding outlier census, multi-table ANN, source drift, langid
+#   quality, schema-merge scan);
+# - then 35 of the 36 remaining r5-evidence keys — the oldest driver
+#   rows left in the catalog — filling the window to exactly 50. The
+#   36th (``distinct_rows``, chosen as the structurally simplest of
+#   the block) waits for r10 and leads the below-window order.
+# - BELOW the 50-key line, in round-10 refresh priority order:
+#   ``distinct_rows`` (last r5 row) + any round-9 session growth
+#   (zero evidence — always rotates into the next head), then the
+#   r6-green block, then the r7-green block, then the r8-green block
+#   (freshest: the whole round-8 window landed 50/50), then — PARKED
+#   AT THE VERY TAIL, permanently — the 3 rows-only-by-design keys
 #   (agg_approx_distinct, sample_fraction, sample_stratified):
 #   rounds 1 AND 4 both recorded ``err: "no_oracle"`` with live
 #   spark_rows — the protocol structurally cannot express a
@@ -98,27 +98,14 @@ _MODULES = (
 # keys silently fell to the alphabetical tail, outside any evidence
 # window); tests/test_sql.py additionally pins the two lists equal.
 _KEY_ORDER = (
-    # ---- round-8 window head: the 36 zero-driver-evidence keys
-    "join_asof_forward", "merge_upsert", "scd2_intervals", "unpivot_long",
-    "graph_degree_stats", "sample_group_reservoir", "embed_top_eigen",
-    "win_first_last", "fn_bitwise", "join_min_cost_supplier",
-    "join_null_safe", "join_lateral_topk", "text_pii_census",
-    "events_peak_concurrency", "multimodal_payload_dedup", "fn_url",
-    "graph_reachability", "join_shipping_priority", "join_local_supplier",
-    "join_market_share", "join_returned_items", "agg_forecast_revenue",
-    "agg_promo_share", "join_late_shipments", "agg_nation_profit",
-    "join_supplier_part_count", "agg_quantile_cont",
-    "join_interval_overlap", "orc_census", "embed_mrl_error",
-    "join_asof_nearest", "scan_partition_prune", "events_gap_fill",
-    "win_rolling_median", "win_cum_distinct", "embed_pq_codes",
-    # the last r4-evidence key + the 13 oldest r5-evidence keys
-    # (window positions 37-50)
-    "join_asof", "pipeline_drop_explain", "events_ohlc", "agg_minmax_by",
-    "win_lead_lag", "win_session", "events_session_stats", "events_paths",
-    "events_inter_arrival", "events_attribution", "events_cooccurrence",
-    "pipeline_clean_corpus", "pipeline_mixture_manifest", "sample_split",
-    # ---- BELOW the driver window ----------------------------------
-    # remaining r5-evidence block (leads the round-9 refresh)
+    # ---- round-9 window head: the 15 zero-driver-evidence keys
+    # (round-8 session growth)
+    "avro_census", "join_point_in_time", "cdc_snapshot_diff",
+    "agg_approx_distinct_bound", "agg_mad", "agg_moments", "win_ema",
+    "events_burst_detect", "events_funnel_timing", "sample_weighted_hash",
+    "embed_outlier_census", "sim_ann_multitable", "text_source_drift",
+    "text_langid_quality", "scan_schema_merge",
+    # 35 of the 36 remaining r5-evidence keys (window positions 16-50)
     "scan_profile", "fn_regex", "sim_knn", "dedup_embedding", "dedup_near",
     "dedup_clusters", "dedup_near_verified", "dedup_minhash_est",
     "dedup_survivors_verified", "dedup_exact", "dedup_simhash",
@@ -128,7 +115,16 @@ _KEY_ORDER = (
     "rollup_multires", "join_range_binned", "sample_hash_fraction",
     "sample_hash_stratified", "join_inner", "agg_count_distinct",
     "scan_project", "scan_count", "json_extract", "filter_pred",
-    "project_expr", "distinct_rows",
+    "project_expr",
+    # ---- BELOW the driver window ----------------------------------
+    # the 36th r5-evidence key: leads the round-10 window (with any
+    # round-9 session growth appended right after it)
+    "distinct_rows",
+    # round-9 session growth block: built after the r9 window froze —
+    # zero driver evidence (local parity/sweeps/plan asserts only);
+    # rotates into the round-10 window head with distinct_rows
+    "join_bucketed", "agg_approx_quantile_bound", "join_asof_tolerance",
+    "dedup_cluster_histogram",
     # r6-green block
     "jsonl_quarantine", "multimodal_payload_stats", "dedup_ngram_jaccard",
     "dedup_jaccard_capped", "fn_string", "fn_date", "fn_conditional",
@@ -145,17 +141,7 @@ _KEY_ORDER = (
     "events_dau_rolling", "text_keywords", "text_perplexity_proxy",
     "agg_pareto", "events_user_lifecycle", "graph_pagerank",
     "graph_knn_triangles",
-    # round-8 session growth block: built after the r8 window froze,
-    # so zero driver evidence yet — local evidence only (parity at
-    # sf0.001/0.01/0.1, sweeps, plan asserts). Zero-evidence keys
-    # lead the round-9 window head (the r7 precedent), ahead of the
-    # r5 refresh block above.
-    "avro_census", "sample_weighted_hash", "embed_outlier_census",
-    "sim_ann_multitable", "text_source_drift", "win_ema", "agg_mad",
-    "join_point_in_time", "agg_approx_distinct_bound",
-    "scan_schema_merge", "agg_moments", "events_burst_detect",
-    "cdc_snapshot_diff", "text_langid_quality", "events_funnel_timing",
-    # r7-green block (freshest driver evidence)
+    # r7-green block
     "jsonl_quarantine_shapes", "multimodal_decode_stats",
     "multimodal_audio_stats", "sim_ann_recall_sampled", "csv_quarantine",
     "multimodal_frame_index", "multimodal_resize_plan",
@@ -172,6 +158,24 @@ _KEY_ORDER = (
     "set_except", "win_ntile", "win_dist", "topk_per_group", "agg_pivot",
     "agg_cube", "agg_grouping_sets", "agg_rollup", "agg_stats",
     "join_full", "win_running", "agg_quantile_disc",
+    # r8-green block (freshest driver evidence: the whole round-8
+    # window landed 50/50 in CORRECTNESS_r08.json)
+    "join_asof_forward", "merge_upsert", "scd2_intervals", "unpivot_long",
+    "graph_degree_stats", "sample_group_reservoir", "embed_top_eigen",
+    "win_first_last", "fn_bitwise", "join_min_cost_supplier",
+    "join_null_safe", "join_lateral_topk", "text_pii_census",
+    "events_peak_concurrency", "multimodal_payload_dedup", "fn_url",
+    "graph_reachability", "join_shipping_priority", "join_local_supplier",
+    "join_market_share", "join_returned_items", "agg_forecast_revenue",
+    "agg_promo_share", "join_late_shipments", "agg_nation_profit",
+    "join_supplier_part_count", "agg_quantile_cont",
+    "join_interval_overlap", "orc_census", "embed_mrl_error",
+    "join_asof_nearest", "scan_partition_prune", "events_gap_fill",
+    "win_rolling_median", "win_cum_distinct", "embed_pq_codes",
+    "join_asof", "pipeline_drop_explain", "events_ohlc", "agg_minmax_by",
+    "win_lead_lag", "win_session", "events_session_stats", "events_paths",
+    "events_inter_arrival", "events_attribution", "events_cooccurrence",
+    "pipeline_clean_corpus", "pipeline_mixture_manifest", "sample_split",
     # parked permanently (see policy comment above): the protocol
     # records "err: no_oracle" for these — proven in r1 AND r4
     "agg_approx_distinct", "sample_fraction", "sample_stratified",

@@ -166,6 +166,11 @@ class _Reader:
     def long(self) -> int:
         shift = z = 0
         while True:
+            if self.i >= len(self.b):
+                # a container truncated mid-varint must raise the
+                # documented loud-failure contract, not IndexError
+                # (raw() already checks — ADVICE r8)
+                raise AvroFormatError("truncated container")
             byte = self.b[self.i]
             self.i += 1
             z |= (byte & 0x7F) << shift

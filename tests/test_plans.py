@@ -1271,3 +1271,17 @@ def test_funnel_timing_stage_quantiles_share_one_exchange(spark, sf_dir):
     plan = plan_of(spark, "events_funnel_timing", sf_dir, mode="simple")
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan_of(spark, "events_funnel_timing", sf_dir)
+
+
+def test_join_bucketed_has_zero_exchange_on_join_key(spark, sf_dir):
+    """The co-located bucketed join's whole point: the SMJ consumes
+    the bucketBy layout directly — no Exchange on either join key
+    (the only allowed exchange is the final tiny priority rollup),
+    both scans flagged as bucketed reads."""
+    plan = plan_of(spark, "join_bucketed", sf_dir, mode="simple")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the rollup only
+    fmt = plan_of(spark, "join_bucketed", sf_dir)
+    assert "Bucketed: true" in fmt

@@ -449,17 +449,28 @@ def test_moments_match_numpy(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "key", ["win_rolling_median", "win_cum_distinct", "win_ema"]
+    "key",
+    [
+        "win_rolling_median",
+        "win_cum_distinct",
+        "win_ema",
+        "win_lead_lag",
+        "win_streak",
+        "events_ohlc",
+        "win_range_frame",
+        "events_dau_rolling",
+    ],
 )
 def test_rows_frame_windows_are_physical_order_invariant(
     spark, tmp_path, key
 ):
-    """ADVICE r7 reproduced and pinned: with duplicate (ts, event_id)
-    rows, a ROWS frame decides order-ties by PHYSICAL row order
-    unless the window ORDER BY is total — reversing the duplicate
-    rows (and scattering input partitions) must not change any
-    output row. The three bounded/running-frame keys each carry the
-    value tie-break that makes this hold."""
+    """ADVICE r7 reproduced and pinned; VERDICT r8 work order #5 made
+    the guard structural: with duplicate (ts, event_id) rows, a ROWS
+    frame decides order-ties by PHYSICAL row order unless the window
+    ORDER BY is total — reversing the duplicate rows (and scattering
+    input partitions) must not change any output row. Covers every
+    events-table key whose frame is ROWS (or whose first/last pick is
+    tie-sensitive) over the non-unique (ts, event_id) ordering."""
     import pandas as pd
 
     from mapreducepy_spark.registry import load_catalog
@@ -487,6 +498,55 @@ def test_rows_frame_windows_are_physical_order_invariant(
         ev.to_parquet(d / "events.parquet", index=False)
         df = load_catalog()[key].builder(spark, str(d))
         # scatter the physical layout on top of the file order
+        pdf = (
+            df.repartition(7)
+            .toPandas()
+            .astype(str)
+            .sort_values(list(df.columns))
+            .reset_index(drop=True)
+        )
+        outs.append(pdf)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+@pytest.mark.parametrize("key", ["win_running", "win_first_last"])
+def test_orders_rows_frame_windows_are_physical_order_invariant(
+    spark, tmp_path, key
+):
+    """The orders-table half of the ROWS-frame invariance pin: a
+    physically DUPLICATED order row (same orderkey — the replayed-
+    ingest reality) plus same-(custkey, orderdate) rows with distinct
+    orderkeys, reversed and scattered across partitions, must leave
+    running sums / first-last picks unchanged — the (orderdate,
+    orderkey) window order plus identical duplicate rows make the
+    output multiset order-free."""
+    import pandas as pd
+
+    from mapreducepy_spark.registry import load_catalog
+
+    rows = [
+        (1, 10, "O", 100.0, "2024-01-01 00:00:00", "1-URGENT"),
+        (2, 10, "O", 50.0, "2024-01-01 00:00:00", "1-URGENT"),
+        (2, 10, "O", 50.0, "2024-01-01 00:00:00", "1-URGENT"),
+        (3, 10, "F", 25.0, "2024-01-02 00:00:00", "2-HIGH"),
+        (4, 11, "F", 75.0, "2024-01-01 00:00:00", "2-HIGH"),
+    ]
+    outs = []
+    for order in ([0, 1, 2, 3, 4], [4, 3, 2, 1, 0]):
+        o = pd.DataFrame(
+            [rows[i] for i in order],
+            columns=[
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderdate", "o_orderpriority",
+            ],
+        )
+        o["o_orderdate"] = pd.to_datetime(o["o_orderdate"]).astype(
+            "datetime64[us]"
+        )
+        d = tmp_path / f"{key}_{order[0]}"
+        d.mkdir()
+        o.to_parquet(d / "orders.parquet", index=False)
+        df = load_catalog()[key].builder(spark, str(d))
         pdf = (
             df.repartition(7)
             .toPandas()
