@@ -389,3 +389,49 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+# --- calendar/interval arithmetic ------------------------------------
+
+_ORACLE_FN_INTERVAL = """
+SELECT o_orderkey,
+       CAST((o_orderdate + INTERVAL 3 MONTH) AS DATE)::VARCHAR
+           AS plus_3_months,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)::VARCHAR
+           AS month_end,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE)::VARCHAR
+           AS qtr_start,
+       CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+FROM orders
+"""
+
+
+@register("fn_interval", _ORACLE_FN_INTERVAL, tags=("functions",))
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar/interval arithmetic beyond ``fn_date``'s extraction
+    surface: month addition WITH end-of-month clamping (Jan 31 + 3 →
+    Apr 30 — the billing-cycle semantics naive day arithmetic gets
+    wrong), last-day-of-month, quarter number + quarter start, ISO
+    week, and day-of-week.
+
+    Cross-engine shims, probed empirically: Spark ``add_months`` and
+    DuckDB ``+ INTERVAL n MONTH`` clamp identically (incl. leap
+    years); ``weekofyear`` is ISO on both; ``dayofweek`` is
+    Sunday=1 on Spark but Sunday=0 on DuckDB, so the oracle adds 1.
+    DATE outputs serialize as ISO strings (the fn_date convention).
+
+    Scale: stateless projection — whole-stage codegen, no shuffle.
+    """
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).cast("string").alias("plus_3_months"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.trunc(d.cast("date"), "quarter").cast("string").alias("qtr_start"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.dayofweek(d).cast("int").alias("dow"),
+    )

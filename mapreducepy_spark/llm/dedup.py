@@ -1628,3 +1628,92 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("m")).cast("bigint").alias("n_docs"),
     )
     return hist.unionByName(single)
+
+
+# --- LSH recall audit: candidates vs ALL true pairs ------------------
+
+_ORACLE_MINHASH_RECALL = f"""
+WITH {_duck_lsh_ctes()},
+xsh AS (
+    SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS shingle
+    FROM documents
+),
+sizes AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+    FROM xsh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM xsh a
+    JOIN xsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+tp AS (
+    SELECT i.doc_a, i.doc_b,
+           (floor((CAST(i.n_common AS DOUBLE)
+                 / (sa.n_shingles + sb.n_shingles - i.n_common))
+                  * 1000000.0 + 0.5) / 1000000.0) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE)
+          / (sa.n_shingles + sb.n_shingles - i.n_common)
+          >= {_JACCARD_THRESHOLD}
+),
+j AS (
+    SELECT least(floor(t.jaccard * 10) / 10, 0.9) AS band_lo,
+           CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS caught
+    FROM tp t
+    LEFT JOIN cand_pairs c
+      ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT band_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(caught) AS BIGINT) AS n_caught,
+       (floor((CAST(SUM(caught) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5)
+        / 1000000.0) AS recall
+FROM j GROUP BY band_lo
+"""
+
+
+@register(
+    "dedup_minhash_recall", _ORACLE_MINHASH_RECALL,
+    tags=("llm", "dedup", "lsh"),
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH RECALL by true-Jaccard band: of all pairs with exact
+    Jaccard ≥ 0.5, what fraction did the MinHash/LSH candidate
+    generation catch, bucketed by the pair's true similarity. The
+    missing half of the sketch-quality ledger: ``dedup_minhash_est``
+    audits estimate accuracy ON candidates (precision side);
+    this key audits what the banding MISSED — the number that
+    decides whether 8 hashes × 4 bands is enough before trusting the
+    sketch at full scale, read band-by-band because LSH recall is
+    an S-curve in j (catch probability 1-(1-j²)⁴), so a healthy
+    sketch shows recall rising toward 1.0 in the top band.
+
+    Scale: the true-pair side is the documented intrinsic pair-space
+    gauge (inverted-index join over shared shingles — the audit is
+    EXPECTED to cost more than the sketch it audits; a deployment
+    runs it sampled). The candidate side rides the session cache.
+    Both sides shuffle on doc pairs only.
+
+    Hash parity: bands derive from the micro-rounded jaccard via
+    floor on bit-identical doubles; counts exact; recall is
+    exact-int division, rounded.
+    """
+    true_pairs = dedup_ngram_jaccard(spark, sf_dir)
+    cand = _candidate_pairs_cached(spark, sf_dir).withColumn(
+        "caught", F.lit(1)
+    )
+    j = true_pairs.join(cand, ["doc_a", "doc_b"], "left")
+    caught = F.coalesce(F.col("caught"), F.lit(0))
+    band = F.least(F.floor(F.col("jaccard") * 10) / 10, F.lit(0.9))
+    return j.groupBy(band.alias("band_lo")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum(caught).cast("bigint").alias("n_caught"),
+        dround(
+            F.sum(caught).cast("double") / F.count(F.lit(1)), 6
+        ).alias("recall"),
+    )

@@ -22,11 +22,12 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_spread
+from ..io import load, load_spread
 from ..registry import register
+from ..rounding import dround
 
 _DIM = 64
 # Quantization scale: micro-units. Exactness budget: fixture values
@@ -951,4 +952,103 @@ def embed_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("sum_maxz_u"),
         )
+    )
+
+
+# --- per-label centroid drift (embedding distribution monitor) -------
+
+# The distribution-shift gauge a pipeline reads when a new batch (or
+# encoder version) lands: how far each label's centroid sits from the
+# corpus centroid. A label whose drift jumps between snapshots means
+# its vectors moved — encoder skew, a data-mix change, or a poisoned
+# slice — before any downstream recall metric degrades.
+
+_ORACLE_EMBED_CENTROID_DRIFT = f"""
+WITH q AS (
+    SELECT label,
+           CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_SCALE} + 0.5)
+                AS BIGINT) AS qv
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = {_DIM}
+),
+per AS (
+    SELECT label, dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qv) AS BIGINT) AS s
+    FROM q GROUP BY label, dim
+),
+g AS (
+    SELECT label, dim, n,
+           CAST(s AS DOUBLE) / n
+               - CAST(SUM(s) OVER (PARTITION BY dim) AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY dim) AS gap
+    FROM per
+)
+SELECT label,
+       CAST(MAX(n) AS BIGINT) AS n_vectors,
+       (floor((sqrt(SUM(gap * gap)) / {_SCALE}) * 1000000.0 + 0.5)
+        / 1000000.0) AS drift,
+       CAST((MAX(struct_pack(ag := abs(gap), nd := -dim))).nd * -1
+            AS BIGINT) AS max_gap_dim,
+       (floor(((MAX(struct_pack(ag := abs(gap), nd := -dim))).ag / {_SCALE})
+              * 1000000.0 + 0.5) / 1000000.0) AS max_gap
+FROM g
+GROUP BY label
+"""
+
+
+@register(
+    "embed_centroid_drift", _ORACLE_EMBED_CENTROID_DRIFT,
+    tags=("llm", "embedding", "profile"),
+)
+def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid distance from the corpus centroid, plus the
+    single dimension contributing the largest gap — the embedding
+    drift monitor (see the module-level rationale above).
+
+    Scale: ONE explode + map-side-combining integer aggregation
+    collapses the corpus to |labels| × d rows; everything after
+    (global sums via a dim-partitioned window, the L2 fold, the
+    argmax) runs on that compact table — no second corpus pass, no
+    vector ever shuffles twice.
+
+    Hash parity: the per-dim sums are EXACT integers (the
+    embed_outlier_census quantization discipline), so every derived
+    mean/gap is the identical IEEE double on both engines; sqrt is
+    IEEE-exact; the argmax dimension orders on (|gap| DESC, dim ASC)
+    via lexicographic struct max — |gap| doubles are bit-identical,
+    so ties resolve identically.
+    """
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == _DIM)
+    )
+    ex = e.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+                f" * {_SCALE} + 0.5) AS BIGINT))"
+            )
+        ).alias("pos", "qv"),
+    )
+    per = ex.groupBy("label", (F.col("pos") + F.lit(1)).alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("qv").alias("s")
+    )
+    wd = Window.partitionBy("dim")
+    gap = (
+        F.col("s").cast("double") / F.col("n")
+        - F.sum("s").over(wd).cast("double") / F.sum("n").over(wd)
+    )
+    g = per.select("label", "dim", "n", gap.alias("gap"))
+    top = F.max(
+        F.struct(F.abs("gap").alias("ag"), (-F.col("dim")).alias("nd"))
+    )
+    return g.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n_vectors"),
+        dround(F.sqrt(F.sum(F.col("gap") * F.col("gap"))) / _SCALE, 6).alias(
+            "drift"
+        ),
+        (top.getField("nd") * F.lit(-1)).cast("bigint").alias("max_gap_dim"),
+        dround(top.getField("ag") / _SCALE, 6).alias("max_gap"),
     )

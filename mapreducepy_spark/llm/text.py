@@ -1721,3 +1721,107 @@ def text_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(r).alias("recall_"),
         rnd(F.lit(2.0) * p * r / F.nullif(p + r, F.lit(0.0))).alias("f1"),
     )
+
+
+# --- per-source Jensen-Shannon divergence (corpus homogeneity) -------
+
+_ORACLE_TEXT_JS = f"""
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+tw AS (
+    SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks WHERE word <> '' GROUP BY source, word
+),
+wc AS (SELECT word, CAST(SUM(n) AS BIGINT) AS cnt FROM tw GROUP BY word),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM wc),
+t AS (
+    SELECT tw.source, tw.n,
+           CAST(tw.n AS DOUBLE)
+               / SUM(tw.n) OVER (PARTITION BY tw.source) AS p,
+           CAST(wc.cnt AS DOUBLE) / tot.t AS q
+    FROM tw JOIN wc ON tw.word = wc.word CROSS JOIN tot
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       {dround_sql(
+           "0.5 * (SUM(p * ln(p / ((p + q) / 2)))"
+           " + SUM(q * ln(q / ((p + q) / 2)))"
+           " + ln(2) * (1 - SUM(q)))",
+           6,
+       )} AS js_div,
+       {dround_sql("SUM(q)", 6)} AS q_mass
+FROM t
+GROUP BY source
+"""
+
+
+@register(
+    "text_js_divergence", _ORACLE_TEXT_JS, tags=("llm", "text", "quality")
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram
+    distribution from the whole-corpus distribution — the bounded
+    ([0, ln 2]), symmetric corpus-homogeneity card that complements
+    ``text_source_drift``'s chi-square test: chi-square answers "is
+    this source's vocabulary PLAUSIBLY the corpus's?", JS answers
+    "HOW FAR is it?", comparable across sources and snapshots (the
+    number a mixture-rebalancing job thresholds on).
+
+    The KL(q‖m) side ranges over the FULL corpus vocabulary, but
+    words absent from the source contribute exactly q·ln 2, so the
+    whole sum collapses to the source's own rows plus a closed-form
+    ``ln 2 · (1 − Σq)`` remainder — no source × vocabulary
+    materialization, which is what makes this linear in the tf table
+    instead of quadratic at 100 TB.
+
+    Scale: the same two-pass broadcast shape as
+    ``text_perplexity_proxy``: the cached per-(doc→source, word)
+    count table is corpus-compact, the vocabulary table broadcasts,
+    and the per-source rollup is the only shuffle.
+
+    Hash parity: p and q are exact-integer divisions (identical
+    doubles); ln may differ 1 ulp per term, absorbed by the 1e-6
+    round (the perplexity precedent).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_spread(spark, sf_dir, "documents")
+    tw = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ws = Window.partitionBy("source")
+    wc = tw.groupBy("word").agg(F.sum("n").alias("cnt"))
+    tot = wc.agg(F.sum("cnt").cast("double").alias("t"))
+    t = (
+        tw.withColumn("ns", F.sum("n").over(ws))
+        .join(F.broadcast(wc), "word")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("n").cast("double") / F.col("ns")
+    q = F.col("cnt").cast("double") / F.col("t")
+    m = (p + q) / F.lit(2.0)
+    t = t.select(
+        "source",
+        "n",
+        (p * F.log(p / m)).alias("term_p"),
+        (q * F.log(q / m)).alias("term_q"),
+        q.alias("q"),
+    )
+    return t.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        dround(
+            F.lit(0.5)
+            * (
+                F.sum("term_p")
+                + F.sum("term_q")
+                + F.log(F.lit(2.0)) * (F.lit(1.0) - F.sum("q"))
+            ),
+            6,
+        ).alias("js_div"),
+        dround(F.sum("q"), 6).alias("q_mass"),
+    )

@@ -1774,3 +1774,89 @@ def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp(0.5).alias("p50_sec"),
         interp(0.9).alias("p90_sec"),
     )
+
+
+# --- next-action predictability (Markov transition entropy) ----------
+
+_ORACLE_EVENTS_MARKOV_ENTROPY = """
+WITH ordered AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+           ) AS next_type
+    FROM events
+),
+trans AS (
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+),
+ranked AS (
+    SELECT *,
+           SUM(n) OVER (PARTITION BY from_type) AS n_out,
+           COUNT(*) OVER (PARTITION BY from_type) AS n_next_types,
+           ROW_NUMBER() OVER (
+               PARTITION BY from_type ORDER BY n DESC, to_type ASC
+           ) AS rn
+    FROM trans
+)
+SELECT from_type,
+       CAST(MAX(n_out) AS BIGINT) AS n_out,
+       CAST(MAX(n_next_types) AS BIGINT) AS n_next_types,
+       MAX(CASE WHEN rn = 1 THEN to_type END) AS top_next,
+       (floor((MAX(CASE WHEN rn = 1 THEN CAST(n AS DOUBLE) / n_out END))
+              * 1000000.0 + 0.5) / 1000000.0) AS top_prob,
+       (floor((-SUM((CAST(n AS DOUBLE) / n_out)
+                    * ln(CAST(n AS DOUBLE) / n_out)))
+              * 1000000.0 + 0.5) / 1000000.0) AS entropy
+FROM ranked
+GROUP BY from_type
+"""
+
+
+@register(
+    "events_markov_entropy", _ORACLE_EVENTS_MARKOV_ENTROPY,
+    tags=("temporal", "sequence"),
+)
+def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-action predictability per event type: the normalized
+    first-order Markov row (``events_paths``' transition counts
+    turned into probabilities) summarized as the most likely next
+    action, its probability, and the transition entropy. Entropy
+    near 0 = deterministic flows (a wizard, a bot); entropy near
+    ln(#types) = uniform wandering — the card a product/abuse
+    pipeline reads per snapshot.
+
+    Scale: rides the ``events_paths`` plan (ONE user-keyed window
+    shuffle, then a transition-matrix-sized aggregate); everything
+    here runs on the ≤|types|² matrix — windows and rollup over ~25
+    rows.
+
+    Hash parity: probabilities are exact-int divisions over exact
+    counts (identical doubles); the top pick orders on
+    (n DESC, to_type ASC) — a total order over exact ints +
+    non-NULL strings; ln 1-ulp noise is absorbed by the 1e-6 round.
+    """
+    from pyspark.sql.window import Window as W
+
+    trans = events_paths(spark, sf_dir)
+    wf = W.partitionBy("from_type")
+    wo = W.partitionBy("from_type").orderBy(
+        F.col("n_transitions").desc(), F.col("to_type").asc()
+    )
+    r = (
+        trans.withColumn("n_out", F.sum("n_transitions").over(wf))
+        .withColumn("n_next_types", F.count(F.lit(1)).over(wf))
+        .withColumn("rn", F.row_number().over(wo))
+    )
+    p = F.col("n_transitions").cast("double") / F.col("n_out")
+    return r.groupBy("from_type").agg(
+        F.max("n_out").cast("bigint").alias("n_out"),
+        F.max("n_next_types").cast("bigint").alias("n_next_types"),
+        F.max(F.when(F.col("rn") == 1, F.col("to_type"))).alias("top_next"),
+        dround(F.max(F.when(F.col("rn") == 1, p)), 6).alias("top_prob"),
+        dround(-F.sum(p * F.log(p)), 6).alias("entropy"),
+    )

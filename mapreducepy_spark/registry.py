@@ -124,7 +124,9 @@ _KEY_ORDER = (
     # zero driver evidence (local parity/sweeps/plan asserts only);
     # rotates into the round-10 window head with distinct_rows
     "join_bucketed", "agg_approx_quantile_bound", "join_asof_tolerance",
-    "dedup_cluster_histogram",
+    "dedup_cluster_histogram", "embed_centroid_drift",
+    "dedup_minhash_recall", "text_js_divergence", "fn_interval",
+    "events_markov_entropy",
     # r6-green block
     "jsonl_quarantine", "multimodal_payload_stats", "dedup_ngram_jaccard",
     "dedup_jaccard_capped", "fn_string", "fn_date", "fn_conditional",

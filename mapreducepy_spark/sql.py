@@ -43,12 +43,14 @@ PORTABLE = (
     "dedup_keep_first",
     "dedup_cross_source",
     "distinct_rows",
+    "events_markov_entropy",
     "events_paths",
     "filter_pred",
     "fn_levenshtein",
     "join_anti",
     "join_anti_scalar",
     "join_asof",
+    "join_bucketed",
     "join_disjunctive",
     "join_exists_chain",
     "join_groupagg_in",

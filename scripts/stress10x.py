@@ -197,6 +197,26 @@ OPS = (
     # PQ assignment: broadcast codebook, M·K·len integer folds per
     # vector — must stay scan-linear with the two small exchanges
     "embed_pq_codes",
+    # round-12 (driver r9) growth: the LSH recall audit (true-pair
+    # side is the documented intrinsic pair-space gauge — expected
+    # super-linear on pair space, never quadratic in docs), the
+    # cluster-size ledger (rides the cached pairs + hybrid CC), the
+    # per-label centroid drift (ONE explode into an integer
+    # aggregate, labels×d rows after), the per-source JS divergence
+    # (perplexity's broadcast shape), the Markov entropy rollup
+    # (transition-matrix-sized after one window)
+    "dedup_minhash_recall",
+    "dedup_cluster_histogram",
+    "embed_centroid_drift",
+    "text_js_divergence",
+    "events_markov_entropy",
+    # bucketed fact-fact join: the zero-exchange SMJ claim must hold
+    # at 10x (the bucketed write is the paid-once shuffle); the
+    # staleness-bounded as-of must stay join-free/event-linear; the
+    # quantile-sketch audit is one group sort next to one sketch pass
+    "join_bucketed",
+    "join_asof_tolerance",
+    "agg_approx_quantile_bound",
 )
 
 

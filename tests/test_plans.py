@@ -1285,3 +1285,44 @@ def test_join_bucketed_has_zero_exchange_on_join_key(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1  # the rollup only
     fmt = plan_of(spark, "join_bucketed", sf_dir)
     assert "Bucketed: true" in fmt
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_recall",
+        "dedup_cluster_histogram",
+        "embed_centroid_drift",
+        "events_markov_entropy",
+        "agg_approx_quantile_bound",
+    ],
+)
+def test_round9_operators_stay_bucketed_and_jvm_side(spark, sf_dir, name):
+    """Round-9 growth block: no per-row Python outside the documented
+    Arrow kernels, and no unkeyed pair join anywhere — the recall
+    audit's pair space is the inverted index, the histogram rides the
+    cached LSH candidates, the rest are aggregates/windows.
+    (BroadcastNestedLoopJoin is NOT asserted absent: the histogram's
+    singleton row combines two 1-row scalar aggregates via crossJoin,
+    which compiles to a 1×1 BNL by construction — the same shape as
+    the perplexity/tfidf scalar-N cross joins.)"""
+    plan = plan_of(spark, name, sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_js_divergence_broadcasts_vocabulary(spark, sf_dir):
+    """The corpus-sized tf table must receive the vocabulary table as
+    a broadcast (the perplexity shape) — never shuffle for it."""
+    plan = plan_of(spark, "text_js_divergence", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_tolerance_is_join_free(spark, sf_dir):
+    """The staleness bound must stay a projection over the union-
+    timeline carry — re-introducing a range join would fan out each
+    event by its order history."""
+    plan = plan_of(spark, "join_asof_tolerance", sf_dir, mode="simple")
+    assert "Join" not in plan
+    assert "Window" in plan
