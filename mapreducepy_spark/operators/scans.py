@@ -402,3 +402,96 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_quality_u"),
     )
+
+
+# --- Z-order clustering card (the data-skipping layout gauge) --------
+
+# 8 bits per dimension -> 16-bit Morton code, bucketed by the top
+# nibble-pair (z div 1024 = 64 buckets). The claim a lakehouse
+# OPTIMIZE-ZORDER job certifies before rewriting 100 TB: interleaved
+# bits bound the per-file value RANGE of BOTH dimensions (each
+# z-bucket spans ~1/sqrt(buckets) of each axis), so min/max footer
+# stats can skip files for predicates on EITHER column — a
+# single-column sort bounds one axis and leaves the other unsorted.
+_Z_BITS = 8
+_Z_BUCKET_SHIFT = 10  # 16-bit z -> 64 buckets
+
+_Z_EPOCH = "1995-01-01"
+
+
+def _z_interleave_sql(a: str, b: str) -> str:
+    """Portable Morton interleave: bit i of ``a`` lands at 2i, bit i
+    of ``b`` at 2i+1 — arithmetic only (// % *), identical text on
+    Spark SQL and DuckDB."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({a} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({b} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_ORACLE_SCAN_ZORDER = f"""
+WITH dims AS (
+    SELECT (o_custkey % 256) AS cust8,
+           (date_diff('day', DATE '{_Z_EPOCH}', o_orderdate) % 256) AS day8
+    FROM orders
+    WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+),
+z AS (
+    SELECT cust8, day8,
+           ({_z_interleave_sql("cust8", "day8")}) AS zval
+    FROM dims
+)
+SELECT CAST(zval // {1 << _Z_BUCKET_SHIFT} AS BIGINT) AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(cust8) - MIN(cust8) AS BIGINT) AS cust_span,
+       CAST(MAX(day8) - MIN(day8) AS BIGINT) AS day_span
+FROM z
+GROUP BY 1
+"""
+
+
+@register("scan_zorder_stats", _ORACLE_SCAN_ZORDER, tags=("scan", "layout"))
+def scan_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton-curve) clustering card: interleave 8 bits of
+    the customer key with 8 bits of the order date, bucket rows by
+    the code's top bits (one bucket ≈ one file of an
+    OPTIMIZE-ZORDER rewrite), and report each bucket's row count and
+    per-dimension value SPAN. Small spans on BOTH axes are the
+    measurable data-skipping property (min/max footer stats can
+    prune on either predicate column); a bucket whose span is the
+    full 0-255 axis is a bucket no scan can skip. This key computes
+    the layout gauge — the actual rewrite is
+    ``repartitionByRange(zval)`` + write, same expression.
+
+    Scale: the Morton code is pure integer arithmetic (codegen'd,
+    no UDF), the census ONE map-side-combining aggregation over 64
+    buckets. Exact ints end-to-end — no float anywhere.
+
+    The interleave is emitted by ``_z_interleave_sql`` as
+    arithmetic (// % *) so Spark and DuckDB evaluate the identical
+    expression; Spark's `//` is injected via `div` rewrite below.
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    cust8 = (F.col("o_custkey") % 256).cast("long")
+    day8 = (
+        F.datediff(F.col("o_orderdate"), F.lit(_Z_EPOCH).cast("date")) % 256
+    ).cast("long")
+    d = o.select(cust8.alias("cust8"), day8.alias("day8"))
+    # Spark SQL has no `//`; express the same arithmetic with `div`
+    z_expr = _z_interleave_sql("cust8", "day8").replace("//", "div")
+    z = d.withColumn("zval", F.expr(z_expr))
+    return (
+        z.groupBy(
+            F.expr(f"zval div {1 << _Z_BUCKET_SHIFT}")
+            .cast("bigint")
+            .alias("z_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.max("cust8") - F.min("cust8")).cast("bigint").alias("cust_span"),
+            (F.max("day8") - F.min("day8")).cast("bigint").alias("day_span"),
+        )
+    )

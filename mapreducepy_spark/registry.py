@@ -126,7 +126,7 @@ _KEY_ORDER = (
     "join_bucketed", "agg_approx_quantile_bound", "join_asof_tolerance",
     "dedup_cluster_histogram", "embed_centroid_drift",
     "dedup_minhash_recall", "text_js_divergence", "fn_interval",
-    "events_markov_entropy",
+    "events_markov_entropy", "scan_zorder_stats",
     # r6-green block
     "jsonl_quarantine", "multimodal_payload_stats", "dedup_ngram_jaccard",
     "dedup_jaccard_capped", "fn_string", "fn_date", "fn_conditional",

@@ -220,3 +220,39 @@ def test_fn_interval_matches_python_calendar(spark, sf_dir):
         )
         assert int(got.loc[k, "iso_week"]) == d.isocalendar()[1]
         assert int(got.loc[k, "dow"]) == d.isoweekday() % 7 + 1
+
+
+def test_zorder_matches_python_morton(spark, sf_dir):
+    got = (
+        CATALOG["scan_zorder_stats"]
+        .builder(spark, sf_dir)
+        .toPandas()
+        .set_index("z_bucket")
+    )
+    orders = _pq(sf_dir, "orders")
+    orders = orders.dropna(subset=["o_custkey", "o_orderdate"])
+    epoch = pd.Timestamp("1995-01-01")
+    cust8 = (orders["o_custkey"] % 256).astype(int)
+    day8 = ((orders["o_orderdate"] - epoch).dt.days % 256).astype(int)
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    z = pd.Series(
+        [morton(a, b) for a, b in zip(cust8, day8)], index=cust8.index
+    )
+    df = pd.DataFrame({"bucket": z // 1024, "c": cust8, "d": day8})
+    for bucket, g in df.groupby("bucket"):
+        assert int(got.loc[bucket, "n_rows"]) == len(g)
+        assert int(got.loc[bucket, "cust_span"]) == int(g["c"].max() - g["c"].min())
+        assert int(got.loc[bucket, "day_span"]) == int(g["d"].max() - g["d"].min())
+    # THE z-order property: every bucket bounds BOTH axes to a
+    # fraction of the 0-255 domain (top-10 z bits fixed -> each axis
+    # has its top 5 bits fixed -> span < 2^3 * consecutive-range = 8...
+    # buckets of 1024 codes span at most 32 values per axis)
+    assert (got["cust_span"] <= 32).all()
+    assert (got["day_span"] <= 32).all()
