@@ -315,3 +315,124 @@ def silent_user_alerts(events: DataFrame, threshold_min: int = 360,
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def burst_alerts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T5 — streaming twin of ``events_burst_detect`` (the rate-burst
+    monitor, which is natively a streaming concern: the batch key
+    certifies the algebra; THIS is how it deploys). Per event type,
+    flag a closed 10-minute bucket whose count exceeds 3× the
+    trailing mean of the previous (up to 6) CLOSED buckets, with a
+    ≥3-bucket cold-start gate — identical semantics to the batch
+    key's ``ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING`` frame, because
+    buckets close in event-time order so the trailing set is exactly
+    the previous active buckets of the same type.
+
+    Why ``applyInPandasWithState`` and not a window aggregate: the
+    trailing frame runs OVER the bucket aggregate, and Spark does not
+    allow a second stateful window over a streaming aggregation. The
+    state carries (open bucket counts, last ≤6 closed counts); a
+    bucket is emitted exactly once, when the watermark passes its
+    end — arrival-driven when newer data shows up, timer-driven
+    (EventTimeTimeout) when the type goes quiet, so a flood followed
+    by silence still alarms.
+
+    Scale: state per type is ≤ (open buckets within the lateness
+    horizon) + 6 longs — watermark-bounded, O(|types|) keys; output
+    is bucket-rate, not event-rate.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    bucket_ms = 600_000
+    trail_n, factor, min_trail = 6, 3.0, 3
+
+    def _empty() -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype="object"),
+                "bucket": pd.Series([], dtype="datetime64[us]"),
+                "n_events": pd.Series([], dtype="int64"),
+                "trail_avg": pd.Series([], dtype="float64"),
+                "is_burst": pd.Series([], dtype="int32"),
+            }
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            starts, counts, trail = state.get
+            open_b = dict(zip(starts, counts))
+            trail = list(trail)
+        else:
+            open_b, trail = {}, []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            for t in ts_us:
+                b = (int(t) // 1000) // bucket_ms * bucket_ms
+                open_b[b] = open_b.get(b, 0) + 1
+        wm = state.getCurrentWatermarkMs()
+        rows = []
+        for b in sorted(open_b):
+            if b + bucket_ms > wm:
+                break  # buckets close strictly in event-time order
+            n = open_b.pop(b)
+            tc = len(trail)
+            avg = (sum(trail) / tc) if tc else None
+            rows.append(
+                (
+                    key[0],
+                    b * 1000,  # ms -> us for datetime64[us]
+                    n,
+                    None
+                    if avg is None
+                    else (int(avg * 1_000_000.0 + 0.5) / 1_000_000.0),
+                    1 if (tc >= min_trail and n > factor * avg) else 0,
+                )
+            )
+            trail.append(n)
+            trail = trail[-trail_n:]
+        if open_b:
+            ks = sorted(open_b)
+            state.update((ks, [open_b[k] for k in ks], trail))
+            # earliest legal instant past the current watermark (the
+            # silent_user_alerts clamp, ADVICE r7)
+            state.setTimeoutTimestamp(max(ks[0] + bucket_ms, wm + 1))
+        elif trail:
+            state.update(([], [], trail))  # keep history, no timer
+        if not rows:
+            yield _empty()
+            return
+        yield pd.DataFrame(
+            {
+                "event_type": pd.Series(
+                    [r[0] for r in rows], dtype="object"
+                ),
+                "bucket": pd.Series(
+                    [r[1] for r in rows], dtype="datetime64[us]"
+                ),
+                "n_events": pd.Series([r[2] for r in rows], dtype="int64"),
+                "trail_avg": pd.Series(
+                    [r[3] for r in rows], dtype="float64"
+                ),
+                "is_burst": pd.Series([r[4] for r in rows], dtype="int32"),
+            }
+        )
+
+    return (
+        events.filter(
+            F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            "event_type string, bucket timestamp, n_events bigint, "
+            "trail_avg double, is_burst int",
+            "starts array<bigint>, counts array<bigint>, "
+            "trail array<bigint>",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

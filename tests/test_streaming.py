@@ -562,3 +562,69 @@ def test_pit_enrich_stream_matches_batch_point_in_time(
     )
     assert len(got) > 0
     assert canon_frame(got) == canon_frame(want)
+
+
+def test_burst_alerts_stream_matches_batch(spark, sf_dir, events_dir):
+    """The streaming burst monitor must emit exactly the batch
+    ``events_burst_detect`` rows for every bucket the watermark
+    closed (buckets newer than max_ts − delay legitimately stay open
+    at end of replay), value-identical including the trailing mean
+    and the flag."""
+    import pandas as pd
+
+    from mapreducepy_spark.registry import load_catalog
+
+    stream = sw.read_events_stream(spark, events_dir)
+    got = sw.run_available_now(
+        sw.burst_alerts(stream), "t_burst", spark
+    ).toPandas()
+    batch = (
+        load_catalog()["events_burst_detect"]
+        .builder(spark, sf_dir)
+        .toPandas()
+    )
+    ev = _batch_events(spark, sf_dir).toPandas()
+    max_us = int(ev["ts"].dropna().astype("datetime64[us]").astype("int64").max())
+    wm_ms = max_us // 1000 - 600_000  # delay "10 minutes"
+    batch["end_ms"] = (
+        batch["bucket"].astype("datetime64[us]").astype("int64") // 1000
+        + 600_000
+    )
+    expected = batch[batch["end_ms"] <= wm_ms].drop(columns=["end_ms"])
+    assert len(got) > 0, "stream closed no buckets — replay broken"
+    key = ["event_type", "bucket"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = expected.sort_values(key).reset_index(drop=True)
+    assert canon_frame(got_s) == canon_frame(exp_s)
+
+
+def test_burst_alerts_fire_on_timer_for_quiet_types(spark, sf_dir, events_dir, tmp_path):
+    """Replaying in TWO micro-batches: buckets whose closure is only
+    provable after the second batch advances the watermark must still
+    emit (the timer path), and nothing emits twice."""
+    import shutil as _sh
+
+    d = tmp_path / "two_files"
+    d.mkdir()
+    # split the fixture into two files: second file carries the
+    # latest half of rows so batch 2 genuinely advances the watermark
+    ev = _batch_events(spark, sf_dir).toPandas().sort_values("ts")
+    mid = len(ev) // 2
+    ev.iloc[:mid].to_parquet(d / "part-000.parquet", index=False)
+    ev.iloc[mid:].to_parquet(d / "part-001.parquet", index=False)
+    stream = sw.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    got = sw.run_available_now(
+        sw.burst_alerts(stream), "t_burst2", spark
+    ).toPandas()
+    assert len(got) > 0
+    assert not got.duplicated(["event_type", "bucket"]).any()
+    # identical closed-bucket verdicts as the single-batch replay
+    single = sw.run_available_now(
+        sw.burst_alerts(sw.read_events_stream(spark, events_dir)),
+        "t_burst3",
+        spark,
+    ).toPandas()
+    key = ["event_type", "bucket"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = single.sort_values(key).reset_index(drop=True)
+    assert canon_frame(a) == canon_frame(b)
