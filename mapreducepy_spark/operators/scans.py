@@ -432,8 +432,14 @@ def _z_interleave_sql(a: str, b: str) -> str:
 
 _ORACLE_SCAN_ZORDER = f"""
 WITH dims AS (
-    SELECT (o_custkey % 256) AS cust8,
-           (date_diff('day', DATE '{_Z_EPOCH}', o_orderdate) % 256) AS day8
+    -- abs() before %: keeps both dimension bytes NON-NEGATIVE, which
+    -- the interleave arithmetic requires — DuckDB's // is floor
+    -- division while Spark's div truncates toward zero, so a
+    -- negative custkey or a pre-epoch date would interleave
+    -- differently per engine (the ADVICE r8 sign-stability rule)
+    SELECT (abs(o_custkey) % 256) AS cust8,
+           (abs(date_diff('day', DATE '{_Z_EPOCH}', o_orderdate)) % 256)
+               AS day8
     FROM orders
     WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
 ),
@@ -475,9 +481,14 @@ def scan_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
     )
-    cust8 = (F.col("o_custkey") % 256).cast("long")
+    # abs() before %: see the oracle comment — non-negative operands
+    # make Spark `div` and DuckDB `//` (truncate vs floor) identical
+    cust8 = (F.abs(F.col("o_custkey")) % 256).cast("long")
     day8 = (
-        F.datediff(F.col("o_orderdate"), F.lit(_Z_EPOCH).cast("date")) % 256
+        F.abs(
+            F.datediff(F.col("o_orderdate"), F.lit(_Z_EPOCH).cast("date"))
+        )
+        % 256
     ).cast("long")
     d = o.select(cust8.alias("cust8"), day8.alias("day8"))
     # Spark SQL has no `//`; express the same arithmetic with `div`

@@ -232,8 +232,8 @@ def test_zorder_matches_python_morton(spark, sf_dir):
     orders = _pq(sf_dir, "orders")
     orders = orders.dropna(subset=["o_custkey", "o_orderdate"])
     epoch = pd.Timestamp("1995-01-01")
-    cust8 = (orders["o_custkey"] % 256).astype(int)
-    day8 = ((orders["o_orderdate"] - epoch).dt.days % 256).astype(int)
+    cust8 = (orders["o_custkey"].abs() % 256).astype(int)
+    day8 = (((orders["o_orderdate"] - epoch).dt.days).abs() % 256).astype(int)
 
     def morton(a: int, b: int) -> int:
         z = 0
@@ -256,3 +256,41 @@ def test_zorder_matches_python_morton(spark, sf_dir):
     # buckets of 1024 codes span at most 32 values per axis)
     assert (got["cust_span"] <= 32).all()
     assert (got["day_span"] <= 32).all()
+
+
+def test_zorder_sign_stable_on_negative_keys_and_preepoch_dates(
+    spark, tmp_path
+):
+    """Adversarial: a negative custkey and a pre-epoch order date must
+    interleave identically on both engines — DuckDB's // is floor
+    division, Spark's div truncates toward zero, so only the abs()'d
+    non-negative operands are engine-stable (ADVICE r8 class)."""
+    import duckdb
+
+    rows = [
+        (-7, "1990-06-15"),   # pre-epoch AND negative key
+        (-300, "1996-03-03"),
+        (5, "1994-12-31"),    # one day pre-epoch
+        (123, "1997-07-07"),
+    ]
+    o = pd.DataFrame(rows, columns=["o_custkey", "o_orderdate"])
+    o["o_orderkey"] = range(1, len(o) + 1)
+    o["o_orderstatus"] = "O"
+    o["o_totalprice"] = 1.0
+    o["o_orderpriority"] = "1-URGENT"
+    o["o_orderdate"] = pd.to_datetime(o["o_orderdate"]).astype(
+        "datetime64[us]"
+    )
+    d = tmp_path / "zneg"
+    d.mkdir()
+    o.to_parquet(d / "orders.parquet", index=False)
+    spd = CATALOG["scan_zorder_stats"].builder(spark, str(d)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{d}/orders.parquet')"
+    )
+    dpd = con.execute(CATALOG["scan_zorder_stats"].oracle).fetchdf()
+    from .parity_util import canon_frame
+
+    assert canon_frame(spd) == canon_frame(dpd)
