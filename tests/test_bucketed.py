@@ -75,3 +75,31 @@ class _no_broadcast:
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.prev)
         return False
+
+
+def test_join_bucketed_fixture_recovers_from_orphan_dir(spark, sf_dir):
+    """A PREVIOUS session's managed-table directory with no catalog
+    entry (the in-memory catalog dies with the session) must not wedge
+    the builder: _ensure_bucketed_tables removes the orphan and
+    rebuilds (saveAsTable alone fails LOCATION_ALREADY_EXISTS)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from mapreducepy_spark.operators.joins import _ensure_bucketed_tables
+
+    names = _ensure_bucketed_tables(spark, sf_dir)
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    for n in names:
+        src = os.path.join(wh, n)
+        bak = src + "_bak"
+        shutil.copytree(src, bak)
+        spark.sql(f"DROP TABLE {n}")  # managed drop removes the dir
+        os.rename(bak, src)  # ...now the dir exists with NO entry
+        assert not spark.catalog.tableExists(n)
+    again = _ensure_bucketed_tables(spark, sf_dir)
+    assert again == names
+    assert spark.table(names[0]).count() > 0
+    assert spark.table(names[1]).count() > 0
