@@ -436,10 +436,15 @@ WITH dims AS (
     -- the interleave arithmetic requires — DuckDB's // is floor
     -- division while Spark's div truncates toward zero, so a
     -- negative custkey or a pre-epoch date would interleave
-    -- differently per engine (the ADVICE r8 sign-stability rule)
-    SELECT (abs(o_custkey) % 256) AS cust8,
-           (abs(date_diff('day', DATE '{_Z_EPOCH}', o_orderdate)) % 256)
-               AS day8
+    -- differently per engine (the ADVICE r8 sign-stability rule).
+    -- floor + CAST TO BIGINT: an ingestion-reachable DOUBLE-typed
+    -- key column (a parquet written from pandas with NULLs) would
+    -- otherwise keep the dims DOUBLE, where DuckDB's // is NOT
+    -- floor division and the interleave silently mis-bits (found by
+    -- the adversarial TPC-H sweep).
+    SELECT CAST(floor(abs(o_custkey)) % 256 AS BIGINT) AS cust8,
+           CAST(abs(date_diff('day', DATE '{_Z_EPOCH}', o_orderdate)) % 256
+                AS BIGINT) AS day8
     FROM orders
     WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
 ),
@@ -481,9 +486,12 @@ def scan_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
     )
-    # abs() before %: see the oracle comment — non-negative operands
-    # make Spark `div` and DuckDB `//` (truncate vs floor) identical
-    cust8 = (F.abs(F.col("o_custkey")) % 256).cast("long")
+    # abs() + floor before %: see the oracle comment — non-negative
+    # BIGINT operands make Spark `div` and DuckDB `//` identical (and
+    # a DOUBLE-typed key column floors the same on both engines —
+    # CAST(DOUBLE AS BIGINT) alone truncates on Spark but ROUNDS on
+    # DuckDB)
+    cust8 = (F.floor(F.abs(F.col("o_custkey"))) % 256).cast("long")
     day8 = (
         F.abs(
             F.datediff(F.col("o_orderdate"), F.lit(_Z_EPOCH).cast("date"))
