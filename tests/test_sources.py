@@ -530,3 +530,40 @@ def test_avro_census_plan_is_one_decode_one_agg(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
     assert "modificationTime" not in plan.split("MapInPandas")[0]
+
+
+def test_avro_truncated_varint_raises_format_error():
+    """ADVICE r8: a container truncated MID-VARINT must raise the
+    documented AvroFormatError, never IndexError. Property-checked:
+    every strict prefix of any encoded long either raises
+    AvroFormatError or (when the prefix happens to contain a complete
+    varint) decodes a valid value — it never escapes the contract."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreducepy_spark.sources import avro_source as av
+
+    @given(st.integers(min_value=-(2**62), max_value=2**62))
+    @settings(max_examples=200, deadline=None)
+    def roundtrip_and_prefixes(n):
+        enc = av._enc_long(n)
+        r = av._Reader(enc)
+        assert r.long() == n and r.eof()
+        # every strict prefix that still NEEDS continuation bytes
+        # must fail loudly
+        for cut in range(len(enc)):
+            prefix = enc[:cut]
+            rr = av._Reader(prefix)
+            if cut and not (enc[cut - 1] & 0x80):
+                assert rr.long() is not None  # complete varint
+            else:
+                try:
+                    rr.long()
+                except av.AvroFormatError:
+                    pass
+                else:
+                    raise AssertionError(
+                        f"prefix of len {cut} decoded silently"
+                    )
+
+    roundtrip_and_prefixes()
