@@ -365,14 +365,23 @@ def burst_alerts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
             trail = list(trail)
         else:
             open_b, trail = {}, []
+        # Late-data contract: unlike windowed aggregations, Spark does
+        # NOT pre-filter sub-watermark rows for applyInPandasWithState
+        # — the operator owns that rule. A row whose bucket already
+        # closed (bucket end <= watermark) must be DROPPED, not
+        # re-opened: re-opening would emit the bucket a second time,
+        # breaking the emit-once contract the sink relies on
+        # (replay-pinned by the late-data test).
+        wm = state.getCurrentWatermarkMs()
         for pdf in pdfs:
             if not len(pdf):
                 continue
             ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
             for t in ts_us:
                 b = (int(t) // 1000) // bucket_ms * bucket_ms
+                if b + bucket_ms <= wm:
+                    continue  # late: its bucket is already closed
                 open_b[b] = open_b.get(b, 0) + 1
-        wm = state.getCurrentWatermarkMs()
         rows = []
         for b in sorted(open_b):
             if b + bucket_ms > wm:

@@ -628,3 +628,43 @@ def test_burst_alerts_fire_on_timer_for_quiet_types(spark, sf_dir, events_dir, t
     a = got.sort_values(key).reset_index(drop=True)
     b = single.sort_values(key).reset_index(drop=True)
     assert canon_frame(a) == canon_frame(b)
+
+
+def test_burst_alerts_drop_late_data_below_watermark(spark, sf_dir, tmp_path):
+    """Late-data semantics: replay the NEWEST half first (watermark
+    jumps to its max − delay), then the oldest half — every old row
+    arrives below the watermark and must be DROPPED by the stateful
+    operator, never resurrect or mutate a closed bucket. The verdicts
+    must therefore equal a replay of the newest half alone."""
+    ev = _batch_events(spark, sf_dir).toPandas().sort_values("ts")
+    mid = len(ev) // 2
+    newest, oldest = ev.iloc[mid:], ev.iloc[:mid]
+
+    d_late = tmp_path / "late"
+    d_late.mkdir()
+    # file order drives micro-batch order under maxFilesPerTrigger=1
+    # (file source picks up files in discovery order; name them so
+    # the NEWEST data is batch 0)
+    newest.to_parquet(d_late / "part-000.parquet", index=False)
+    oldest.to_parquet(d_late / "part-001.parquet", index=False)
+    got = sw.run_available_now(
+        sw.burst_alerts(
+            sw.read_events_stream(spark, str(d_late), max_files_per_trigger=1)
+        ),
+        "t_burst_late",
+        spark,
+    ).toPandas()
+    assert not got.duplicated(["event_type", "bucket"]).any()
+
+    d_new = tmp_path / "newonly"
+    d_new.mkdir()
+    newest.to_parquet(d_new / "part-000.parquet", index=False)
+    want = sw.run_available_now(
+        sw.burst_alerts(sw.read_events_stream(spark, str(d_new))),
+        "t_burst_newonly",
+        spark,
+    ).toPandas()
+    key = ["event_type", "bucket"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = want.sort_values(key).reset_index(drop=True)
+    assert canon_frame(a) == canon_frame(b)
