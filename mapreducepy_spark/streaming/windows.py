@@ -278,11 +278,23 @@ def silent_user_alerts(events: DataFrame, threshold_min: int = 360,
             )
             return
         last_us = state.get[0] if state.exists else None
+        # Late-data contract (the burst_alerts rule): Spark's built-in
+        # late filter for applyInPandasWithState LAGS one batch (the
+        # late-events watermark is the PREVIOUS batch's value), so a
+        # sub-watermark row arriving in the batch right after a
+        # watermark jump still reaches this function. A below-watermark
+        # event carries no admissible liveness evidence — accepting it
+        # would overwrite last_seen with stale data (or re-create
+        # state after an alert) and corrupt the alert's claim
+        # (replay-pinned by the late-event test, mutation-checked).
+        wm_us = state.getCurrentWatermarkMs() * 1000
         for pdf in pdfs:
             if len(pdf):
-                mx = int(
-                    pdf["ts"].astype("datetime64[us]").astype("int64").max()
-                )
+                us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                us = us[us > wm_us]
+                if not len(us):
+                    continue
+                mx = int(us.max())
                 last_us = mx if last_us is None else max(last_us, mx)
         if last_us is not None:
             state.update((last_us,))

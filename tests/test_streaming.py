@@ -642,10 +642,15 @@ def test_burst_alerts_drop_late_data_below_watermark(spark, sf_dir, tmp_path):
 
     d_late = tmp_path / "late"
     d_late.mkdir()
-    # file order drives micro-batch order under maxFilesPerTrigger=1
-    # (file source picks up files in discovery order; name them so
-    # the NEWEST data is batch 0)
+    # file order drives micro-batch order under maxFilesPerTrigger=1:
+    # the file source orders by MODIFICATION TIME, so the writes are
+    # separated by >1s — equal-ms mtimes made the order (and
+    # therefore what counts as "late") nondeterministic in the first
+    # version of this test
+    import time as _time
+
     newest.to_parquet(d_late / "part-000.parquet", index=False)
+    _time.sleep(1.05)
     oldest.to_parquet(d_late / "part-001.parquet", index=False)
     got = sw.run_available_now(
         sw.burst_alerts(
@@ -668,3 +673,61 @@ def test_burst_alerts_drop_late_data_below_watermark(spark, sf_dir, tmp_path):
     a = got.sort_values(key).reset_index(drop=True)
     b = want.sort_values(key).reset_index(drop=True)
     assert canon_frame(a) == canon_frame(b)
+
+
+def test_silent_user_alerts_ignore_late_events_after_alert(spark, tmp_path):
+    """Late-data pin, aimed at the one-batch LAG in Spark's built-in
+    late filter for applyInPandasWithState (the late-events watermark
+    is the PREVIOUS batch's value): a stale user-1 event lands in the
+    very batch whose watermark jump makes the user's silence
+    provable. Without the operator-level drop the stale row
+    overwrites last_seen (01:00 -> 02:00) and the alert emits with
+    the corrupted timestamp; with it the alert carries the true
+    last_seen. Mutation-checked: disabling the drop flips the
+    emitted timestamp."""
+    import pandas as pd
+
+    from mapreducepy_spark.streaming.windows import silent_user_alerts
+
+    d = tmp_path / "silent_late"
+    d.mkdir()
+
+    def write(fname, rows):
+        import time as _time
+
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf.to_parquet(d / f"{fname}.parquet", index=False)
+        _time.sleep(1.05)  # pin file-source batch order via mtime
+
+    base = "2024-01-01 "
+    write("0", [
+        (0, base + "00:00:00", 1, "view", 1.0, None),
+        (1, base + "01:00:00", 1, "view", 1.0, None),
+        (2, base + "08:50:00", 3, "view", 1.0, None),
+    ])
+    write("1", [
+        # watermark DURING this batch: 07:50 (from batch 0). The
+        # late-events filter still uses batch 0's value (0), so this
+        # stale 02:00 row IS delivered to the operator — the lag
+        # window the operator-level drop exists for.
+        (3, base + "02:00:00", 1, "view", 1.0, None),
+        (4, base + "15:50:00", 3, "view", 1.0, None),
+    ])
+    write("2", [
+        (5, base + "23:50:00", 3, "view", 1.0, None),
+    ])
+
+    stream = sw.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    got = sw.run_available_now(
+        silent_user_alerts(stream, threshold_min=360, watermark="1 hour"),
+        "t_silent_late",
+        spark,
+        output_mode="append",
+    ).toPandas()
+    u1 = got[got["user_id"] == 1]
+    assert len(u1) == 1
+    assert str(u1["last_seen"].iloc[0]) == "2024-01-01 01:00:00"
