@@ -9,6 +9,17 @@ watermark, so state size is O(active windows), not O(history).
 Tested in ``tests/test_streaming.py`` by replaying the parquet
 fixture through a file-source stream (``Trigger.AvailableNow``) into
 a memory sink and comparing against the batch twin on the same data.
+
+Late-data caveat for ARBITRARY-state operators (measured, round 9):
+Spark's built-in late-row filter for ``applyInPandasWithState`` uses
+the PREVIOUS micro-batch's watermark (the "late events" watermark
+lags the "eviction" watermark by one batch), so a sub-watermark row
+arriving in the batch right after a watermark jump IS delivered to
+the user function. Windowed aggregations/joins are unaffected (their
+operators handle it), but every custom-state function here drops
+sub-watermark rows itself — re-admitting one can double-emit a
+closed result or corrupt state. Both drops are replay-pinned by
+mutation-checked tests.
 """
 
 from __future__ import annotations
