@@ -1,0 +1,154 @@
+"""Third-implementation references for round-8 growth keys that had
+none — these lead the round-9 driver window, so independent evidence
+on exactly this block is what makes a hash mismatch diagnosable.
+Each kernel is recomputed in plain numpy/pandas/python from the raw
+parquet, independent of BOTH engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mapreducepy_spark.registry import load_catalog
+
+CATALOG = load_catalog()
+
+
+def _pq(sf_dir: str, name: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _type7(sorted_vals: np.ndarray, p: float) -> float:
+    """The repo's explicit type-7 interpolation (h = (n-1)p + 1)."""
+    n = len(sorted_vals)
+    h = (n - 1) * p + 1.0
+    lo = int(math.floor(h))
+    frac = h - lo
+    lo_v = float(sorted_vals[lo - 1])
+    hi_v = float(sorted_vals[lo]) if lo < n else lo_v
+    return lo_v + frac * (hi_v - lo_v)
+
+
+def test_agg_mad_matches_numpy_two_pass(spark, sf_dir):
+    got = (
+        CATALOG["agg_mad"].builder(spark, sf_dir).toPandas()
+        .set_index("o_orderpriority")
+    )
+    o = _pq(sf_dir, "orders")
+    o = o[o.o_totalprice.notna()]
+    for prio, g in o.groupby("o_orderpriority", dropna=False):
+        v = np.sort(g["o_totalprice"].to_numpy(np.float64))
+        med = math.floor(_type7(v, 0.5) * 1e6 + 0.5) / 1e6  # inner round
+        dev = np.sort(np.abs(v - med))
+        mad = math.floor(_type7(dev, 0.5) * 1e6 + 0.5) / 1e6
+        assert int(got.loc[prio, "n_rows"]) == len(v)
+        assert got.loc[prio, "median_price"] == pytest.approx(med, abs=2e-6)
+        assert got.loc[prio, "mad_price"] == pytest.approx(mad, abs=2e-6)
+
+
+def test_win_ema_matches_numpy_closed_form(spark, sf_dir):
+    got = CATALOG["win_ema"].builder(spark, sf_dir).toPandas()
+    ev = _pq(sf_dir, "events")
+    ev = ev.sort_values(
+        ["user_id", "ts", "event_id", "value"],
+        na_position="first",
+        kind="stable",
+    )
+    want: dict[int, float | None] = {}
+    for _, g in ev.groupby("user_id", dropna=False):
+        vals = g["value"].tolist()
+        ids = g["event_id"].tolist()
+        for i in range(len(vals)):
+            frame = [
+                v for v in vals[max(0, i - 7) : i + 1] if pd.notna(v)
+            ]
+            n = len(frame)
+            if n == 0:
+                ema = None
+            else:
+                # ema_k = (x_k + ema_{k-1})/2 from a fresh start:
+                # c_1 = 2^-(n-1), c_j = 2^-(n-j+1) for j >= 2
+                ema = 0.0
+                for j, x in enumerate(frame, start=1):
+                    c = 0.5 ** ((n - 1) if j == 1 else (n - j + 1))
+                    ema += x * c
+                ema = math.floor(ema * 1e6 + 0.5) / 1e6
+            if pd.notna(ids[i]):
+                want[int(ids[i])] = ema
+    checked = 0
+    for row in got.itertuples():
+        if pd.isna(row.event_id) or int(row.event_id) not in want:
+            continue
+        w = want[int(row.event_id)]
+        if w is None:
+            assert pd.isna(row.ema8), row.event_id
+        else:
+            assert row.ema8 == pytest.approx(w, abs=2e-6), row.event_id
+        checked += 1
+    assert checked > 100
+
+
+def test_events_funnel_timing_matches_pandas(spark, sf_dir):
+    got = (
+        CATALOG["events_funnel_timing"].builder(spark, sf_dir).toPandas()
+        .set_index("stage")
+    )
+    ev = _pq(sf_dir, "events")
+    ev = ev[ev.ts.notna()]
+    v = ev[ev.event_type == "view"].groupby("user_id")["ts"].min()
+    clicks = ev[ev.event_type == "click"].merge(
+        v.rename("t1"), left_on="user_id", right_index=True
+    )
+    c = clicks[clicks.ts > clicks.t1].groupby("user_id")["ts"].min()
+    purch = ev[ev.event_type == "purchase"].merge(
+        c.rename("t2"), left_on="user_id", right_index=True
+    )
+    p = purch[purch.ts > purch.t2].groupby("user_id")["ts"].min()
+    g1 = (
+        (c - v.loc[c.index]).dt.total_seconds().to_numpy() * 1e6
+    ).round()  # µs gaps (fixture is µs-aligned so round() is exact)
+    g2 = ((p - c.loc[p.index]).dt.total_seconds().to_numpy() * 1e6).round()
+    for stage, gaps in (("view>click", g1), ("click>purchase", g2)):
+        gaps = np.sort(gaps)
+        assert int(got.loc[stage, "n_users"]) == len(gaps)
+        for q, col in ((0.5, "p50_sec"), (0.9, "p90_sec")):
+            want = math.floor(_type7(gaps, q) / 1e6 * 1e6 + 0.5) / 1e6
+            assert got.loc[stage, col] == pytest.approx(want, abs=2e-6), (
+                stage,
+                col,
+            )
+
+
+def test_sample_weighted_hash_matches_hashlib(spark, sf_dir):
+    got = (
+        CATALOG["sample_weighted_hash"].builder(spark, sf_dir).toPandas()
+        .set_index(["lang", "source"])
+    )
+    docs = _pq(sf_dir, "documents")
+    agg: dict[tuple, list[int]] = {}
+    for r in docs.itertuples():
+        key = (r.lang, r.source)
+        n_total, n_kept, id_sum = agg.get(key, [0, 0, 0])
+        n_total += 1
+        if pd.notna(r.doc_id) and pd.notna(r.n_chars):
+            u16 = int(
+                hashlib.md5(str(int(r.doc_id)).encode()).hexdigest()[:4], 16
+            )
+            cut = math.floor(min(1.0, float(r.n_chars) / 800.0) * 65536.0)
+            if u16 < cut:
+                n_kept += 1
+                id_sum += int(r.doc_id)
+        agg[key] = [n_total, n_kept, id_sum]
+    assert len(agg) == len(got)
+    kept_any = 0
+    for key, (n_total, n_kept, id_sum) in agg.items():
+        assert int(got.loc[key, "n_total"]) == n_total, key
+        assert int(got.loc[key, "n_kept"]) == n_kept, key
+        assert int(got.loc[key, "kept_id_sum"]) == id_sum, key
+        kept_any += n_kept
+    assert kept_any > 0  # the sampler must actually keep something
