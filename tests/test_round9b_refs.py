@@ -152,3 +152,81 @@ def test_sample_weighted_hash_matches_hashlib(spark, sf_dir):
         assert int(got.loc[key, "kept_id_sum"]) == id_sum, key
         kept_any += n_kept
     assert kept_any > 0  # the sampler must actually keep something
+
+
+def test_cdc_snapshot_diff_matches_pandas(spark, sf_dir):
+    got = (
+        CATALOG["cdc_snapshot_diff"].builder(spark, sf_dir).toPandas()
+        .set_index("class")
+    )
+    o = _pq(sf_dir, "orders")
+    o = o[
+        o.o_custkey.notna()
+        & o.o_orderdate.notna()
+        & (o.o_custkey % 10 == 0)
+    ].sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="stable")
+
+    def snapshot(ts: str) -> dict[int, int]:
+        t = pd.Timestamp(ts)
+        out: dict[int, int] = {}
+        for ck, g in o.groupby("o_custkey"):
+            dates = g["o_orderdate"].tolist()
+            keys = g["o_orderkey"].tolist()
+            for i in range(len(dates)):
+                vfrom = dates[i]
+                vto = dates[i + 1] if i + 1 < len(dates) else None
+                if vfrom <= t and (vto is None or t < vto):
+                    out[int(ck)] = int(keys[i])
+        return out
+
+    a, b = snapshot("1996-06-01"), snapshot("1999-06-01")
+    cls: dict[str, list[int]] = {}
+    for ck in set(a) | set(b):
+        if ck not in a:
+            c = "appeared"
+        elif ck not in b:
+            c = "disappeared"
+        elif a[ck] == b[ck]:
+            c = "unchanged"
+        else:
+            c = "changed"
+        cls.setdefault(c, []).append(ck)
+    assert set(cls) == set(got.index)
+    for c, keys in cls.items():
+        assert int(got.loc[c, "n_keys"]) == len(keys), c
+        assert int(got.loc[c, "min_key"]) == min(keys), c
+        assert int(got.loc[c, "max_key"]) == max(keys), c
+
+
+def test_events_burst_detect_matches_pandas(spark, sf_dir):
+    got = CATALOG["events_burst_detect"].builder(spark, sf_dir).toPandas()
+    got = got.set_index(["event_type", "bucket"]).sort_index()
+    ev = _pq(sf_dir, "events")
+    ev = ev[ev.ts.notna() & ev.event_type.notna()]
+    bucket = ev["ts"].dt.floor("10min")
+    counts = (
+        ev.assign(bucket=bucket)
+        .groupby(["event_type", "bucket"])
+        .size()
+        .rename("n")
+        .reset_index()
+        .sort_values(["event_type", "bucket"], kind="stable")
+    )
+    n_checked = 0
+    for etype, g in counts.groupby("event_type"):
+        ns = g["n"].tolist()
+        bks = g["bucket"].tolist()
+        for i in range(len(ns)):
+            trail = ns[max(0, i - 6) : i]
+            row = got.loc[(etype, bks[i])]
+            assert int(row["n_events"]) == ns[i]
+            if trail:
+                avg = sum(trail) / len(trail)
+                assert row["trail_avg"] == pytest.approx(avg, abs=2e-6)
+                want_burst = 1 if (len(trail) >= 3 and ns[i] > 3.0 * avg) else 0
+                assert int(row["is_burst"]) == want_burst, (etype, bks[i])
+            else:
+                assert pd.isna(row["trail_avg"])
+                assert int(row["is_burst"]) == 0
+            n_checked += 1
+    assert n_checked == len(got)
