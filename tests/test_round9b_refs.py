@@ -230,3 +230,118 @@ def test_events_burst_detect_matches_pandas(spark, sf_dir):
                 assert int(row["is_burst"]) == 0
             n_checked += 1
     assert n_checked == len(got)
+
+
+def test_join_point_in_time_matches_bruteforce(spark, sf_dir):
+    got = CATALOG["join_point_in_time"].builder(spark, sf_dir).toPandas()
+    ev = _pq(sf_dir, "events")
+    ev = ev[ev.user_id.notna() & (ev.user_id % 10 == 0)]
+    o = _pq(sf_dir, "orders")
+    o = o[o.o_custkey.notna() & (o.o_custkey % 10 == 0) & o.o_orderdate.notna()]
+    o = o.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="stable")
+    chains: dict[int, list[tuple]] = {}
+    for ck, g in o.groupby("o_custkey"):
+        chains[int(ck)] = [
+            (r.o_orderdate, i + 1, int(r.o_orderkey))
+            for i, r in enumerate(g.itertuples())
+        ]
+    got_i = got.set_index("event_id")
+    checked = 0
+    for r in ev.itertuples():
+        if pd.isna(r.event_id):
+            continue
+        row = got_i.loc[int(r.event_id)]
+        if pd.isna(r.ts):
+            assert pd.isna(row["version"]), r.event_id
+            continue
+        cands = [
+            c for c in chains.get(int(r.user_id), []) if c[0] <= r.ts
+        ]
+        if not cands:
+            assert pd.isna(row["version"]), r.event_id
+        else:
+            vf, ver, ok = max(cands)  # lexicographic (valid_from, version, orderkey)
+            assert int(row["version"]) == ver, r.event_id
+            assert int(row["orderkey"]) == ok, r.event_id
+            assert row["valid_from"] == vf, r.event_id
+        checked += 1
+    assert checked == len(got)
+
+
+def test_text_source_drift_matches_numpy_chi2(spark, sf_dir):
+    got = (
+        CATALOG["text_source_drift"].builder(spark, sf_dir).toPandas()
+        .set_index("source")
+    )
+    docs = _pq(sf_dir, "documents")
+    counts: dict[tuple, int] = {}
+    for r in docs.itertuples():
+        if r.text is None:
+            continue
+        for w in str(r.text).split(" "):
+            if w:
+                counts[(r.source, w)] = counts.get((r.source, w), 0) + 1
+    glob: dict[str, int] = {}
+    srctot: dict = {}
+    for (s, w), c in counts.items():
+        glob[w] = glob.get(w, 0) + c
+        srctot[s] = srctot.get(s, 0) + c
+    gt = sum(glob.values())
+    for s, t in srctot.items():
+        chi2_u = 0
+        seen = 0
+        for w, g in glob.items():
+            c = counts.get((s, w), 0)
+            exp = t * g / gt
+            chi2_u += int(math.floor((c - exp) * (c - exp) / exp * 1e6 + 0.5))
+            if c > 0:
+                seen += 1
+        assert int(got.loc[s, "n_tokens"]) == t, s
+        assert int(got.loc[s, "vocab_seen"]) == seen, s
+        assert int(got.loc[s, "vocab_total"]) == len(glob), s
+        assert int(got.loc[s, "chi2_u"]) == chi2_u, s
+
+
+def test_embed_outlier_census_matches_numpy(spark, sf_dir):
+    got = (
+        CATALOG["embed_outlier_census"].builder(spark, sf_dir).toPandas()
+        .set_index("label")
+    )
+    emb = _pq(sf_dir, "embeddings")
+    emb = emb[emb.embedding.notna()]
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(mat * 1e6 + 0.5)
+    n = q.shape[0]
+    mu = q.sum(axis=0) / n
+    var = (q * q).sum(axis=0) / n - mu * mu
+    sd = np.where(var > 0, np.sqrt(np.maximum(var, 0)), np.nan)
+    z = np.abs((q - mu) / sd)           # NaN for zero-variance dims
+    maxz = np.nanmax(z, axis=1)
+    labels = emb["label"].to_numpy()
+    for lab in np.unique(labels):
+        m = maxz[labels == lab]
+        assert int(got.loc[lab, "n_vectors"]) == len(m)
+        assert int(got.loc[lab, "n_flagged"]) == int((m > 4.0).sum())
+        assert int(got.loc[lab, "sum_maxz_u"]) == int(
+            np.floor(m * 1e6 + 0.5).sum()
+        )
+
+
+def test_multitable_ann_dominates_single_table(spark, sf_dir):
+    """Structural property: the two-table best-of pick can never be
+    WORSE than the single-table pick for the same query (table 0 of
+    the multitable probe IS sim_ann_lsh's hyperplane set)."""
+    multi = (
+        CATALOG["sim_ann_multitable"].builder(spark, sf_dir).toPandas()
+        .set_index("query_id")
+    )
+    single = (
+        CATALOG["sim_ann_lsh"].builder(spark, sf_dir).toPandas()
+        .groupby("query_id")["cos_sim"].max()
+    )
+    common = multi.index.intersection(single.index)
+    assert len(common) > 100
+    diffs = multi.loc[common, "cos_sim"] - single.loc[common]
+    assert (diffs >= -1e-9).all()
+    # and the second table must genuinely add wins somewhere
+    assert (multi["src_table"] == 1).any()
