@@ -91,12 +91,17 @@ def _partials_cached(
 
 _ORACLE_EMBED_COVARIANCE = f"""
 WITH v AS (
-    SELECT vec_id, embedding FROM embeddings
+    -- rid = per-ROW identity: the cross-moment join must pair each
+    -- row's dimensions with ITSELF only; joining on vec_id would
+    -- cross-multiply duplicate-id rows (k copies -> k² cross terms,
+    -- where the engine's per-row fold correctly counts k) — the
+    -- duplicate-id sweep row. rid values are arbitrary but unique.
+    SELECT row_number() OVER () AS rid, embedding FROM embeddings
     WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
       AND len(embedding) = {_DIM}
 ),
 e AS (
-    SELECT vec_id,
+    SELECT rid,
            CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_SCALE}
                       + 0.5) AS BIGINT) AS q
@@ -113,7 +118,7 @@ p AS (
     SELECT a.dim AS dim_a, b.dim AS dim_b,
            CAST(SUM(a.q * b.q) AS BIGINT) AS ss
     FROM e a
-    JOIN e b ON b.vec_id = a.vec_id AND b.dim > a.dim
+    JOIN e b ON b.rid = a.rid AND b.dim > a.dim
     GROUP BY a.dim, b.dim
 ),
 c AS (
@@ -394,12 +399,15 @@ def _duck_top_eigen() -> str:
     side term for term (the graph_pagerank unrolling discipline)."""
     head = f"""
 WITH v AS (
-    SELECT vec_id, embedding FROM embeddings
+    -- rid: per-ROW identity for the cross-moment join (see the
+    -- embed_covariance oracle — joining on vec_id cross-multiplies
+    -- duplicate-id rows; the duplicate-id sweep row)
+    SELECT row_number() OVER () AS rid, embedding FROM embeddings
     WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
       AND len(embedding) = {_DIM}
 ),
 e AS (
-    SELECT vec_id,
+    SELECT rid,
            CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_SCALE}
                       + 0.5) AS BIGINT) AS q
@@ -414,7 +422,7 @@ p AS (
     SELECT a.dim AS i, b.dim AS j,
            CAST(SUM(a.q * b.q) AS BIGINT) AS ss
     FROM e a
-    JOIN e b ON b.vec_id = a.vec_id
+    JOIN e b ON b.rid = a.rid
     GROUP BY a.dim, b.dim
 ),
 cmat AS MATERIALIZED (

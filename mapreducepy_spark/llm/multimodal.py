@@ -630,11 +630,16 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decoder recovered the image the encoder wrote, byte-perfectly,
 # through JVM→Arrow→pandas on both legs.
 #
-# Construction rule (mirrored LITERALLY in the oracle SQL):
-#   width  = doc_id % 7 + 2            (2..8)
-#   height = doc_id % 5 + 2            (2..6)
-#   R(x,y) = (doc_id + x + y) % 256    G(x,y) = (doc_id + y) % 256
-#   B(x,y) = (doc_id + x) % 256        (x left→right, y top→down)
+# Construction rule (mirrored LITERALLY in the oracle SQL), with
+# u = abs(doc_id) — sign-stable on purpose: Python % follows the
+# divisor's sign while SQL % follows the dividend's, so a negative
+# doc_id minted with `doc_id % 7` would desync from the oracle's
+# re-derivation (the ensure_evolved_fixture lesson, ADVICE r8; found
+# live here by the negative-id sweep rows):
+#   width  = u % 7 + 2            (2..8)
+#   height = u % 5 + 2            (2..6)
+#   R(x,y) = (u + x + y) % 256    G(x,y) = (u + y) % 256
+#   B(x,y) = (u + x) % 256        (x left→right, y top→down)
 
 BMP_STATS_SCHEMA = StructType(
     [
@@ -666,15 +671,16 @@ def render_bmp_payloads(docs: DataFrame) -> DataFrame:
             ids = [int(d) for d in pdf["doc_id"]]
             payloads = []
             for d in ids:
-                w, h = d % 7 + 2, d % 5 + 2
+                u = abs(d)  # sign-stable rule (see block comment)
+                w, h = u % 7 + 2, u % 5 + 2
                 payloads.append(
                     encode_bmp24(
                         w,
                         h,
-                        lambda x, y, d=d: (
-                            (d + x + y) % 256,
-                            (d + y) % 256,
-                            (d + x) % 256,
+                        lambda x, y, u=u: (
+                            (u + x + y) % 256,
+                            (u + y) % 256,
+                            (u + x) % 256,
                         ),
                     )
                 )
@@ -734,8 +740,9 @@ def bmp_decode_stats(payloads: DataFrame) -> DataFrame:
 _ORACLE_BMP_DECODE = """
 WITH dims AS (
     SELECT doc_id,
-           doc_id % 7 + 2 AS w,
-           doc_id % 5 + 2 AS h
+           abs(doc_id) AS u,
+           abs(doc_id) % 7 + 2 AS w,
+           abs(doc_id) % 5 + 2 AS h
     FROM documents
 )
 SELECT doc_id,
@@ -744,11 +751,11 @@ SELECT doc_id,
        CAST(w AS INT) AS width,
        CAST(h AS INT) AS height,
        CAST(list_sum(list_transform(range(0, w * h),
-                i -> (doc_id + (i % w) + (i // w)) % 256)) AS BIGINT) AS sum_r,
+                i -> (u + (i % w) + (i // w)) % 256)) AS BIGINT) AS sum_r,
        CAST(w * list_sum(list_transform(range(0, h),
-                y -> (doc_id + y) % 256)) AS BIGINT) AS sum_g,
+                y -> (u + y) % 256)) AS BIGINT) AS sum_g,
        CAST(h * list_sum(list_transform(range(0, w),
-                x -> (doc_id + x) % 256)) AS BIGINT) AS sum_b
+                x -> (u + x) % 256)) AS BIGINT) AS sum_b
 FROM dims
 """
 
@@ -783,10 +790,12 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (which never sees the rule) recovers geometry and sample
 # statistics; the oracle predicts everything from the rule alone.
 #
-# Construction rule (mirrored LITERALLY in the oracle SQL):
-#   sample_rate = 8000 + (doc_id % 3) * 4000     (8/12/16 kHz)
-#   n_samples   = doc_id % 17 + 4                (4..20 mono frames)
-#   sample[i]   = (doc_id * 31 + i * 97) % 65536 - 32768  (full
+# Construction rule (mirrored LITERALLY in the oracle SQL), with
+# u = abs(doc_id) for the same sign-stability reason as the BMP rule
+# (Python vs SQL modulo on negative ids — ADVICE r8 class):
+#   sample_rate = 8000 + (u % 3) * 4000     (8/12/16 kHz)
+#   n_samples   = u % 17 + 4                (4..20 mono frames)
+#   sample[i]   = (u * 31 + i * 97) % 65536 - 32768  (full
 #                 int16 range, both signs)
 
 AUDIO_STATS_SCHEMA = StructType(
@@ -816,11 +825,11 @@ def render_wav_payloads(docs: DataFrame) -> DataFrame:
             ids = [int(d) for d in pdf["doc_id"]]
             payloads = [
                 encode_wav_pcm16(
-                    8000 + (d % 3) * 4000,
+                    8000 + (abs(d) % 3) * 4000,
                     1,
                     [
-                        (d * 31 + i * 97) % 65536 - 32768
-                        for i in range(d % 17 + 4)
+                        (abs(d) * 31 + i * 97) % 65536 - 32768
+                        for i in range(abs(d) % 17 + 4)
                     ],
                 )
                 for d in ids
@@ -875,8 +884,9 @@ def wav_decode_stats(payloads: DataFrame) -> DataFrame:
 _ORACLE_WAV_DECODE = """
 WITH g AS (
     SELECT doc_id,
-           8000 + (doc_id % 3) * 4000 AS rate,
-           doc_id % 17 + 4 AS n
+           abs(doc_id) AS u,
+           8000 + (abs(doc_id) % 3) * 4000 AS rate,
+           abs(doc_id) % 17 + 4 AS n
     FROM documents
 )
 SELECT doc_id,
@@ -886,13 +896,13 @@ SELECT doc_id,
        CAST(n AS INT) AS n_samples,
        CAST(44 + n * 2 AS BIGINT) AS byte_len,
        CAST(list_sum(list_transform(range(0, n),
-                i -> ((doc_id * 31 + i * 97) % 65536) - 32768))
+                i -> ((u * 31 + i * 97) % 65536) - 32768))
             AS BIGINT) AS sum_samples,
        CAST(list_min(list_transform(range(0, n),
-                i -> ((doc_id * 31 + i * 97) % 65536) - 32768))
+                i -> ((u * 31 + i * 97) % 65536) - 32768))
             AS INT) AS min_sample,
        CAST(list_max(list_transform(range(0, n),
-                i -> ((doc_id * 31 + i * 97) % 65536) - 32768))
+                i -> ((u * 31 + i * 97) % 65536) - 32768))
             AS INT) AS max_sample
 FROM g
 """
@@ -1002,8 +1012,8 @@ _RESIZE_BOX = 4
     f"""
 WITH dims AS (
     SELECT doc_id,
-           doc_id % 7 + 2 AS w0,
-           doc_id % 5 + 2 AS h0
+           abs(doc_id) % 7 + 2 AS w0,
+           abs(doc_id) % 5 + 2 AS h0
     FROM documents
 ),
 scaled AS (

@@ -472,9 +472,14 @@ pairs AS (
     JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
 ),
 ranked AS (
+    -- bucket ASC completes the tie-break: duplicate vec_ids with
+    -- DIFFERENT payloads can surface the same (cos, neighbor) from
+    -- two buckets, and an unpinned tie would let the engines emit
+    -- different bucket columns (the duplicate-id sweep row)
     SELECT query_id, neighbor_id, bucket, cos_sim,
            ROW_NUMBER() OVER (
-               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC, bucket ASC
            ) AS rn
     FROM pairs
 )
@@ -499,6 +504,18 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle). Recall is tuned by #planes (bucket granularity) and
     #independent tables (union of probes); both embarrassingly
     parallel. This is the IVF-style scale path for ``sim_knn``.
+
+    Output contract: ONE row per distinct query_id (the oracle's
+    PARTITION BY query_id shape). The per-bucket kernel emits one
+    candidate per PHYSICAL row at full precision; the final window
+    collapses duplicate vec_ids — rows sharing an id are one query
+    identity whose answer is the best candidate over all its rows —
+    ranking on the UNROUNDED cosine exactly like the oracle (the
+    duplicate-id sweep found the pre-collapse per-row emission
+    diverging: 3 rows Spark-side vs 1 oracle-side for a triple id).
+    The window shuffles only the ANN OUTPUT (3 narrow columns × one
+    row per input row) — negligible next to the bucket GEMMs, and
+    a no-op collapse when ids are unique.
     """
     emb = (
         _valid_embeddings(load(spark, sf_dir, "embeddings"))
@@ -513,7 +530,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "query_id": pd.Series(dtype="int64"),
                     "neighbor_id": pd.Series(dtype="int64"),
                     "bucket": pd.Series(dtype="int32"),
-                    "cos_sim": pd.Series(dtype="float64"),
+                    "cos_raw": pd.Series(dtype="float64"),
                 }
             )
         ids = pdf["vec_id"].to_numpy(np.int64)
@@ -542,12 +559,29 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bucket": np.full(
                     int(keep.sum()), pdf["bucket"].iloc[0], np.int32
                 ),
-                "cos_sim": _dround_np(out_c[keep]),
+                # full precision — the collapse window must rank on
+                # the exact cosine (the oracle ranks pre-rounding)
+                "cos_raw": out_c[keep],
             }
         )
 
-    return bucketed.groupBy("bucket").applyInPandas(
-        bucket_top1, "query_id bigint, neighbor_id bigint, bucket int, cos_sim double"
+    partial = bucketed.groupBy("bucket").applyInPandas(
+        bucket_top1,
+        "query_id bigint, neighbor_id bigint, bucket int, cos_raw double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc(),
+        F.col("bucket").asc(),
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            dround("cos_raw", 6).alias("cos_sim"),
+        )
     )
 
 
@@ -801,16 +835,24 @@ cent AS (
     ORDER BY vec_id ASC
     LIMIT {_N_CELLS}
 ),
+normed_r AS (
+    -- per-ROW identity: centroid assignment is a property of the
+    -- physical row, not of the vec_id — PARTITION BY vec_id would
+    -- silently drop all but one of a set of duplicate-id rows from
+    -- the searchable corpus (the duplicate-id sweep row); rid values
+    -- are arbitrary but each row keeps exactly its own assignment
+    SELECT vec_id, unit, ROW_NUMBER() OVER () AS rid FROM normed
+),
 assign AS (
-    SELECT n.vec_id, n.unit, c.cell,
+    SELECT n.vec_id, n.unit, n.rid, c.cell,
            ROW_NUMBER() OVER (
-               PARTITION BY n.vec_id
+               PARTITION BY n.rid
                ORDER BY {_DUCK_COS.format(a="n.unit", b="c.cunit")} DESC, c.cell ASC
            ) AS rn
-    FROM normed n CROSS JOIN cent c
+    FROM normed_r n CROSS JOIN cent c
 ),
 cells AS (
-    SELECT vec_id, unit, cell FROM assign WHERE rn = 1
+    SELECT vec_id, unit, rid, cell FROM assign WHERE rn = 1
 ),
 pairs AS (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.cell AS cell,
@@ -819,9 +861,11 @@ pairs AS (
     JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
 ),
 ranked AS (
+    -- cell ASC completes the tie-break (see the sim_ann_lsh oracle)
     SELECT query_id, neighbor_id, cell, cos_sim,
            ROW_NUMBER() OVER (
-               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC, cell ASC
            ) AS rn
     FROM pairs
 )
@@ -887,7 +931,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "query_id": pd.Series(dtype="int64"),
                     "neighbor_id": pd.Series(dtype="int64"),
                     "cell": pd.Series(dtype="int32"),
-                    "cos_sim": pd.Series(dtype="float64"),
+                    "cos_raw": pd.Series(dtype="float64"),
                 }
             )
         ids = pdf["vec_id"].to_numpy(np.int64)
@@ -913,12 +957,29 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cell": np.full(
                     int(keep.sum()), pdf["cell"].iloc[0], np.int32
                 ),
-                "cos_sim": _dround_np(out_c[keep]),
+                "cos_raw": out_c[keep],
             }
         )
 
-    return assigned.groupBy("cell").applyInPandas(
-        cell_top1, "query_id bigint, neighbor_id bigint, cell int, cos_sim double"
+    partial = assigned.groupBy("cell").applyInPandas(
+        cell_top1,
+        "query_id bigint, neighbor_id bigint, cell int, cos_raw double",
+    )
+    # one row per distinct query_id, ranked on the unrounded cosine —
+    # the sim_ann_lsh collapse contract (duplicate-id sweep)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc(),
+        F.col("cell").asc(),
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            dround("cos_raw", 6).alias("cos_sim"),
+        )
     )
 
 
@@ -1243,7 +1304,11 @@ eranked AS (
     FROM epairs
 ),
 exact_topk AS (
-    SELECT query_id, neighbor_id FROM eranked WHERE rn <= {_K}
+    -- DISTINCT: duplicate vec_ids fan the exact top-K out once per
+    -- source row; membership ("is the ANN pick inside the exact
+    -- top-K?") is a SET question, and a bag here would multiply the
+    -- hit join and inflate n_queries (the duplicate-id sweep row)
+    SELECT DISTINCT query_id, neighbor_id FROM eranked WHERE rn <= {_K}
 ),
 exact_top1 AS (
     SELECT query_id,
@@ -1363,8 +1428,13 @@ def _recall_ledger(ann: DataFrame, knn: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("query_id", F.col("cos_sim").alias("exact_cos"))
     )
-    exact_topk = knn.select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    # distinct: top-K membership is a SET question — duplicate
+    # vec_ids fan knn's output out once per source row, and a bag
+    # here would multiply the hit join (oracle's DISTINCT twin)
+    exact_topk = (
+        knn.select("query_id", "neighbor_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
     base = (
         ann.join(exact_topk, ["query_id", "neighbor_id"], "left")

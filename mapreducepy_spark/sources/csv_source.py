@@ -64,9 +64,13 @@ def ensure_csv_fixture(sf_dir: str) -> str:
 
     def render(d, la, so, n) -> str:
         base = f"{cell(d)},{cell(la)},{cell(so)}"
-        if d is not None and d % _CORRUPT_EVERY == _CSV_BADTYPE_AT:
+        # abs() before %: sign-stable vs the oracle's SQL modulo
+        # (ADVICE r8 class; the ==0 badtype arm was already safe,
+        # every nonzero arm desyncs on negative ids)
+        u = None if d is None else abs(d)
+        if u is not None and u % _CORRUPT_EVERY == _CSV_BADTYPE_AT:
             return f"{base},x{cell(n)}"  # type mismatch in LONG column
-        if d is not None and d % _CORRUPT_EVERY == _CSV_EXTRACOL_AT:
+        if u is not None and u % _CORRUPT_EVERY == _CSV_EXTRACOL_AT:
             return f"{base},{cell(n)},EXTRA"  # schema drift: extra col
         return f"{base},{cell(n)}"
 
@@ -84,9 +88,9 @@ WITH rows AS (
     SELECT doc_id, lang, source, n_chars,
            CASE
                WHEN doc_id IS NULL THEN 'clean'
-               WHEN doc_id % {_CORRUPT_EVERY} = {_CSV_BADTYPE_AT}
+               WHEN abs(doc_id) % {_CORRUPT_EVERY} = {_CSV_BADTYPE_AT}
                    THEN 'corrupt_badtype'
-               WHEN doc_id % {_CORRUPT_EVERY} = {_CSV_EXTRACOL_AT}
+               WHEN abs(doc_id) % {_CORRUPT_EVERY} = {_CSV_EXTRACOL_AT}
                    THEN 'corrupt_extracol'
                ELSE 'clean'
            END AS status

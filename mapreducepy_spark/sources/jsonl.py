@@ -317,10 +317,18 @@ def quarantine_census(parsed: DataFrame) -> DataFrame:
 # degraded-but-parseable input) over a fixture that deterministically
 # injects FOUR failure classes seen in real landing zones:
 #
-#   doc_id % 20 == 0  → truncated upload  (object chopped mid-line)
-#   doc_id % 20 == 10 → non-JSON garbage  (binary/log noise in feed)
-#   doc_id % 20 == 7  → schema drift      (producer dropped ``lang``)
-#   doc_id % 20 == 13 → null primary key  (``doc_id`` serialized null)
+#   abs(doc_id) % 20 == 0  → truncated upload  (object chopped mid-line)
+#   abs(doc_id) % 20 == 10 → non-JSON garbage  (binary/log noise in feed)
+#   abs(doc_id) % 20 == 7  → schema drift      (producer dropped ``lang``)
+#   abs(doc_id) % 20 == 13 → null primary key  (``doc_id`` serialized null)
+#
+# abs() before %: sign-stability (ADVICE r8 class) — Python modulo
+# follows the divisor's sign, SQL the dividend's, so a bare
+# ``doc_id % 20 == 13`` mints a null-PK line for doc_id -7 (Python
+# -7 % 20 = 13) that the oracle's SQL arm (-7 % 20 = -7) calls 'ok'.
+# Found live by the negative-id sweep rows; the == 0 arm alone would
+# have been safe (both remainders are 0 iff 20 | doc_id), every
+# nonzero arm desyncs.
 #
 # The classifier NEVER sees the rule — it works from parser output
 # alone (corrupt line starts with '{' ⇒ truncated object, else not
@@ -342,18 +350,19 @@ def ensure_jsonl_shapes_fixture(sf_dir: str) -> str:
     import json
 
     def render(d, la, so, n) -> str:
-        if d is not None and d % _CORRUPT_EVERY == 0:
+        u = None if d is None else abs(d)  # sign-stable shape selector
+        if u is not None and u % _CORRUPT_EVERY == 0:
             line = json.dumps(
                 {"doc_id": d, "lang": la, "source": so, "n_chars": n},
                 separators=(",", ":"),
             )
             return line[:-5]  # truncated upload: unterminated object
-        if d is not None and d % _CORRUPT_EVERY == _SHAPE_NOT_JSON_EVERY:
+        if u is not None and u % _CORRUPT_EVERY == _SHAPE_NOT_JSON_EVERY:
             return f"CORRUPT#{d}"  # feed noise: not JSON at all
         obj = {"doc_id": d, "lang": la, "source": so, "n_chars": n}
-        if d is not None and d % _CORRUPT_EVERY == _SHAPE_DROP_LANG_AT:
+        if u is not None and u % _CORRUPT_EVERY == _SHAPE_DROP_LANG_AT:
             del obj["lang"]  # schema drift: field vanished upstream
-        elif d is not None and d % _CORRUPT_EVERY == _SHAPE_NULL_PK_AT:
+        elif u is not None and u % _CORRUPT_EVERY == _SHAPE_NULL_PK_AT:
             obj["doc_id"] = None  # null primary key
         return json.dumps(obj, separators=(",", ":"))
 
@@ -377,10 +386,10 @@ WITH shaped AS (
     SELECT doc_id, n_chars,
            CASE
                WHEN doc_id IS NULL THEN 'null_pk'
-               WHEN doc_id % {_CORRUPT_EVERY} = 0 THEN 'truncated_object'
-               WHEN doc_id % {_CORRUPT_EVERY} = {_SHAPE_NOT_JSON_EVERY} THEN 'not_json'
-               WHEN doc_id % {_CORRUPT_EVERY} = {_SHAPE_NULL_PK_AT} THEN 'null_pk'
-               WHEN doc_id % {_CORRUPT_EVERY} = {_SHAPE_DROP_LANG_AT} THEN 'missing_field'
+               WHEN abs(doc_id) % {_CORRUPT_EVERY} = 0 THEN 'truncated_object'
+               WHEN abs(doc_id) % {_CORRUPT_EVERY} = {_SHAPE_NOT_JSON_EVERY} THEN 'not_json'
+               WHEN abs(doc_id) % {_CORRUPT_EVERY} = {_SHAPE_NULL_PK_AT} THEN 'null_pk'
+               WHEN abs(doc_id) % {_CORRUPT_EVERY} = {_SHAPE_DROP_LANG_AT} THEN 'missing_field'
                WHEN lang IS NULL THEN 'missing_field'
                ELSE 'ok'
            END AS error_shape

@@ -67,6 +67,14 @@ def adversarial_docs(tmp_path_factory):
         (3, "hello world foo bar baz", "en", None, 23),   # NULL source
         (4, "x", "zh", "books", 1),                       # 1-word doc
         (5, "hello world foo bar baz", "en", "web", 23),  # exact dup of 2
+        # NEGATIVE doc_ids (ADVICE r8): Python modulo follows the
+        # divisor's sign, SQL modulo the dividend's, so any builder
+        # rule written as `doc_id % n` desyncs from its oracle
+        # exactly here (ensure_evolved_fixture was the latent case;
+        # fixed with abs() on both sides). One odd-|id| and one
+        # even-|id| so both branches of every parity rule fire.
+        (-7, "negative id doc about join filter", "de", "web", 32),
+        (-8, "another negative id document row", "fr", "web", 32),
     ]
     pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
@@ -151,15 +159,28 @@ def adversarial_events_embeddings(tmp_path_factory):
     ev.to_parquet(d / "events.parquet", index=False)
     emb = pd.DataFrame(
         {
-            "vec_id": [0, 1, 2, 3, 4],
+            # vec_id 5 appears THREE times with identical embeddings
+            # (ADVICE r8): a kernel that excludes only ONE same-id
+            # candidate (the old order[0]/order[1] fallback) still
+            # picks a same-id neighbor when 3+ rows share an id in a
+            # bucket, while every oracle excludes ALL a.vec_id <>
+            # b.vec_id pairs — the triple makes that divergence
+            # visible; the fixed kernels mask every ids == ids[i]
+            # entry to -inf before ranking. Identical payloads keep
+            # the expected output engine-deterministic (any pick
+            # among the duplicates yields the same row).
+            "vec_id": [0, 1, 2, 3, 4, 5, 5, 5],
             "embedding": [
                 np.zeros(64, np.float32),           # zero norm
                 np.ones(64, np.float32) / 8.0,
                 None,                               # NULL embedding
                 np.ones(3, np.float32),             # wrong length
                 -np.ones(64, np.float32) / 8.0,
+                np.ones(64, np.float32) / 8.0,      # dup id, = vec 1
+                np.ones(64, np.float32) / 8.0,
+                np.ones(64, np.float32) / 8.0,
             ],
-            "label": [0, 1, None, 2, 1],
+            "label": [0, 1, None, 2, 1, 3, 3, 3],
         }
     )
     emb.to_parquet(d / "embeddings.parquet", index=False)
