@@ -102,9 +102,22 @@ EVENTS_ONLY = _sweep(frozenset({"events"}))
 EMBEDDINGS_ONLY = _sweep(frozenset({"embeddings"}))
 
 
+def _dup_triple_vec():
+    """The duplicate-id triple's payload: dyadic floats (exact in
+    float32), positive everywhere (same sign-LSH bucket as vec 1),
+    but deliberately NOT vec 1's vector — see the fixture comment."""
+    import numpy as np
+
+    v = np.full(64, 0.125, np.float32)
+    v[32:] = 0.25
+    return v
+
+
 @pytest.fixture(scope="module")
 def adversarial_events_embeddings(tmp_path_factory):
     import numpy as np
+
+    _DUP_TRIPLE_VEC = _dup_triple_vec()
 
     d = tmp_path_factory.mktemp("nullsweep_ee")
     ev = pd.DataFrame(
@@ -166,9 +179,16 @@ def adversarial_events_embeddings(tmp_path_factory):
             # bucket, while every oracle excludes ALL a.vec_id <>
             # b.vec_id pairs — the triple makes that divergence
             # visible; the fixed kernels mask every ids == ids[i]
-            # entry to -inf before ranking. Identical payloads keep
-            # the expected output engine-deterministic (any pick
-            # among the duplicates yields the same row).
+            # entry to -inf before ranking. The triple's payload is
+            # identical WITHIN the triple (any pick among duplicates
+            # yields the same row — engine-deterministic) but NOT
+            # equal to vec 1's: its self-cosine (1.0) strictly
+            # exceeds its best different-id cosine, so an unmasked
+            # kernel ranks a same-id row first instead of hiding
+            # behind the lowest-id tie-break (the first version of
+            # this fixture reused vec 1's exact payload and the
+            # mask-drop mutation survived the tie — mutation-checked).
+            # Same positive sign bits as vec 1 ⇒ same LSH bucket.
             "vec_id": [0, 1, 2, 3, 4, 5, 5, 5],
             "embedding": [
                 np.zeros(64, np.float32),           # zero norm
@@ -176,9 +196,9 @@ def adversarial_events_embeddings(tmp_path_factory):
                 None,                               # NULL embedding
                 np.ones(3, np.float32),             # wrong length
                 -np.ones(64, np.float32) / 8.0,
-                np.ones(64, np.float32) / 8.0,      # dup id, = vec 1
-                np.ones(64, np.float32) / 8.0,
-                np.ones(64, np.float32) / 8.0,
+                _DUP_TRIPLE_VEC,                    # dup id ×3
+                _DUP_TRIPLE_VEC,
+                _DUP_TRIPLE_VEC,
             ],
             "label": [0, 1, None, 2, 1, 3, 3, 3],
         }
