@@ -489,3 +489,56 @@ def test_multi_table_operator_survives_adversarial_rows(
     spd = CATALOG[name].builder(spark, sf_dir).toPandas()
     dpd = con.execute(CATALOG[name].oracle).fetchdf()
     assert canon_frame(spd) == canon_frame(dpd), name
+
+
+# --- residue-space sweep: the sign-stable-modulo structural pin -----
+
+# Every derived-fixture construction rule keys on doc_id modulo some
+# constant (20 for the JSONL/CSV failure classes, 7/5 for BMP
+# geometry, 3/17 for WAV, 2/100 for the evolved-schema part split,
+# 4 for PII injection). Python's % follows the divisor's sign, SQL's
+# the dividend's, so any rule written without abs() desyncs from its
+# oracle EXACTLY on negative ids with nonzero remainders — a class
+# this round's 2-id sweep caught five instances of. This corpus
+# covers EVERY residue of every rule modulus with BOTH signs (ids
+# -120..120 ⊇ ±residues of 20/7/5/3/17/4; ±9_999_999 exercises
+# magnitudes past every modulus), so a future rule that forgets
+# abs() fails here on its first run, not in round N+1's review.
+
+_MODULO_KEYS = [
+    "jsonl_quarantine", "jsonl_quarantine_shapes", "csv_quarantine",
+    "scan_schema_merge", "multimodal_decode_stats",
+    "multimodal_audio_stats", "multimodal_resize_plan",
+    "multimodal_frame_index", "multimodal_payload_stats",
+    "text_pii_census", "dedup_prefix", "text_decontaminate",
+]
+
+
+@pytest.fixture(scope="module")
+def residue_space_docs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("residue_space")
+    ids = list(range(-120, 121)) + [9_999_999, -9_999_999]
+    rows = []
+    for i in ids:
+        text = f"doc {i} join filter window row group order by key {i % 7}"
+        rows.append((i, text, "en" if i % 2 else "de", f"src{i % 3}",
+                     len(text)))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(d / "documents.parquet", index=False)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    return str(d), con
+
+
+@pytest.mark.parametrize("name", _MODULO_KEYS)
+def test_modulo_rule_operator_survives_residue_space(
+    spark, residue_space_docs, name
+):
+    sf_dir, con = residue_space_docs
+    spd = CATALOG[name].builder(spark, sf_dir).toPandas()
+    dpd = con.execute(CATALOG[name].oracle).fetchdf()
+    assert canon_frame(spd) == canon_frame(dpd), name
