@@ -1338,3 +1338,18 @@ def test_asof_tolerance_is_join_free(spark, sf_dir):
     plan = plan_of(spark, "join_asof_tolerance", sf_dir, mode="simple")
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_ann_collapse_has_partial_window_group_limit(spark, sf_dir):
+    """The per-identity collapse added for duplicate vec_ids must
+    stay map-side-combining: Catalyst rewrites the rn=1 filter into
+    WindowGroupLimit with a PARTIAL pass BEFORE the query_id
+    exchange, so the shuffle carries at most one candidate per
+    (partition, query_id) — not every per-bucket row. Two
+    WindowGroupLimit nodes (partial below the exchange, final above)
+    are the signature of that plan; losing the partial would ship
+    the whole ANN output through the exchange at 100 TB."""
+    for key in ("sim_ann_lsh", "sim_ann_ivf"):
+        plan = plan_of(spark, key, sf_dir)
+        assert plan.count("WindowGroupLimit") >= 2, key
+        assert "CartesianProduct" not in plan, key
