@@ -296,6 +296,7 @@ SELECT o_orderkey,
        CAST(bit_count(o_orderkey) AS INT) AS popcount
 FROM orders
 WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+  AND o_orderkey >= 0
 """
 
 
@@ -314,10 +315,19 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hash parity: all-int in, all-int out — BIGINT two's-complement
     semantics agree across engines for non-negative keys; shifts are
-    within-range (orderkeys < 2^61).
+    within-range (orderkeys < 2^61). NEGATIVE keys are excluded BY
+    CONTRACT on both sides: the engines genuinely disagree there —
+    DuckDB raises Out of Range on `<< ` of a negative number while
+    Spark's shiftleft wraps two's-complement (found by the
+    negative-orderkey sweep row) — so the portable surface of this
+    family is the non-negative domain, stated in the predicate
+    instead of left to crash on one engine only. Production shard
+    selectors apply these ops to HASHED (non-negative) values anyway.
     """
     o = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderkey").isNotNull() & F.col("o_custkey").isNotNull()
+        F.col("o_orderkey").isNotNull()
+        & F.col("o_custkey").isNotNull()
+        & (F.col("o_orderkey") >= 0)
     )
     k = F.col("o_orderkey")
     return o.select(

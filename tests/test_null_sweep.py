@@ -331,6 +331,13 @@ def adversarial_tpch(tmp_path_factory):
             # grouped revenue is NULL, exercising the pinned
             # ASC NULLS FIRST rank order in agg_gini
             (7, 2, 3, 1, 3.0, None, 0.0, 0.01, "N", "O", "1996-11-01"),
+            # NEGATIVE orderkey (paired with order -9): JVM-side
+            # F.col % and DuckDB % both follow the dividend's sign,
+            # so key-rule arms (o_orderkey % 13, NULLIF(% 5, 0), the
+            # abs()-guarded Z-order dims) must stay consistent on
+            # negative keys too — the sign axis of the docs sweep,
+            # applied to the star schema
+            (-9, 1, 1, 1, 12.0, 120.0, 0.05, 0.02, "N", "O", "1996-04-12"),
         ],
         columns=[
             "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
@@ -357,6 +364,8 @@ def adversarial_tpch(tmp_path_factory):
             # NULL-ts hazard passed coincidentally while no order
             # shared that user — ADVICE r7, made structural here)
             (8, 8, "O", 425.0, "2024-02-01", "3-MEDIUM"),
+            # negative orderkey with one lineitem (see lineitem -9)
+            (-9, 1, "F", 850.0, "1996-04-10", "2-HIGH"),
         ],
         columns=[
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
