@@ -75,6 +75,12 @@ def adversarial_docs(tmp_path_factory):
         # even-|id| so both branches of every parity rule fire.
         (-7, "negative id doc about join filter", "de", "web", 32),
         (-8, "another negative id document row", "fr", "web", 32),
+        # irregular whitespace: double space (empty token inside the
+        # split), tab INSIDE a token (split(' ') must not treat it
+        # as a separator), trailing space (trailing empty token) —
+        # the split-on-single-space contract must hold identically
+        # through tokenizers, shingles, and every empty-token filter
+        (9, "spaced  doubly and\ttabbed token ", "en", "web", 32),
     ]
     pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
