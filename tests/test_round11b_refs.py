@@ -251,3 +251,46 @@ def test_multimodal_payload_dedup_matches_python(spark, sf_dir):
         int(r_.n_payloads), int(r_.n_distinct), int(r_.n_dup_groups),
         int(r_.n_redundant), int(r_.bytes_reclaimable),
     ) == (n_payloads, n_distinct, n_dup_groups, n_redundant, reclaimable)
+
+
+def test_events_ohlc_matches_python(spark, sf_dir):
+    """OHLC bars with the struct tie-break recomputed in python. The
+    base fixture carries no NULL ids/values, so the tie key reduces
+    to (ts, event_id, value) — the NULL legs of the struct ordering
+    are pinned by the adversarial events sweep."""
+    ev = _pq(sf_dir, "events")
+    ev = ev[ev.ts.notna()]
+    us = ev.ts.values.astype("datetime64[us]").astype("int64")
+    bars: dict[tuple, list] = defaultdict(list)
+    bar = ev.ts.dt.floor("30min")
+    for b, et, t, eid, v in zip(bar, ev.event_type, us, ev.event_id, ev.value):
+        bars[(pd.Timestamp(b), et)].append((int(t), int(eid), float(v)))
+    got = CATALOG["events_ohlc"].builder(spark, sf_dir).toPandas()
+    assert len(got) == len(bars)
+    for r_ in got.itertuples():
+        rows = bars[(pd.Timestamp(r_.bar_start), r_.event_type)]
+        assert int(r_.n_events) == len(rows)
+        assert float(r_.open_value) == min(rows)[2]
+        assert float(r_.close_value) == max(rows)[2]
+        assert float(r_.high_value) == max(v for _, _, v in rows)
+        assert float(r_.low_value) == min(v for _, _, v in rows)
+        cents = sum(math.floor(v * 100.0 + 0.5) for _, _, v in rows)
+        assert float(r_.sum_value) == cents / 100.0
+
+
+def test_agg_minmax_by_matches_python(spark, sf_dir):
+    ev = _pq(sf_dir, "events")
+    us = ev.ts.values.astype("datetime64[us]").astype("int64")
+    groups: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    counts: Counter = Counter()
+    for et, t, eid, tsna in zip(ev.event_type, us, ev.event_id, ev.ts.isna()):
+        counts[et] += 1
+        if not tsna:
+            groups[et].append((int(t), int(eid)))
+    got = CATALOG["agg_minmax_by"].builder(spark, sf_dir).toPandas()
+    assert len(got) == len(counts)
+    for r_ in got.itertuples():
+        rows = groups[r_.event_type]
+        assert int(r_.first_event_id) == min(rows)[1]
+        assert int(r_.last_event_id) == max(rows)[1]
+        assert int(r_.n_events) == counts[r_.event_type]
