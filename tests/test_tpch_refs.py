@@ -135,3 +135,132 @@ def test_agg_nation_profit_matches_pandas(spark, sf_dir):
         (r_.nation, int(r_.o_year)): float(r_.sum_profit)
         for r_ in got.itertuples()
     } == {k: v / 100.0 for k, v in profit.items()}
+
+
+def test_join_returned_items_matches_pandas(spark, sf_dir):
+    """Q10: top-20 customers by returned-item revenue in 1996Q1,
+    revenue in exact integer cents, ties broken by custkey."""
+    o = _pq(sf_dir, "orders")
+    o = o[
+        (o.o_orderdate >= pd.Timestamp("1996-01-01"))
+        & (o.o_orderdate < pd.Timestamp("1996-04-01"))
+    ][["o_orderkey", "o_custkey"]]
+    li = _pq(sf_dir, "lineitem")
+    li = li[li.l_returnflag == "R"]
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    cents = (
+        (j.l_extendedprice * (1 - j.l_discount) * 100.0 + 0.5)
+        .apply(math.floor)
+    )
+    per_cust = cents.groupby(j.o_custkey.astype(int)).sum()
+    c = _pq(sf_dir, "customer").set_index("c_custkey")
+    na = _pq(sf_dir, "nation").set_index("n_nationkey")["n_name"]
+    rows = sorted(
+        (
+            (-int(v), int(ck), na[c.loc[int(ck), "c_nationkey"]],
+             _r(float(c.loc[int(ck), "c_acctbal"]), 2))
+            for ck, v in per_cust.items()
+        ),
+    )[:20]
+    exp = [
+        (ck, name, bal, -negv / 100.0) for negv, ck, name, bal in rows
+    ]
+    got = CATALOG["join_returned_items"].builder(spark, sf_dir).toPandas()
+    assert [
+        (int(r_.c_custkey), r_.n_name, float(r_.acctbal), float(r_.revenue))
+        for r_ in got.itertuples()
+    ] == exp
+
+
+def test_agg_correlated_scalar_matches_pandas(spark, sf_dir):
+    """Q17: lines below 0.2x their part's mean quantity, per brand."""
+    li = _pq(sf_dir, "lineitem")
+    cut = 0.2 * li.groupby("l_partkey").l_quantity.mean()
+    brand = _pq(sf_dir, "part").set_index("p_partkey")["p_brand"]
+    per_brand: dict[str, list[float]] = defaultdict(list)
+    for pk, qty, price in zip(
+        li.l_partkey, li.l_quantity, li.l_extendedprice
+    ):
+        if float(qty) < float(cut[int(pk)]):
+            per_brand[brand[int(pk)]].append(float(price))
+    got = CATALOG["agg_correlated_scalar"].builder(spark, sf_dir).toPandas()
+    assert set(got.p_brand) == set(per_brand)
+    for r_ in got.itertuples():
+        prices = per_brand[r_.p_brand]
+        assert int(r_.n_small_lines) == len(prices)
+        assert r_.avg_yearly == pytest.approx(
+            _r(sum(prices) / 7.0, 2), abs=0.02
+        )
+
+
+def test_join_lateral_topk_matches_pandas(spark, sf_dir):
+    """Decorrelated LATERAL: each sharded order's two priciest lines."""
+    o = _pq(sf_dir, "orders")
+    o = o[o.o_orderkey % 10 == 0].set_index("o_orderkey")["o_orderdate"]
+    li = _pq(sf_dir, "lineitem")
+    li = li[li.l_orderkey % 10 == 0]
+    exp = set()
+    for ok, g in li.groupby("l_orderkey"):
+        if int(ok) not in o.index:
+            continue
+        top2 = sorted(
+            zip(g.l_extendedprice, g.l_linenumber), key=lambda t: (-t[0], t[1])
+        )[:2]
+        for price, ln in top2:
+            exp.add((int(ok), pd.Timestamp(o[int(ok)]), int(ln), float(price)))
+    got = CATALOG["join_lateral_topk"].builder(spark, sf_dir).toPandas()
+    assert {
+        (int(r_.o_orderkey), pd.Timestamp(r_.o_orderdate),
+         int(r_.l_linenumber), float(r_.l_extendedprice))
+        for r_ in got.itertuples()
+    } == exp
+    assert len(got) == len(exp)
+
+
+def _ntile4(n_rows: int, pos: int) -> int:
+    base, extra = divmod(n_rows, 4)
+    cut = extra * (base + 1)
+    if pos <= cut:
+        return (pos - 1) // (base + 1) + 1
+    return extra + (pos - cut - 1) // base + 1
+
+
+def test_events_rfm_matches_python(spark, sf_dir):
+    """RFM quartile grid: per purchasing user, recency/frequency/
+    monetary quartiles (4 = best; the data-driven boundaries are
+    tie-broken by user_id), then the segment rollup."""
+    ev = _pq(sf_dir, "events")
+    pu = ev[ev.event_type == "purchase"]
+    agg = {}
+    for uid, g in pu.groupby("user_id"):
+        agg[int(uid)] = (
+            g.ts.dt.date.max(),
+            len(g),
+            _r(float(g.value.sum()), 2),
+        )
+    gmax = max(d for d, _, _ in agg.values())
+    users = sorted(agg)
+    rec = {u: (gmax - agg[u][0]).days for u in users}
+    n = len(users)
+    scores = {}
+    for axis, keyf in (
+        (0, lambda u: (-rec[u], u)),          # recency DESC
+        (1, lambda u: (agg[u][1], u)),        # frequency ASC
+        (2, lambda u: (agg[u][2], u)),        # monetary ASC
+    ):
+        for pos, u in enumerate(sorted(users, key=keyf), start=1):
+            scores.setdefault(u, [0, 0, 0])[axis] = _ntile4(n, pos)
+    cells: dict[tuple, list[float]] = defaultdict(list)
+    for u in users:
+        cells[tuple(scores[u])].append(agg[u][2])
+    got = CATALOG["events_rfm"].builder(spark, sf_dir).toPandas()
+    assert len(got) == len(cells)
+    for r_ in got.itertuples():
+        ms = cells[(int(r_.r_score), int(r_.f_score), int(r_.m_score))]
+        assert int(r_.n_users) == len(ms)
+        assert r_.avg_monetary == pytest.approx(
+            _r(sum(ms) / len(ms), 4), abs=2e-4
+        )
+        assert r_.total_monetary == pytest.approx(
+            _r(sum(ms), 2), abs=0.02
+        )
