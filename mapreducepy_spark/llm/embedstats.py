@@ -90,12 +90,17 @@ def _partials_cached(
 
 
 _ORACLE_EMBED_COVARIANCE = f"""
-WITH v AS (
+WITH v AS MATERIALIZED (
     -- rid = per-ROW identity: the cross-moment join must pair each
     -- row's dimensions with ITSELF only; joining on vec_id would
     -- cross-multiply duplicate-id rows (k copies -> k² cross terms,
     -- where the engine's per-row fold correctly counts k) — the
     -- duplicate-id sweep row. rid values are arbitrary but unique.
+    -- MATERIALIZED (ADVICE r9): without it DuckDB inlines this CTE
+    -- into both sides of the e-a/e-b self-join, minting rid TWICE
+    -- via two independent WINDOW operators — row pairing then relies
+    -- on preserve_insertion_order staying true. Materializing mints
+    -- rid exactly once.
     SELECT row_number() OVER () AS rid, embedding FROM embeddings
     WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
       AND len(embedding) = {_DIM}
@@ -398,10 +403,12 @@ def _duck_top_eigen() -> str:
     integer power steps with L∞ normalization. Mirrors the Spark
     side term for term (the graph_pagerank unrolling discipline)."""
     head = f"""
-WITH v AS (
+WITH v AS MATERIALIZED (
     -- rid: per-ROW identity for the cross-moment join (see the
     -- embed_covariance oracle — joining on vec_id cross-multiplies
-    -- duplicate-id rows; the duplicate-id sweep row)
+    -- duplicate-id rows; the duplicate-id sweep row). MATERIALIZED
+    -- so rid is minted exactly once, not re-derived per self-join
+    -- side under CTE inlining (ADVICE r9).
     SELECT row_number() OVER () AS rid, embedding FROM embeddings
     WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
       AND len(embedding) = {_DIM}

@@ -115,7 +115,7 @@ IMAGE_FEATURE_SCHEMA = StructType(
 )
 
 
-class DecoderUnavailable(NotImplementedError):
+class DecoderUnavailable(RuntimeError):
     """Raised by the real decoder path for formats whose codecs are
     not installed in this environment (Pillow/av/soundfile — i.e.
     anything compressed: PNG/JPEG/audio/video). Uncompressed 24-bit

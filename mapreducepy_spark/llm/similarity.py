@@ -598,12 +598,17 @@ _N_TABLES = 2
 
 def _duck_table_top1(offset: int, table: int) -> str:
     """One table's bucketed top-1 as a DuckDB CTE body (rank on the
-    UNROUNDED cosine, exactly the sim_ann_lsh oracle's shape)."""
+    UNROUNDED cosine, exactly the sim_ann_lsh oracle's shape). The
+    winner's cosine leaves this CTE UNROUNDED (``cos_raw``) so the
+    cross-table combine can rank on the exact value — rounding before
+    the combine let duplicate vec_ids whose cosines straddle a 1e-6
+    boundary pick different tables on the two engines (ADVICE r9;
+    the same asymmetry fixed for sim_ann_lsh/sim_ann_ivf in r9)."""
     return f"""
-    SELECT query_id, neighbor_id, cos_sim, {table} AS src_table
+    SELECT query_id, neighbor_id, cos_raw, {table} AS src_table
     FROM (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-               {_DUCK_COS.format(a="a.unit", b="b.unit")} AS cos_sim,
+               {_DUCK_COS.format(a="a.unit", b="b.unit")} AS cos_raw,
                ROW_NUMBER() OVER (
                    PARTITION BY a.vec_id
                    ORDER BY {_DUCK_COS.format(a="a.unit", b="b.unit")}
@@ -623,26 +628,21 @@ _ORACLE_SIM_ANN_MULTITABLE = f"""
 WITH {_DUCK_NORMED_CTE},
 t0 AS ({_duck_table_top1(0, 0)}),
 t1 AS ({_duck_table_top1(_N_PLANES, 1)}),
-u AS (
-    -- round BEFORE the cross-table pick: the Spark side transports
-    -- per-table winners as rounded doubles, so the combine must rank
-    -- on the same rounded value or a round-to-equal pair could pick
-    -- different tables on the two engines
-    SELECT query_id, neighbor_id,
-           (floor(cos_sim * 1000000.0 + 0.5) / 1000000.0) AS cos_sim,
-           src_table
-    FROM (SELECT * FROM t0 UNION ALL SELECT * FROM t1)
-),
 best AS (
-    SELECT query_id, neighbor_id, cos_sim,
+    -- rank the cross-table pick on the UNROUNDED cosine (the
+    -- sim_ann_lsh cos_raw contract); src_table ASC breaks exact-raw
+    -- ties. Rounding happens ONCE, in the final select.
+    SELECT query_id, neighbor_id, cos_raw,
            CAST(src_table AS INT) AS src_table,
            ROW_NUMBER() OVER (
                PARTITION BY query_id
-               ORDER BY cos_sim DESC, neighbor_id ASC, src_table ASC
+               ORDER BY cos_raw DESC, neighbor_id ASC, src_table ASC
            ) AS rn
-    FROM u
+    FROM (SELECT * FROM t0 UNION ALL SELECT * FROM t1)
 )
-SELECT query_id, neighbor_id, cos_sim, src_table
+SELECT query_id, neighbor_id,
+       (floor(cos_raw * 1000000.0 + 0.5) / 1000000.0) AS cos_sim,
+       src_table
 FROM best WHERE rn = 1
 """
 
@@ -669,9 +669,12 @@ def sim_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hash parity: per-table ranking on the unrounded bit-identical
     cosine with the neighbor tie-break (the sim_knn discipline);
-    the cross-table pick runs on the ROUNDED cosine with
-    (neighbor_id, src_table) breaking exact ties — both sides
-    identical by construction.
+    the cross-table pick ALSO runs on the unrounded cosine
+    (``cos_raw``, the sim_ann_lsh contract — ADVICE r9: rounding the
+    per-bucket winners before the combine let duplicate vec_ids whose
+    cosines straddle a 1e-6 boundary pick different neighbors on the
+    two engines), with (neighbor_id, src_table) breaking exact-raw
+    ties; rounding happens once, in the final select, on both sides.
     """
     emb = (
         _valid_embeddings(load(spark, sf_dir, "embeddings"))
@@ -685,7 +688,7 @@ def sim_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {
                         "query_id": pd.Series(dtype="int64"),
                         "neighbor_id": pd.Series(dtype="int64"),
-                        "cos_sim": pd.Series(dtype="float64"),
+                        "cos_raw": pd.Series(dtype="float64"),
                         "src_table": pd.Series(dtype="int32"),
                     }
                 )
@@ -712,7 +715,10 @@ def sim_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "query_id": ids[keep],
                     "neighbor_id": out_n[keep],
-                    "cos_sim": _dround_np(out_c[keep]),
+                    # full precision — the combine window must rank on
+                    # the exact cosine (the sim_ann_lsh cos_raw
+                    # contract; ADVICE r9)
+                    "cos_raw": out_c[keep],
                     "src_table": np.full(int(keep.sum()), table, np.int32),
                 }
             )
@@ -720,7 +726,7 @@ def sim_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         return top1
 
     schema = (
-        "query_id bigint, neighbor_id bigint, cos_sim double, "
+        "query_id bigint, neighbor_id bigint, cos_raw double, "
         "src_table int"
     )
     tables = [
@@ -731,14 +737,19 @@ def sim_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     u = tables[0].unionByName(tables[1])
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(),
+        F.col("cos_raw").desc(),
         F.col("neighbor_id").asc(),
         F.col("src_table").asc(),
     )
     return (
         u.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("query_id", "neighbor_id", "cos_sim", "src_table")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dround("cos_raw", 6).alias("cos_sim"),
+            "src_table",
+        )
     )
 
 

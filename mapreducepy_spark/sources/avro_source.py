@@ -69,7 +69,7 @@ _DOC_SCHEMA = {
 }
 
 
-class AvroFormatError(NotImplementedError):
+class AvroFormatError(RuntimeError):
     """Loud-failure contract of the stdlib codec: raised for any
     container feature outside the implemented subset (unknown codec,
     non-record schema, a type branch the decoder doesn't cover) —

@@ -494,7 +494,7 @@ def test_avro_codec_roundtrips_all_null_shapes(tmp_path):
 
 def test_avro_codec_refuses_unimplemented_features(tmp_path):
     """The loud-failure contract: unknown codecs and non-subset
-    schemas raise AvroFormatError (a NotImplementedError), never
+    schemas raise AvroFormatError (a RuntimeError), never
     mis-decode."""
     import json as _json
 
