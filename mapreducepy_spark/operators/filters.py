@@ -144,3 +144,66 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
             valueColumnName="value",
         )
     )
+
+
+# --- pivot ∘ unpivot round-trip (VERDICT r9 #3) ----------------------
+
+_ORACLE_PIVOT_ROUNDTRIP = f"""
+SELECT l_returnflag, l_linestatus,
+       {dround_sql("SUM(l_quantity)", 2)} AS sum_qty
+FROM lineitem
+WHERE l_linestatus IN ('O', 'F')
+GROUP BY l_returnflag, l_linestatus
+HAVING SUM(l_quantity) IS NOT NULL
+"""
+
+
+@register("pivot_roundtrip", _ORACLE_PIVOT_ROUNDTRIP, tags=("reshape",))
+def pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshape-inverse invariance as a driver-hashable key: pivot
+    lineitem wide (one sum_qty column per declared l_linestatus
+    value), then unpivot straight back to long. The result must be
+    the direct groupBy aggregate — the information pivot loses is
+    EXACTLY the absent (flag, status) combinations, which come back
+    as NULL cells and are dropped when re-longing (TPC-H really has
+    such holes: A/O and R/O never co-occur). The oracle is the
+    direct aggregate, so the driver certifies the two reshapes as
+    true inverses on the surviving cells;
+    tests/test_round12_refs.py pins the same frame against the
+    wide form cell-by-cell.
+
+    Scale: pivot with DECLARED values skips the distinct-discovery
+    job and compiles to Spark's two-phase pivot aggregation — a
+    corpus shuffle keyed (flag, status), then a regroup of the
+    GROUP-COUNT-sized frame by flag (O(groups) rows, noise at any
+    scale); unpivot is an Expand, a narrow map emitting both arms
+    per wide row in place, no shuffle (plan-asserted: exactly two
+    exchanges, the second on the post-aggregation frame, one
+    Expand).
+
+    Hash parity: the NULL-cell drop is mirrored by the oracle's
+    HAVING (a group whose every l_quantity is NULL sums to a NULL
+    cell Spark-side too); NULL l_linestatus rows are outside the
+    declared pivot values on both sides; sums round once, after the
+    round-trip.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+    )
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["O", "F"],
+            variableColumnName="l_linestatus",
+            valueColumnName="sum_qty_raw",
+        )
+        .filter(F.col("sum_qty_raw").isNotNull())
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            dround("sum_qty_raw", 2).alias("sum_qty"),
+        )
+    )

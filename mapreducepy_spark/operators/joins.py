@@ -18,7 +18,7 @@ from pyspark.sql.window import Window
 
 from ..io import load
 from ..registry import register
-from ..rounding import dround
+from ..rounding import dround, dround_sql
 
 _ORACLE_JOIN_INNER = """
 SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
@@ -1095,4 +1095,71 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("o_orderkey")).alias("o_orderkey"),
         F.when(ok, F.col("o_orderdate")).alias("o_orderdate"),
         F.when(ok, lag).cast("bigint").alias("lag_us"),
+    )
+
+
+# --- stream-stream interval join, batch twin (VERDICT r9 #3) ---------
+
+_STREAM_IVL_MIN = 60  # clicks credit views from the preceding hour
+
+_ORACLE_JOIN_STREAM_INTERVAL = f"""
+WITH v AS (
+    SELECT user_id, event_id AS view_id, ts AS view_ts
+    FROM events WHERE event_type = 'view'
+),
+c AS (
+    SELECT user_id, event_id AS click_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, c.click_id, c.click_ts, v.view_id, v.view_ts,
+       {dround_sql(
+           "CAST(date_diff('microsecond', v.view_ts, c.click_ts) "
+           "AS DOUBLE) / 1000000.0", 6)} AS lag_sec
+FROM c JOIN v ON c.user_id = v.user_id
+WHERE v.view_ts < c.click_ts
+  AND v.view_ts >= c.click_ts - INTERVAL {_STREAM_IVL_MIN} MINUTES
+"""
+
+
+@register(
+    "join_stream_interval", _ORACLE_JOIN_STREAM_INTERVAL,
+    tags=("join", "interval", "streaming-twin"),
+)
+def join_stream_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAM-STREAM interval join
+    (streaming/windows.py ``clicks_after_views``): every click joined
+    to the same user's views in the preceding 60 minutes — the full
+    candidate pair space, unlike ``events_attribution`` which keeps
+    only the last touch. The expression tree is shared with the
+    streaming operator (imported, not copied), so the driver's hash
+    gate certifies the exact semantics the watermarked streaming join
+    executes; tests/test_streaming.py pins stream == batch on the
+    replayed fixture.
+
+    Scale: the join is CARRIED BY the user_id equi key (hash
+    join/SMJ); the interval is a post-join predicate. In streaming
+    the same condition's time bound is what lets the state store
+    evict (state = one horizon's events per side); in batch at 100 TB
+    the equi key shuffles both sides once — add the
+    ``join_range_binned`` time-bucket key only when a single user's
+    history outgrows a task.
+
+    Hash parity: interval endpoints are exact µs timestamp
+    comparisons; lag_sec divides the exact integer µs difference by
+    1e6 and rounds once, identically on both sides. NULL ts fails the
+    interval predicate and NULL user_id fails the equi join on both
+    engines — no explicit filter needed.
+    """
+    from ..streaming.windows import clicks_after_views
+
+    e = load(spark, sf_dir, "events")
+    pairs = clicks_after_views(e, horizon=f"{_STREAM_IVL_MIN} minutes")
+    lag_us = F.unix_micros("click_ts") - F.unix_micros("view_ts")
+    return pairs.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "view_id",
+        "view_ts",
+        dround(lag_us.cast("double") / 1000000.0, 6).alias("lag_sec"),
     )

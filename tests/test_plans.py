@@ -1367,3 +1367,34 @@ def test_absence_monitor_single_window_shuffle_broadcast_cutoff(
     assert "BroadcastNestedLoopJoin" in plan  # 1-row cutoff frame
     assert plan.count("hashpartitioning(user_id") == 1
     assert "Window" in plan
+
+
+def test_join_stream_interval_is_equi_carried(spark, sf_dir):
+    """The interval condition must ride the user_id equi key (hash or
+    sort-merge join), never a nested loop over the pair space."""
+    plan = plan_of(spark, "join_stream_interval", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_pivot_roundtrip_plan_shape(spark, sf_dir):
+    """pivot(declared values) + unpivot: Spark's two-phase pivot
+    aggregation — ONE corpus shuffle keyed (flag, status), then a
+    regroup of the group-count-sized frame by flag — plus a narrow
+    Expand for the melt. No distinct-discovery job, no third
+    exchange, no shuffle for the unpivot."""
+    plan = plan_of(spark, "pivot_roundtrip", sf_dir)
+    assert "Expand" in plan
+    assert plan.count("hashpartitioning(") == 2
+    # the corpus shuffle carries both keys; the regroup only flag
+    import re
+
+    assert re.search(
+        r"hashpartitioning\(l_returnflag#\d+, l_linestatus#\d+", plan
+    )
+    assert "CartesianProduct" not in plan

@@ -838,3 +838,30 @@ def test_absence_monitor_batch_twin_vs_streaming(spark, tmp_path):
         (3, base + "09:10:00"): "gap",
         (3, base + "16:10:00"): "gap",
     }
+
+
+def test_join_stream_interval_key_matches_streaming_run(
+    spark, sf_dir, events_dir
+):
+    """The registered join_stream_interval key (60-minute horizon)
+    must equal the watermarked STREAMING execution of the shared
+    clicks_after_views expression tree on the replayed fixture —
+    the driver's hash gate and the streaming operator certify the
+    same semantics."""
+    from mapreducepy_spark.registry import load_catalog
+
+    stream = sw.read_events_stream(spark, events_dir)
+    got = sw.run_available_now(
+        sw.clicks_after_views(stream, horizon="60 minutes"),
+        "t_ssjoin60",
+        spark,
+    ).toPandas()
+    want = (
+        load_catalog()["join_stream_interval"]
+        .builder(spark, sf_dir)
+        .toPandas()
+        .rename(columns={"user_id": "c_user"})
+        .drop(columns=["lag_sec"])
+    )
+    assert len(want) > 0
+    assert canon_frame(got) == canon_frame(want)
