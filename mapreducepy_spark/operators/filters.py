@@ -165,10 +165,12 @@ def pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     value), then unpivot straight back to long. The result must be
     the direct groupBy aggregate — the information pivot loses is
     EXACTLY the absent (flag, status) combinations, which come back
-    as NULL cells and are dropped when re-longing (TPC-H really has
-    such holes: A/O and R/O never co-occur). The oracle is the
-    direct aggregate, so the driver certifies the two reshapes as
-    true inverses on the surviving cells;
+    as NULL cells and are dropped when re-longing (real TPC-H has
+    such holes — A/O and R/O never co-occur; the synthetic fixture
+    populates all six, so the NULL-cell path is pinned by the
+    adversarial sweep instead). The oracle is the direct aggregate,
+    so the driver certifies the two reshapes as true inverses on the
+    surviving cells;
     tests/test_round12_refs.py pins the same frame against the
     wide form cell-by-cell.
 

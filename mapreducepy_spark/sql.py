@@ -82,6 +82,8 @@ PORTABLE = (
     "avro_census", "scan_schema_merge", "agg_mad", "agg_moments",
     "agg_approx_distinct_bound", "join_point_in_time",
     "cdc_snapshot_diff",
+    # round-10 growth keys, portability verified empirically
+    "pivot_roundtrip",
 )
 
 

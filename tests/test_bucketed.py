@@ -78,10 +78,11 @@ class _no_broadcast:
 
 
 def test_join_bucketed_fixture_recovers_from_orphan_dir(spark, sf_dir):
-    """A PREVIOUS session's managed-table directory with no catalog
-    entry (the in-memory catalog dies with the session) must not wedge
-    the builder: _ensure_bucketed_tables removes the orphan and
-    rebuilds (saveAsTable alone fails LOCATION_ALREADY_EXISTS)."""
+    """A PREVIOUS session's table directory with no catalog entry
+    (the in-memory catalog dies with the session) must not wedge the
+    builder: a completed orphan is re-registered in place, an
+    incomplete one removed and rebuilt (saveAsTable alone would fail
+    LOCATION_ALREADY_EXISTS)."""
     import os
     import shutil
     from urllib.parse import urlparse
@@ -95,11 +96,90 @@ def test_join_bucketed_fixture_recovers_from_orphan_dir(spark, sf_dir):
     for n in names:
         src = os.path.join(wh, n)
         bak = src + "_bak"
+        shutil.rmtree(bak, ignore_errors=True)
         shutil.copytree(src, bak)
-        spark.sql(f"DROP TABLE {n}")  # managed drop removes the dir
+        # managed drop removes the dir; an EXTERNAL one (adopted by
+        # the reuse path in an earlier test/session) keeps it
+        spark.sql(f"DROP TABLE {n}")
+        shutil.rmtree(src, ignore_errors=True)
         os.rename(bak, src)  # ...now the dir exists with NO entry
         assert not spark.catalog.tableExists(n)
     again = _ensure_bucketed_tables(spark, sf_dir)
     assert again == names
     assert spark.table(names[0]).count() > 0
     assert spark.table(names[1]).count() > 0
+
+
+def test_join_bucketed_reuses_prior_session_tables(spark, sf_dir):
+    """Cross-session reuse (VERDICT r9 #2): a completed bucketed-table
+    directory from a dead session (content-keyed name + _SUCCESS) must
+    be RE-REGISTERED via DDL, not re-shuffled — and the re-registered
+    table must keep parity and the zero-Exchange join. Simulated by
+    stashing the dirs, dropping the managed tables (which deletes
+    them), and restoring the stash as the orphan a fresh session
+    would find."""
+    import os
+    import shutil
+    import time
+    from urllib.parse import urlparse
+
+    from mapreducepy_spark.operators.joins import _ensure_bucketed_tables
+    from mapreducepy_spark.registry import load_catalog
+
+    names = _ensure_bucketed_tables(spark, sf_dir)
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    locs = [os.path.abspath(os.path.join(wh, n)) for n in names]
+    for loc in locs:
+        shutil.rmtree(loc + "_stash", ignore_errors=True)
+        shutil.copytree(loc, loc + "_stash")
+    for n, loc in zip(names, locs):
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+        shutil.rmtree(loc, ignore_errors=True)  # external drops keep files
+        shutil.move(loc + "_stash", loc)
+
+    t0 = time.time()
+    assert _ensure_bucketed_tables(spark, sf_dir) == names
+    assert time.time() - t0 < 5.0  # DDL, not a rebuild shuffle
+    # external re-registration, not a managed rewrite
+    row = spark.sql(f"DESCRIBE TABLE EXTENDED {names[0]}").toPandas()
+    typ = row[row.col_name == "Type"].data_type.iloc[0]
+    assert typ == "EXTERNAL"
+
+    df = load_catalog()["join_bucketed"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert not re.search(
+        r"Exchange hashpartitioning\((o_orderkey|l_orderkey)", plan
+    )
+    assert df.count() > 0
+
+
+def test_ensure_bucketed_rejects_incomplete_orphan(spark, sf_dir):
+    """An orphan directory WITHOUT the _SUCCESS marker (a crashed
+    write) must be rebuilt, never trusted."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from mapreducepy_spark.operators.joins import _ensure_bucketed_tables
+
+    names = _ensure_bucketed_tables(spark, sf_dir)
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    loc = os.path.abspath(os.path.join(wh, names[0]))
+    shutil.rmtree(loc + "_stash", ignore_errors=True)
+    shutil.copytree(loc, loc + "_stash")
+    spark.sql(f"DROP TABLE {names[0]}")
+    shutil.rmtree(loc, ignore_errors=True)  # external drops keep files
+    shutil.move(loc + "_stash", loc)
+    os.remove(os.path.join(loc, "_SUCCESS"))  # simulate crashed write
+
+    assert _ensure_bucketed_tables(spark, sf_dir) == names
+    # rebuilt as a MANAGED table (the fresh saveAsTable path)
+    row = spark.sql(f"DESCRIBE TABLE EXTENDED {names[0]}").toPandas()
+    typ = row[row.col_name == "Type"].data_type.iloc[0]
+    assert typ == "MANAGED"

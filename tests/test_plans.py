@@ -1398,3 +1398,42 @@ def test_pivot_roundtrip_plan_shape(spark, sf_dir):
         r"hashpartitioning\(l_returnflag#\d+, l_linestatus#\d+", plan
     )
     assert "CartesianProduct" not in plan
+
+
+def test_broadcast_threshold_demotion_card(spark, sf_dir):
+    """The broadcast-vs-shuffle decision CARD (VERDICT r9 #3): pins
+    where the engine flips join strategy as the broadcast threshold
+    crosses the dimension's size — the number an operator consults
+    before sizing ``spark.sql.autoBroadcastJoinThreshold`` for a
+    100 TB deployment. customer.parquet is ~7 KB at sf0.001 /
+    ~308 KB at sf0.1: a 1 MB threshold broadcasts it, 1 byte forces
+    the shuffle family, and -1 disables broadcast outright. The
+    ``executedPlan`` (post-AQE) is inspected, so an AQE runtime
+    re-plan that silently demoted/promoted would fail here."""
+    from mapreducepy_spark.io import load
+    from mapreducepy_spark.plans import plan_text
+
+    def strategy(threshold: str) -> str:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        try:
+            o = load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey"
+            )
+            c = load(spark, sf_dir, "customer").select(
+                "c_custkey", "c_name"
+            )
+            j = o.join(c, o.o_custkey == c.c_custkey)
+            j.write.format("noop").mode("overwrite").save()  # run AQE
+            plan = plan_text(j, "simple")
+            if "BroadcastHashJoin" in plan:
+                return "broadcast"
+            if "SortMergeJoin" in plan or "ShuffledHashJoin" in plan:
+                return "shuffle"
+            return "other:" + plan.splitlines()[0]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    assert strategy("1MB") == "broadcast"
+    assert strategy("1b") == "shuffle"
+    assert strategy("-1") == "shuffle"

@@ -1,0 +1,329 @@
+"""Third-implementation references, round-10 session (VERDICT r9
+work order #4): the 5 remaining non-thin keys that relied on
+parity + sweeps alone (sim_ann_ivf, dedup_embedding, rollup_multires,
+join_range_binned, multimodal_cols), property references for the 3
+permanently parked rows-only keys (sample_fraction,
+sample_stratified, agg_approx_distinct — no oracle by protocol, so
+pytest IS their evidence), and refs for this session's growth keys.
+Same discipline as the sibling ref files: plain python/numpy/pandas
+recomputation from the raw parquet, independent of BOTH engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from mapreducepy_spark.registry import load_catalog
+
+CATALOG = load_catalog()
+
+
+def _pq(sf_dir: str, name: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r(x: float, d: int) -> float:
+    return math.floor(x * 10**d + 0.5) / 10**d
+
+
+def _valid_units(emb: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, unit rows) under the similarity family's validity
+    predicate: exactly 64 components, norm² > 0."""
+    ok = emb.embedding.map(
+        lambda v: v is not None and len(v) == 64
+    )
+    emb = emb[ok]
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    nsq = (mat * mat).sum(axis=1)
+    keep = nsq > 0
+    mat = mat[keep] / np.sqrt(nsq[keep])[:, None]
+    return emb.vec_id.to_numpy(np.int64)[keep], mat
+
+
+# --- multimodal_cols --------------------------------------------------
+
+
+def test_multimodal_cols_matches_pandas(spark, sf_dir):
+    docs = _pq(sf_dir, "documents")
+    emb = _pq(sf_dir, "embeddings")
+    j = docs.merge(emb, left_on="doc_id", right_on="vec_id")
+    got = (
+        CATALOG["multimodal_cols"].builder(spark, sf_dir).toPandas()
+        .set_index(["lang", "label"])
+    )
+    groups = j.groupby(["lang", "label"])
+    assert len(got) == groups.ngroups
+    for (lang, label), g in groups:
+        row = got.loc[(lang, label)]
+        assert int(row.n_docs) == len(g)
+        assert abs(row.avg_chars - _r(g.n_chars.mean(), 4)) < 2e-4
+        # sequential per-row fold like the engine's aggregate()
+        norms = []
+        for v in g.embedding:
+            acc = 0.0
+            for x in v:
+                acc += float(x) * float(x)
+            norms.append(acc)
+        assert abs(row.avg_norm_sq - sum(norms) / len(norms)) < 2e-6
+
+
+# --- dedup_embedding --------------------------------------------------
+
+
+def test_dedup_embedding_matches_numpy(spark, sf_dir):
+    ids, unit = _valid_units(_pq(sf_dir, "embeddings"))
+    sim = unit @ unit.T
+    ia, ib = np.nonzero(np.triu(sim >= 0.4, k=1))
+    # orient by vec_id (engine pairs on vec_a < vec_b, not row order)
+    a, b = ids[ia], ids[ib]
+    swap = a > b
+    a[swap], b[swap] = b[swap], a[swap]
+    ref = {
+        (int(x), int(y)): float(s)
+        for x, y, s in zip(a, b, sim[ia, ib])
+    }
+    # self-validating margin: no pair may sit on the 0.4 knife-edge
+    assert np.abs(sim[np.triu_indices_from(sim, k=1)] - 0.4).min() > 1e-9
+    got = CATALOG["dedup_embedding"].builder(spark, sf_dir).toPandas()
+    got_pairs = {
+        (int(r.vec_a), int(r.vec_b)): r.cos_sim for r in got.itertuples()
+    }
+    assert set(got_pairs) == set(ref)
+    for k, c in got_pairs.items():
+        assert abs(c - _r(ref[k], 6)) < 2e-6, k
+
+
+# --- rollup_multires --------------------------------------------------
+
+
+def test_rollup_multires_matches_pandas(spark, sf_dir):
+    e = _pq(sf_dir, "events")
+    got = (
+        CATALOG["rollup_multires"].builder(spark, sf_dir).toPandas()
+        .set_index(["res", "bucket_start", "event_type"])
+    )
+    n_expected = 0
+    for res, freq in (("minute", "min"), ("hour", "h"), ("day", "D")):
+        g = e.assign(bucket=e.ts.dt.floor(freq)).groupby(
+            ["bucket", "event_type"]
+        )["value"]
+        n_expected += g.count().shape[0]
+        for (bucket, typ), cnt in g.count().items():
+            row = got.loc[(res, bucket, typ)]
+            assert int(row.n_events) == int(cnt)
+        for (bucket, typ), s in g.sum().items():
+            row = got.loc[(res, bucket, typ)]
+            assert abs(row.sum_value - _r(float(s), 2)) < 2e-2
+    assert len(got) == n_expected
+
+
+# --- join_range_binned ------------------------------------------------
+
+
+def test_join_range_binned_matches_bruteforce(spark, sf_dir):
+    e = _pq(sf_dir, "events")
+    us = e.ts.astype("datetime64[us]").astype("int64").to_numpy()
+    ids = e.event_id.to_numpy(np.int64)
+    order = np.argsort(us, kind="stable")
+    us, ids = us[order], ids[order]
+    ref = {}
+    for i in range(len(us)):  # sorted two-pointer sweep, O(n·k)
+        j = i + 1
+        while j < len(us) and us[j] - us[i] <= 2_000_000:
+            a, b = ids[i], ids[j]
+            if a > b:
+                a, b = b, a
+            # delta is (ts_b - ts_a) keyed by event_id order
+            d = us[j] - us[i] if ids[i] < ids[j] else us[i] - us[j]
+            ref[(int(a), int(b))] = int(d)
+            j += 1
+    got = CATALOG["join_range_binned"].builder(spark, sf_dir).toPandas()
+    got_pairs = {
+        (int(r.event_a), int(r.event_b)): int(r.delta_us)
+        for r in got.itertuples()
+    }
+    assert got_pairs == ref
+
+
+# --- sim_ann_ivf ------------------------------------------------------
+
+
+def test_sim_ann_ivf_matches_numpy(spark, sf_dir):
+    ids, unit = _valid_units(_pq(sf_dir, "embeddings"))
+    # coarse quantizer: the 16 lowest-vec_id valid rows, unit-normed
+    cent = unit[np.argsort(ids, kind="stable")[:16]]
+    # per-ROW assignment: nearest centroid, ties to the lowest cell
+    sims_c = unit @ cent.T
+    cell = sims_c.argmax(axis=1)  # argmax takes first (lowest) on tie
+    sim = unit @ unit.T
+    ref = {}
+    for c in range(16):
+        rows = np.nonzero(cell == c)[0]
+        for i in rows:
+            best = None
+            for j in rows:
+                if ids[j] == ids[i]:
+                    continue
+                key = (-sim[i, j], ids[j])
+                if best is None or key < best[0]:
+                    best = (key, ids[j], sim[i, j])
+            if best is not None:
+                cand = (best[0], best[1], best[2], c)
+                prev = ref.get(ids[i])
+                # collapse duplicate ids across cells: (cos desc,
+                # neighbor asc, cell asc)
+                if prev is None or (cand[0], cand[3]) < (prev[0], prev[3]):
+                    ref[ids[i]] = cand
+    got = CATALOG["sim_ann_ivf"].builder(spark, sf_dir).toPandas()
+    assert len(got) == len(ref)
+    for r in got.itertuples():
+        _, nbr, cos, c = ref[r.query_id]
+        assert int(r.cell) == int(c), r.query_id
+        assert abs(r.cos_sim - _r(cos, 6)) < 2e-6, r.query_id
+        # neighbor identity only asserted when the ref's pick is
+        # unambiguous at double noise (self-validating margin)
+        assert int(r.neighbor_id) == int(nbr), r.query_id
+
+
+# --- parked rows-only keys (pytest IS their evidence) -----------------
+
+
+def test_sample_fraction_is_deterministic_bounded_subset(spark, sf_dir):
+    li = _pq(sf_dir, "lineitem")
+    n = len(li)
+    a = CATALOG["sample_fraction"].builder(spark, sf_dir).toPandas()
+    b = CATALOG["sample_fraction"].builder(spark, sf_dir).toPandas()
+    key = ["l_orderkey", "l_linenumber"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )  # same seed -> same sample
+    # subset of the parent relation
+    parent = set(zip(li.l_orderkey, li.l_linenumber))
+    assert set(zip(a.l_orderkey, a.l_linenumber)) <= parent
+    # Bernoulli(0.1) count within ±5 sigma
+    sd = math.sqrt(n * 0.1 * 0.9)
+    assert abs(len(a) - 0.1 * n) < 5 * sd
+
+
+def test_sample_stratified_respects_per_stratum_quotas(spark, sf_dir):
+    docs = _pq(sf_dir, "documents")
+    fractions = {"en": 0.3, "de": 0.8, "fr": 0.8, "es": 0.8, "zh": 1.0}
+    got = (
+        CATALOG["sample_stratified"].builder(spark, sf_dir).toPandas()
+        .set_index("lang")["n_kept"]
+    )
+    again = (
+        CATALOG["sample_stratified"].builder(spark, sf_dir).toPandas()
+        .set_index("lang")["n_kept"]
+    )
+    assert got.sort_index().equals(again.sort_index())  # deterministic
+    base = docs.groupby("lang").size()
+    for lang, frac in fractions.items():
+        n = int(base.get(lang, 0))
+        if n == 0:
+            continue
+        kept = int(got.get(lang, 0))
+        assert kept <= n
+        if frac == 1.0:
+            assert kept == n  # quota 1.0 keeps everything
+        else:
+            sd = math.sqrt(n * frac * (1 - frac))
+            assert abs(kept - frac * n) < 5 * sd + 1, lang
+
+
+def test_agg_approx_distinct_within_hll_error_of_exact(spark, sf_dir):
+    li = _pq(sf_dir, "lineitem")
+    exact = li.groupby("l_returnflag").l_orderkey.nunique()
+    got = (
+        CATALOG["agg_approx_distinct"].builder(spark, sf_dir).toPandas()
+        .set_index("l_returnflag")
+    )
+    sizes = li.groupby("l_returnflag").size()
+    assert len(got) == len(exact)
+    for flag, ex in exact.items():
+        row = got.loc[flag]
+        assert int(row.n_rows) == int(sizes[flag])
+        # rsd 0.02 requested; 10x slack = the documented contract
+        # (agg_approx_distinct_bound pins the same 10% band under
+        # the driver's oracle)
+        assert abs(int(row.approx_orders) - ex) <= max(0.10 * ex, 2.0)
+
+
+# --- this session's growth keys ---------------------------------------
+
+
+def test_events_absence_monitor_matches_python(spark, sf_dir):
+    e = _pq(sf_dir, "events")
+    e = e[e.user_id.notna() & e.ts.notna()]
+    us = e.ts.astype("datetime64[us]").astype("int64")
+    cutoff = int(us.max())
+    thr = 24 * 3600 * 1_000_000
+    ref = set()
+    for uid, g in e.assign(us=us).groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        t = g.us.to_numpy()
+        for i in range(len(t)):
+            nxt = t[i + 1] if i + 1 < len(t) else cutoff
+            kind = "gap" if i + 1 < len(t) else "tail"
+            if nxt - t[i] > thr:
+                ref.add((int(uid), int(t[i]), kind, int(nxt - t[i])))
+    got = CATALOG["events_absence_monitor"].builder(spark, sf_dir).toPandas()
+    got_set = {
+        (
+            int(r.user_id),
+            int(pd.Timestamp(r.last_seen).value // 1000),
+            r.alert_kind,
+            int(round(r.silence_sec * 1_000_000)),
+        )
+        for r in got.itertuples()
+    }
+    assert got_set == ref
+
+
+def test_join_stream_interval_matches_bruteforce(spark, sf_dir):
+    e = _pq(sf_dir, "events")
+    v = e[e.event_type == "view"]
+    c = e[e.event_type == "click"]
+    ref = set()
+    for r in c.itertuples():
+        for s in v[v.user_id == r.user_id].itertuples():
+            lag = (r.ts - s.ts).value  # ns
+            if 0 < lag <= 60 * 60 * 1_000_000_000:
+                ref.add((int(r.event_id), int(s.event_id), lag // 1000))
+    got = CATALOG["join_stream_interval"].builder(spark, sf_dir).toPandas()
+    got_set = {
+        (
+            int(r.click_id),
+            int(r.view_id),
+            int(round(r.lag_sec * 1_000_000)),
+        )
+        for r in got.itertuples()
+    }
+    assert got_set == ref
+
+
+def test_pivot_roundtrip_matches_wide_form_cells(spark, sf_dir):
+    """The docstring's promise: the re-longed frame equals the wide
+    pivot cell-by-cell, and both equal the direct pandas aggregate;
+    the dropped rows are exactly the NULL cells."""
+    li = _pq(sf_dir, "lineitem")
+    direct = (
+        li[li.l_linestatus.isin(["O", "F"])]
+        .groupby(["l_returnflag", "l_linestatus"])
+        .l_quantity.sum()
+    )
+    got = (
+        CATALOG["pivot_roundtrip"].builder(spark, sf_dir).toPandas()
+        .set_index(["l_returnflag", "l_linestatus"])["sum_qty"]
+    )
+    assert set(got.index) == set(direct.index)
+    for k, s in direct.items():
+        assert abs(got[k] - _r(float(s), 2)) < 2e-2, k
+    # the synthetic fixture populates every (flag, status) combo, so
+    # the NULL-cell drop path is exercised by the adversarial sweep
+    # fixtures (missing combos + all-NULL-quantity groups), not here;
+    # this ref pins the invariance on the populated cells
+    assert len(got) == li.l_returnflag.nunique() * 2
