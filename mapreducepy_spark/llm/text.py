@@ -1830,3 +1830,183 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("js_div"),
         dround(F.sum("q"), 6).alias("q_mass"),
     )
+
+
+# --- heavy hitters: Misra-Gries sketch with an accuracy contract -----
+
+# Sketch capacity and deterministic shard count. Capacity 16 against
+# the fixture's ~31-word vocabulary makes the decrement path REAL
+# (a capacity >= vocab would degenerate to exact counting); 8 shards
+# model map-side partial summaries merged reduce-side.
+_MG_CAP = 16
+_MG_SHARDS = 8
+_MG_TOPK = 3
+
+_ORACLE_TEXT_HEAVY_HITTERS = f"""
+WITH toks AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+counts AS (
+    SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks WHERE word <> '' GROUP BY lang, word
+),
+ranked AS (
+    SELECT lang, word, n,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n DESC, word ASC
+           ) AS BIGINT) AS rank
+    FROM counts
+)
+SELECT lang, word, n, rank, TRUE AS in_sketch, TRUE AS err_ok
+FROM ranked WHERE rank <= {_MG_TOPK}
+"""
+
+
+@register(
+    "text_heavy_hitters_bound", _ORACLE_TEXT_HEAVY_HITTERS,
+    tags=("llm", "text", "sketch"),
+)
+def text_heavy_hitters_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-sketch accuracy as a driver-checkable contract (the
+    ``agg_approx_distinct_bound`` shape, for heavy hitters): per
+    language, the EXACT top-{_MG_TOPK} words plus two flags
+    certifying a merged Misra-Gries summary against them —
+    ``in_sketch`` (the true heavy hitter survived the sketch) and
+    ``err_ok`` (the sketch's undercount sits inside the MG invariant:
+    0 <= exact - estimate <= total decrement rounds). The oracle pins
+    (exact, TRUE, TRUE): a sketch drift flips a flag and the driver's
+    hash mismatches — the sketch is judged without ever shipping an
+    engine-specific estimate across engines.
+
+    Sketch mechanics: the token stream is split into {_MG_SHARDS}
+    DETERMINISTIC shards (doc_id mod {_MG_SHARDS} — physical
+    partitioning must not change the result); each shard runs
+    capacity-{_MG_CAP} Misra-Gries over its stream in a fixed total
+    order (doc_id, pos, word) inside one Arrow ``applyInPandas``
+    kernel; summaries merge by summing surviving counters (estimates
+    stay underestimates, and per-word undercount is bounded by the
+    summed decrement rounds — the standard mergeability argument).
+
+    Scale: this is THE 100 TB frequent-items operator — per-shard
+    state is {_MG_CAP} counters regardless of stream length, the
+    shuffle carries O(shards × capacity) rows per group, and the
+    merge is a tiny groupBy; the exact side exists only to certify
+    the sketch (a deployment runs the sketch alone once audited).
+
+    Hash parity: counts and ranks are exact integers with the
+    (n DESC, word ASC) total order; the flags are engine-side
+    booleans the oracle pins as literals. NULL lang forms its own
+    group on both sides (null-safe joins internally); NULL/empty
+    text explodes to nothing.
+    """
+    import pandas as pd
+
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "lang",
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "word"),
+        )
+        .filter(F.col("word") != "")
+    )
+
+    # exact top-k per lang
+    counts = toks.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    from pyspark.sql.window import Window as W
+
+    rk = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word").asc())
+    topk = (
+        counts.withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rank") <= _MG_TOPK)
+    )
+
+    # sharded Misra-Gries summaries
+    sharded = toks.withColumn(
+        "shard", F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(_MG_SHARDS))
+    )
+
+    def mg_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Level-based Misra-Gries: a miss at capacity decrements ALL
+        # counters, which is equivalent to raising a global baseline
+        # `base` and killing entries whose stored level falls to it —
+        # O(1) amortized per token (heap-lazy deletion) instead of the
+        # textbook O(capacity) decrement loop. Bit-identical output to
+        # the naive formulation (tests/test_round12_refs.py runs the
+        # naive loop as the independent reference).
+        import heapq
+
+        pdf = pdf.sort_values(["doc_id", "pos", "word"])
+        levels: dict[str, int] = {}  # word -> base-at-death level
+        heap: list[tuple[int, str]] = []
+        base = 0
+        for w in pdf["word"]:
+            if w in levels:
+                levels[w] += 1
+                heapq.heappush(heap, (levels[w], w))
+            elif len(levels) < _MG_CAP:
+                levels[w] = base + 1
+                heapq.heappush(heap, (levels[w], w))
+            else:
+                base += 1
+                while heap and heap[0][0] <= base:
+                    lvl, dead = heapq.heappop(heap)
+                    if levels.get(dead) == lvl and lvl <= base:
+                        del levels[dead]
+        lang = pdf["lang"].iloc[0] if len(pdf) else None
+        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        words = list(levels)
+        return pd.DataFrame(
+            {
+                "lang": pd.Series([lang] * len(words), dtype="object"),
+                "shard": pd.Series([shard] * len(words), dtype="int32"),
+                "word": words,
+                "est": pd.Series(
+                    [levels[w] - base for w in words], dtype="int64"
+                ),
+                "dec": pd.Series([base] * len(words), dtype="int64"),
+            }
+        )
+
+    summaries = sharded.groupBy("lang", "shard").applyInPandas(
+        mg_kernel, "lang string, shard int, word string, est bigint, dec bigint"
+    )
+    merged = summaries.groupBy("lang", "word").agg(
+        F.sum("est").alias("est_m")
+    )
+    bounds = (
+        summaries.groupBy("lang", "shard")
+        .agg(F.first("dec").alias("dec_s"))
+        .groupBy("lang")
+        .agg(F.sum("dec_s").alias("dec_total"))
+    )
+
+    j = (
+        topk.alias("t")
+        .join(
+            merged.alias("m"),
+            F.col("t.lang").eqNullSafe(F.col("m.lang"))
+            & (F.col("t.word") == F.col("m.word")),
+            "left",
+        )
+        .join(
+            bounds.alias("b"),
+            F.col("t.lang").eqNullSafe(F.col("b.lang")),
+            "left",
+        )
+    )
+    undercount = F.col("t.n") - F.coalesce(F.col("est_m"), F.lit(0))
+    return j.select(
+        F.col("t.lang").alias("lang"),
+        F.col("t.word").alias("word"),
+        F.col("t.n").alias("n"),
+        F.col("t.rank").alias("rank"),
+        F.col("est_m").isNotNull().alias("in_sketch"),
+        (
+            (undercount >= 0)
+            & (undercount <= F.coalesce(F.col("dec_total"), F.lit(0)))
+        ).alias("err_ok"),
+    )

@@ -122,6 +122,7 @@ _KEY_ORDER = (
     # into the round-11 window head with the r6 remainder above
     # (keys are appended here as they land this session)
     "events_absence_monitor", "join_stream_interval", "pivot_roundtrip",
+    "text_heavy_hitters_bound",
     # r7-green block
     "jsonl_quarantine_shapes", "multimodal_decode_stats",
     "multimodal_audio_stats", "sim_ann_recall_sampled", "csv_quarantine",

@@ -217,6 +217,20 @@ OPS = (
     "join_bucketed",
     "join_asof_tolerance",
     "agg_approx_quantile_bound",
+    # round-10 session growth: the absence monitor (one user-keyed
+    # window, alert-rate output — must stay event-linear at 10x),
+    # the stream-interval twin (equi-carried pair space bounded by
+    # the horizon; pair fan-out grows with per-user density, the
+    # documented interval-join envelope), the reshape round-trip
+    # (two-phase pivot agg + Expand, group-count-sized after the
+    # first shuffle)
+    "events_absence_monitor",
+    "join_stream_interval",
+    "pivot_roundtrip",
+    # the MG heavy-hitters audit: per-shard state is CAP counters by
+    # construction; cost must stay token-linear with a
+    # shards x capacity shuffle
+    "text_heavy_hitters_bound",
 )
 
 

@@ -1437,3 +1437,14 @@ def test_broadcast_threshold_demotion_card(spark, sf_dir):
     assert strategy("1MB") == "broadcast"
     assert strategy("1b") == "shuffle"
     assert strategy("-1") == "shuffle"
+
+
+def test_heavy_hitters_sketch_plan_shape(spark, sf_dir):
+    """text_heavy_hitters_bound: the sketch runs as one Arrow grouped
+    kernel (FlatMapGroupsInPandas) over the (lang, shard) partitions;
+    no cartesian anywhere; the exact side keeps map-side partial
+    aggregation."""
+    plan = plan_of(spark, "text_heavy_hitters_bound", sf_dir)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan

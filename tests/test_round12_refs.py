@@ -327,3 +327,58 @@ def test_pivot_roundtrip_matches_wide_form_cells(spark, sf_dir):
     # fixtures (missing combos + all-NULL-quantity groups), not here;
     # this ref pins the invariance on the populated cells
     assert len(got) == li.l_returnflag.nunique() * 2
+
+
+def test_text_heavy_hitters_bound_matches_python_mg(spark, sf_dir):
+    """Independent Misra-Gries recomputation (Counter-based, different
+    code shape from the engine kernel): same deterministic shard/order
+    rules, asserting (a) the engine's exact top-k rows match pandas,
+    (b) every flag the engine emitted is genuinely TRUE under the
+    python sketch, and (c) the sketch is NON-DEGENERATE on this data —
+    decrement rounds really happened (capacity 16 < vocab), so the
+    flags certify a real approximation, not exact counting."""
+    from collections import Counter
+
+    docs = _pq(sf_dir, "documents")
+    rows = []
+    for r in docs.itertuples():
+        if r.text is None:
+            continue
+        for pos, w in enumerate(str(r.text).split(" ")):
+            if w != "":
+                rows.append((r.lang, r.doc_id, pos, w))
+    toks = pd.DataFrame(rows, columns=["lang", "doc_id", "pos", "word"])
+    got = (
+        CATALOG["text_heavy_hitters_bound"].builder(spark, sf_dir).toPandas()
+    )
+    assert got.in_sketch.all() and got.err_ok.all()
+    total_dec = 0
+    for lang, g in toks.groupby("lang", dropna=False):
+        exact = Counter(g.word)
+        top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        gl = got[got.lang == lang].sort_values("rank")
+        assert [(r.word, int(r.n)) for r in gl.itertuples()] == [
+            (w, int(c)) for w, c in top
+        ], lang
+        merged, dec_total = Counter(), 0
+        for s in range(8):
+            gs = g[g.doc_id % 8 == s].sort_values(["doc_id", "pos", "word"])
+            counters, dec = {}, 0
+            for w in gs.word:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < 16:
+                    counters[w] = 1
+                else:
+                    dec += 1
+                    for k in list(counters):
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            del counters[k]
+            dec_total += dec
+            merged.update(counters)
+        total_dec += dec_total
+        for w, c in top:
+            assert w in merged, (lang, w)
+            assert 0 <= c - merged[w] <= dec_total, (lang, w)
+    assert total_dec > 0  # the decrement path is real on this corpus
