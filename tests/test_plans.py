@@ -1448,3 +1448,27 @@ def test_heavy_hitters_sketch_plan_shape(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_no_cartesian_or_row_udf_anywhere_in_catalog(spark, sf_dir):
+    """Catalog-WIDE physical gates, every registered key:
+
+    - no ``CartesianProduct`` — every pair-space operator must carry
+      an equi/bin/bucket key (the only Cross joins allowed are
+      broadcast nested loops over 1-row totals/quantizer frames,
+      which plan as BroadcastNestedLoopJoin, not CartesianProduct);
+    - no ``BatchEvalPython`` — row-at-a-time Python UDFs are banned
+      from every registered plan (Python crosses the wire only as
+      Arrow-batched pandas kernels: FlatMapGroupsInPandas /
+      MapInPandas / ArrowEvalPython).
+
+    One loop instead of 218 parametrized tests: the failure message
+    names every offender, and collection stays light."""
+    offenders: dict[str, list[str]] = {"cartesian": [], "row_udf": []}
+    for name, q in CATALOG.items():
+        plan = plan_text(q.builder(spark, sf_dir), "simple")
+        if "CartesianProduct" in plan:
+            offenders["cartesian"].append(name)
+        if "BatchEvalPython" in plan:
+            offenders["row_udf"].append(name)
+    assert offenders == {"cartesian": [], "row_udf": []}
