@@ -943,26 +943,63 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     import hashlib
     import os
 
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
     fps = [f"buckets={_N_BUCKETS}"]
+    srcs = []
     for t in ("orders", "lineitem"):
         src = os.path.abspath(f"{sf_dir}/{t}.parquet")
         st = os.stat(src)
+        srcs.append(src)
         fps.append(f"{src}\x00{st.st_mtime_ns}\x00{st.st_size}")
     fp = hashlib.sha1("|".join(fps).encode()).hexdigest()[:12]
     names = (f"orders_bkt_{fp}", f"lineitem_bkt_{fp}")
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+
+    # GC: test suites mint bucketed tables against tmp-dir fixtures
+    # whose fingerprints are never seen again — 80 orphan dirs / 30 MB
+    # accumulated over two rounds. Each table dir carries a _SOURCE
+    # sidecar naming its source parquet files; a dir whose sources no
+    # longer exist (or that predates the sidecar) is dead weight and
+    # removed. Dirs for live fixtures (other SFs) keep their sources
+    # on disk and survive.
+    if os.path.isdir(wh):
+        pat = re.compile(r"^(orders|lineitem)_bkt_[0-9a-f]{12}$")
+        for d in os.listdir(wh):
+            if not pat.match(d) or d in names:
+                continue
+            if spark.catalog.tableExists(d):
+                continue
+            side = os.path.join(wh, d, "_SOURCE")
+            keep = False
+            if os.path.exists(side):
+                with open(side) as fh:
+                    keep = all(
+                        os.path.exists(line.strip())
+                        for line in fh
+                        if line.strip()
+                    )
+            if not keep:
+                shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+
     for t, name, key in (
         ("orders", names[0], "o_orderkey"),
         ("lineitem", names[1], "l_orderkey"),
     ):
         if spark.catalog.tableExists(name):
             continue
-        import shutil
-        from urllib.parse import urlparse
-
-        wh = urlparse(
-            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        ).path or "spark-warehouse"
         orphan = os.path.abspath(os.path.join(wh, name))
+
+        def _write_sidecar(path: str) -> None:
+            # "_"-prefixed files are invisible to Spark's FileIndex
+            # (the _SUCCESS rule), so the sidecar never pollutes scans
+            with open(os.path.join(path, "_SOURCE"), "w") as fh:
+                fh.write("\n".join(srcs) + "\n")
+
         if os.path.isdir(orphan) and os.path.exists(
             os.path.join(orphan, "_SUCCESS")
         ):
@@ -973,6 +1010,7 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
                     f"CLUSTERED BY ({key}) SORTED BY ({key}) "
                     f"INTO {_N_BUCKETS} BUCKETS LOCATION '{orphan}'"
                 )
+                _write_sidecar(orphan)
                 continue
             except Exception:
                 # fall through to rebuild; never trust a half-state
@@ -988,6 +1026,7 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
             .format("parquet")
             .saveAsTable(name)
         )
+        _write_sidecar(orphan)
     return names
 
 

@@ -183,3 +183,39 @@ def test_ensure_bucketed_rejects_incomplete_orphan(spark, sf_dir):
     row = spark.sql(f"DESCRIBE TABLE EXTENDED {names[0]}").toPandas()
     typ = row[row.col_name == "Type"].data_type.iloc[0]
     assert typ == "MANAGED"
+
+
+def test_bucketed_warehouse_gc_removes_dead_fixture_tables(
+    spark, sf_dir, tmp_path
+):
+    """The _SOURCE-sidecar GC: a bucketed dir whose source parquet no
+    longer exists (a test-minted tmp fixture) is removed on the next
+    _ensure pass; a dir whose sources are live is kept. 80 orphan
+    dirs / 30 MB had accumulated over two rounds before this."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from mapreducepy_spark.operators.joins import _ensure_bucketed_tables
+
+    names = _ensure_bucketed_tables(spark, sf_dir)
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    live = os.path.abspath(os.path.join(wh, names[0]))
+
+    dead = os.path.join(wh, "orders_bkt_deadbeef0123")
+    shutil.rmtree(dead, ignore_errors=True)
+    shutil.copytree(live, dead)
+    with open(os.path.join(dead, "_SOURCE"), "w") as fh:
+        fh.write(str(tmp_path / "gone.parquet") + "\n")
+    legacy = os.path.join(wh, "lineitem_bkt_00ddba11fade")
+    shutil.rmtree(legacy, ignore_errors=True)
+    shutil.copytree(live, legacy)
+    os.remove(os.path.join(legacy, "_SOURCE"))  # pre-sidecar dir
+
+    assert _ensure_bucketed_tables(spark, sf_dir) == names
+    assert not os.path.isdir(dead)       # dead source -> collected
+    assert not os.path.isdir(legacy)     # no sidecar  -> collected
+    assert os.path.isdir(live)           # live fixture -> kept
+    assert os.path.exists(os.path.join(live, "_SOURCE"))
