@@ -3,7 +3,11 @@ window (the 11 remaining r6-evidence keys + the round-10 growth —
 the r13-session precedent of ref'ing the next window ahead of its
 rotation): the 5 keys of that cohort that had no dedicated ref —
 text_contamination_ngram, text_oov_rate, text_keywords,
-text_perplexity_proxy, events_user_lifecycle. Plain python
+text_perplexity_proxy, events_user_lifecycle — plus pandas
+recomputation of the four TPC-H report shapes that still relied on
+parity + sweeps alone (Q3 join_shipping_priority, Q5
+join_local_supplier, Q6 agg_forecast_revenue, Q7
+join_volume_shipping; exact-cents discipline mirrored). Plain python
 recomputation from the raw parquet, independent of both engines.
 """
 
@@ -183,3 +187,118 @@ def test_events_user_lifecycle_matches_pandas(spark, sf_dir):
         days = (gmax - r.last_seen).days
         assert int(row.days_inactive) == days
         assert int(row.is_dormant) == int(days >= 1)
+
+
+# --- TPC-H report shapes (Q3/Q5/Q6/Q7), pandas recomputation ---------
+
+
+def _cents(x: float) -> int:
+    return int(math.floor(x * 100.0 + 0.5))
+
+
+def test_join_shipping_priority_q3_matches_pandas(spark, sf_dir):
+    c = _pq(sf_dir, "customer")
+    o = _pq(sf_dir, "orders")
+    li = _pq(sf_dir, "lineitem")
+    cut = pd.Timestamp("1996-07-01")
+    j = (
+        li[li.l_shipdate > cut]
+        .merge(o[o.o_orderdate < cut], left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c[c.c_mktsegment == "BUILDING"], left_on="o_custkey", right_on="c_custkey")
+    )
+    j["rev_cents"] = [
+        _cents(p * (1 - d)) for p, d in zip(j.l_extendedprice, j.l_discount)
+    ]
+    agg = (
+        j.groupby(["l_orderkey", "o_orderdate"])
+        .rev_cents.sum()
+        .reset_index()
+    )
+    agg["revenue"] = agg.rev_cents / 100.0
+    top = agg.sort_values(
+        ["revenue", "o_orderdate", "l_orderkey"],
+        ascending=[False, True, True],
+    ).head(10)
+    got = CATALOG["join_shipping_priority"].builder(spark, sf_dir).toPandas()
+    assert len(got) == len(top)
+    for g, r in zip(got.itertuples(), top.itertuples()):
+        assert int(g.l_orderkey) == int(r.l_orderkey)
+        assert abs(g.revenue - r.revenue) < 1e-9
+        assert pd.Timestamp(g.o_orderdate) == r.o_orderdate
+
+
+def test_join_local_supplier_q5_matches_pandas(spark, sf_dir):
+    o = _pq(sf_dir, "orders")
+    o = o[
+        (o.o_orderdate >= pd.Timestamp("1996-01-01"))
+        & (o.o_orderdate < pd.Timestamp("1997-01-01"))
+    ]
+    j = (
+        _pq(sf_dir, "lineitem")
+        .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(_pq(sf_dir, "customer"), left_on="o_custkey", right_on="c_custkey")
+        .merge(_pq(sf_dir, "supplier"), left_on="l_suppkey", right_on="s_suppkey")
+    )
+    j = j[j.s_nationkey == j.c_nationkey]
+    n = _pq(sf_dir, "nation")
+    n = n[n.n_regionkey == 3]
+    j = j.merge(n, left_on="s_nationkey", right_on="n_nationkey")
+    j["rev_cents"] = [
+        _cents(p * (1 - d)) for p, d in zip(j.l_extendedprice, j.l_discount)
+    ]
+    ref = (j.groupby("n_name").rev_cents.sum() / 100.0).to_dict()
+    got = (
+        CATALOG["join_local_supplier"].builder(spark, sf_dir).toPandas()
+        .set_index("n_name").revenue.to_dict()
+    )
+    assert got.keys() == ref.keys()
+    for k in ref:
+        assert abs(got[k] - ref[k]) < 1e-9, k
+
+
+def test_agg_forecast_revenue_q6_matches_pandas(spark, sf_dir):
+    li = _pq(sf_dir, "lineitem")
+    m = li[
+        (li.l_shipdate >= pd.Timestamp("1996-01-01"))
+        & (li.l_shipdate < pd.Timestamp("1997-01-01"))
+        & (li.l_discount >= 0.05)
+        & (li.l_discount <= 0.07)
+        & (li.l_quantity < 24)
+    ]
+    cents = sum(
+        _cents(p * d) for p, d in zip(m.l_extendedprice, m.l_discount)
+    )
+    got = CATALOG["agg_forecast_revenue"].builder(spark, sf_dir).toPandas()
+    assert int(got.n_lines.iloc[0]) == len(m)
+    assert abs(got.revenue_delta.iloc[0] - cents / 100.0) < 1e-9
+
+
+def test_join_volume_shipping_q7_matches_pandas(spark, sf_dir):
+    n = _pq(sf_dir, "nation")[["n_nationkey", "n_name"]]
+    j = (
+        _pq(sf_dir, "lineitem")
+        .merge(_pq(sf_dir, "orders"), left_on="l_orderkey", right_on="o_orderkey")
+        .merge(_pq(sf_dir, "customer"), left_on="o_custkey", right_on="c_custkey")
+        .merge(_pq(sf_dir, "supplier"), left_on="l_suppkey", right_on="s_suppkey")
+        .merge(n.rename(columns={"n_nationkey": "k1", "n_name": "supp_nation"}),
+               left_on="s_nationkey", right_on="k1")
+        .merge(n.rename(columns={"n_nationkey": "k2", "n_name": "cust_nation"}),
+               left_on="c_nationkey", right_on="k2")
+    )
+    j = j[j.supp_nation != j.cust_nation]
+    j["l_year"] = j.l_shipdate.dt.year
+    j["rev_cents"] = [
+        _cents(p * (1 - d)) for p, d in zip(j.l_extendedprice, j.l_discount)
+    ]
+    ref = j.groupby(["supp_nation", "cust_nation", "l_year"]).agg(
+        n_lineitems=("rev_cents", "size"), cents=("rev_cents", "sum")
+    )
+    got = (
+        CATALOG["join_volume_shipping"].builder(spark, sf_dir).toPandas()
+        .set_index(["supp_nation", "cust_nation", "l_year"])
+    )
+    assert len(got) == len(ref)
+    for idx, r in ref.iterrows():
+        row = got.loc[idx]
+        assert int(row.n_lineitems) == int(r.n_lineitems), idx
+        assert abs(row.revenue - r.cents / 100.0) < 1e-9, idx
