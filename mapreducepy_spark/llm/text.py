@@ -1858,7 +1858,7 @@ ranked AS (
            ) AS BIGINT) AS rank
     FROM counts
 )
-SELECT lang, word, n, rank, TRUE AS in_sketch, TRUE AS err_ok
+SELECT lang, word, n, rank, TRUE AS survival_ok, TRUE AS err_ok
 FROM ranked WHERE rank <= {_MG_TOPK}
 """
 
@@ -1872,12 +1872,21 @@ def text_heavy_hitters_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``agg_approx_distinct_bound`` shape, for heavy hitters): per
     language, the EXACT top-{_MG_TOPK} words plus two flags
     certifying a merged Misra-Gries summary against them —
-    ``in_sketch`` (the true heavy hitter survived the sketch) and
+    ``survival_ok`` (IF the word's exact count clears the MG survival
+    guarantee, count·(cap+1) > n_lang_tokens, THEN it is present in
+    the merged sketch — the guarantee-implies-survival THEOREM, not
+    the data-dependent "top-k happens to survive": the adversarial
+    sweep's near-uniform corpus legitimately evicts a count-2 top
+    word, so a bare membership flag would desync exactly there) and
     ``err_ok`` (the sketch's undercount sits inside the MG invariant:
-    0 <= exact - estimate <= total decrement rounds). The oracle pins
-    (exact, TRUE, TRUE): a sketch drift flips a flag and the driver's
-    hash mismatches — the sketch is judged without ever shipping an
-    engine-specific estimate across engines.
+    0 <= exact - estimate <= total decrement rounds — a theorem for
+    EVERY word, member or not, since a non-member's estimate is 0 and
+    its whole count is decrement-accounted). The oracle pins (exact,
+    TRUE, TRUE): a sketch drift flips a flag and the driver's hash
+    mismatches — the sketch is judged without ever shipping an
+    engine-specific estimate across engines. On the real fixture the
+    guarantee clause is NON-vacuous (top words clear the threshold;
+    asserted in the ref test), so survival is genuinely exercised.
 
     Sketch mechanics: the token stream is split into {_MG_SHARDS}
     DETERMINISTIC shards (doc_id mod {_MG_SHARDS} — physical
@@ -1984,6 +1993,10 @@ def text_heavy_hitters_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("dec_s").alias("dec_total"))
     )
 
+    totals = counts.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_lang")
+    )
+
     j = (
         topk.alias("t")
         .join(
@@ -1997,14 +2010,22 @@ def text_heavy_hitters_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.lang").eqNullSafe(F.col("b.lang")),
             "left",
         )
+        .join(
+            totals.alias("g"),
+            F.col("t.lang").eqNullSafe(F.col("g.lang")),
+            "left",
+        )
     )
     undercount = F.col("t.n") - F.coalesce(F.col("est_m"), F.lit(0))
+    # MG survival guarantee: count·(cap+1) > stream length ⇒ the word
+    # CANNOT be fully decremented away (all-integer, no division)
+    guaranteed = F.col("t.n") * F.lit(_MG_CAP + 1) > F.col("n_lang")
     return j.select(
         F.col("t.lang").alias("lang"),
         F.col("t.word").alias("word"),
         F.col("t.n").alias("n"),
         F.col("t.rank").alias("rank"),
-        F.col("est_m").isNotNull().alias("in_sketch"),
+        (~guaranteed | F.col("est_m").isNotNull()).alias("survival_ok"),
         (
             (undercount >= 0)
             & (undercount <= F.coalesce(F.col("dec_total"), F.lit(0)))

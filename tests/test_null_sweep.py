@@ -57,6 +57,18 @@ def _sweep(tables: frozenset[str]) -> list[str]:
 DOCS_ONLY = _sweep(frozenset({"documents"}))
 
 
+# 22 distinct short words: passes the pipeline quality gate
+# (tokens >= 20, TTR >= 0.30, avg word length <= 5.2)
+_QUALITY_TEXT_A = (
+    "one two three four five six seven eight nine ten plan scan "
+    "join sort group limit merge hash read write push prune"
+)
+_QUALITY_TEXT_B = (
+    "alpha beta gamma delta eps zeta eta theta iota kappa mu nu "
+    "xi omi pi rho sigma tau ups phi chi psi"
+)
+
+
 @pytest.fixture(scope="module")
 def adversarial_docs(tmp_path_factory):
     d = tmp_path_factory.mktemp("nullsweep")
@@ -81,6 +93,34 @@ def adversarial_docs(tmp_path_factory):
         # the split-on-single-space contract must hold identically
         # through tokenizers, shingles, and every empty-token filter
         (9, "spaced  doubly and\ttabbed token ", "en", "web", 32),
+        # non-ASCII axis (round-10 session): CJK (multibyte, no
+        # supplementary plane), supplementary-plane emoji (U+1F680 —
+        # 4-byte UTF-8, a SURROGATE PAIR in the JVM's UTF-16: any
+        # length/substring/levenshtein counting UTF-16 units instead
+        # of codepoints desyncs exactly here), and combining marks
+        # (e + U+0301 vs precomposed é — two docs that render alike
+        # but must hash/compare as DIFFERENT codepoint sequences,
+        # no engine may normalize silently)
+        (10, "日本語 文本 处理 引擎 测试 join", "zh", "web", 24),
+        (11, "emoji 🚀 mixed 🎉 tokens café test", "en", "web", 33),
+        # 'café' PRECOMPOSED (U+00E9) next to 'éclair'/'tést'
+        # with COMBINING U+0301: rendering-alike, codepoint-distinct
+        # tokens that must stay distinct (no silent normalization)
+        (12, "café éclair tést tokens", "fr", "web", 26),
+        # pipeline-ledger branch coverage (round-10 session): no
+        # fixture row anywhere was md5-eval (h2 < '0d'), so the
+        # eval_split / contaminated / exact_dup reason codes of
+        # pipeline_drop_explain (and the decontamination blocklist
+        # path of pipeline_clean_corpus) never fired DATA-wise.
+        # doc_id 27 hashes into the eval split; 13 shares its text ->
+        # contaminated; 14/15 share a second text -> min-id keeper +
+        # exact_dup. All three texts pass the quality gate (>=20
+        # tokens, TTR>=0.3, avg len<=5.2) so the later branches are
+        # actually reached.
+        (27, _QUALITY_TEXT_A, "en", "web", len(_QUALITY_TEXT_A)),
+        (13, _QUALITY_TEXT_A, "en", "web", len(_QUALITY_TEXT_A)),
+        (14, _QUALITY_TEXT_B, "en", "web", len(_QUALITY_TEXT_B)),
+        (15, _QUALITY_TEXT_B, "en", "web", len(_QUALITY_TEXT_B)),
     ]
     pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
