@@ -441,3 +441,162 @@ def test_sim_ann_recall_matches_numpy(spark, sf_dir):
     assert total_hits < total_n or any(
         u > 0 for rows in per_bucket.values() for _, u in rows
     )
+
+
+# --- second batch: Q12/Q14/Q16/Q19 + null-safe join + unpivot --------
+
+
+def test_join_late_shipments_q12_matches_pandas(spark, sf_dir):
+    li = _pq(sf_dir, "lineitem")
+    o = _pq(sf_dir, "orders")
+    m = li[
+        (li.l_shipdate >= pd.Timestamp("1996-01-01"))
+        & (li.l_shipdate < pd.Timestamp("1997-01-01"))
+    ].merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    lag = (m.l_shipdate - m.o_orderdate).dt.total_seconds()
+
+    def speed(sec: float) -> str:
+        if sec < 0:
+            return "BACKDATED"
+        if sec < 30 * 86400:
+            return "FAST"
+        if sec < 90 * 86400:
+            return "REGULAR"
+        return "SLOW"
+
+    m = m.assign(
+        speed=[speed(s) for s in lag],
+        high=m.o_orderpriority.isin(["1-URGENT", "2-HIGH"]).astype(int),
+    )
+    ref = m.groupby("speed").high.agg(["sum", "count"])
+    got = (
+        CATALOG["join_late_shipments"].builder(spark, sf_dir).toPandas()
+        .set_index("ship_speed")
+    )
+    assert set(got.index) == set(ref.index)
+    for k, r in ref.iterrows():
+        assert int(got.loc[k].high_line_count) == int(r["sum"]), k
+        assert int(got.loc[k].low_line_count) == int(r["count"] - r["sum"]), k
+
+
+def test_agg_promo_share_q14_matches_pandas(spark, sf_dir):
+    li = _pq(sf_dir, "lineitem")
+    p = _pq(sf_dir, "part")
+    m = li[
+        (li.l_shipdate >= pd.Timestamp("1996-03-01"))
+        & (li.l_shipdate < pd.Timestamp("1996-04-01"))
+    ].merge(p, left_on="l_partkey", right_on="p_partkey")
+    cents = [
+        _cents(x * (1 - d)) for x, d in zip(m.l_extendedprice, m.l_discount)
+    ]
+    promo = sum(c for c, t in zip(cents, m.p_type) if t == "PROMO")
+    total = sum(cents)
+    got = CATALOG["agg_promo_share"].builder(spark, sf_dir).toPandas()
+    assert abs(got.total_revenue.iloc[0] - total / 100.0) < 1e-9
+    assert abs(
+        got.promo_revenue_pct.iloc[0] - _r(100.0 * promo / total, 6)
+    ) < 2e-6
+
+
+def test_join_supplier_part_count_q16_matches_pandas(spark, sf_dir):
+    li = _pq(sf_dir, "lineitem")
+    p = _pq(sf_dir, "part")
+    s = _pq(sf_dir, "supplier")
+    bad = set(s[s.s_acctbal < 0].s_suppkey)
+    ps = li[["l_partkey", "l_suppkey"]].drop_duplicates()
+    m = ps.merge(p, left_on="l_partkey", right_on="p_partkey")
+    m = m[
+        (m.p_brand != "Brand#1")
+        & (m.p_type != "PROMO")
+        & (m.p_size.isin([1, 14, 23, 45]))
+        & (~m.l_suppkey.isin(bad))
+    ]
+    ref = (
+        m.groupby(["p_brand", "p_type", "p_size"]).l_suppkey.nunique()
+    )
+    got = (
+        CATALOG["join_supplier_part_count"].builder(spark, sf_dir)
+        .toPandas()
+        .set_index(["p_brand", "p_type", "p_size"])
+    )
+    assert len(got) == len(ref)
+    for idx, n in ref.items():
+        assert int(got.loc[idx].supplier_cnt) == int(n), idx
+
+
+def test_join_disjunctive_q19_matches_pandas(spark, sf_dir):
+    li = _pq(sf_dir, "lineitem")
+    p = _pq(sf_dir, "part")
+    m = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    branches = (
+        ("Brand#11", 1, 15, 1, 20),
+        ("Brand#22", 10, 30, 10, 35),
+        ("Brand#33", 20, 50, 20, 50),
+    )
+    keep = pd.Series(False, index=m.index)
+    for brand, s0, s1, q0, q1 in branches:
+        keep |= (
+            (m.p_brand == brand)
+            & (m.p_size >= s0) & (m.p_size <= s1)
+            & (m.l_quantity >= q0) & (m.l_quantity <= q1)
+        )
+    m = m[keep]
+    cents = sum(
+        _cents(x * (1 - d)) for x, d in zip(m.l_extendedprice, m.l_discount)
+    )
+    got = CATALOG["join_disjunctive"].builder(spark, sf_dir).toPandas()
+    assert int(got.n_lines.iloc[0]) == len(m)
+    assert abs(got.revenue.iloc[0] - cents / 100.0) < 1e-9
+
+
+def test_join_null_safe_matches_pandas(spark, sf_dir):
+    o = _pq(sf_dir, "orders")
+    li = _pq(sf_dir, "lineitem")
+    ga = (
+        o.assign(grp=(o.o_orderkey % 5).replace(0, pd.NA))
+        .groupby("grp", dropna=False)
+        .agg(n_orders=("o_orderkey", "size"), price=("o_totalprice", "sum"))
+    )
+    gb = (
+        li.assign(grp=(li.l_orderkey % 5).replace(0, pd.NA))
+        .groupby("grp", dropna=False)
+        .l_orderkey.size()
+    )
+    def norm(idx):
+        return None if pd.isna(idx) else int(idx)
+
+    ga_d = {norm(k): v for k, v in ga.iterrows()}
+    gb_d = {norm(k): v for k, v in gb.items()}
+    got = CATALOG["join_null_safe"].builder(spark, sf_dir).toPandas()
+    assert len(got) == len(ga_d) == len(gb_d)  # NULL group matched NULL
+    assert any(pd.isna(r.grp) for r in got.itertuples())  # and is PRESENT
+    for r in got.itertuples():
+        key = norm(r.grp)
+        a = ga_d[key]
+        assert int(r.n_orders) == int(a.n_orders)
+        assert abs(r.sum_price - _r(float(a.price), 2)) < 2e-2
+        assert int(r.n_lines) == int(gb_d[key])
+
+
+def test_unpivot_long_matches_pandas(spark, sf_dir):
+    li = _pq(sf_dir, "lineitem")
+    shard = li[
+        (li.l_returnflag == "R")
+        & ((li.l_orderkey % 7).fillna(0) == 0)
+    ]
+    measures = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    # MULTISET compare: the synthetic fixture carries duplicate
+    # (orderkey, linenumber) pairs, which the melt must preserve
+    # row-for-row (a dict ref would silently collapse them)
+    ref = Counter(
+        (int(r.l_orderkey), int(r.l_linenumber), m, getattr(r, m))
+        for r in shard.itertuples()
+        for m in measures
+    )
+    got = CATALOG["unpivot_long"].builder(spark, sf_dir).toPandas()
+    got_ms = Counter(
+        (int(r.l_orderkey), int(r.l_linenumber), r.measure, r.value)
+        for r in got.itertuples()
+    )
+    # values pass through UNROUNDED — bit equality expected
+    assert got_ms == ref
