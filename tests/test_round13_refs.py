@@ -17,6 +17,7 @@ import hashlib
 import math
 from collections import Counter
 
+import numpy as np
 import pandas as pd
 
 from mapreducepy_spark.registry import load_catalog
@@ -600,3 +601,117 @@ def test_unpivot_long_matches_pandas(spark, sf_dir):
     )
     # values pass through UNROUNDED — bit equality expected
     assert got_ms == ref
+
+
+# --- third batch: the ref-less keys INSIDE the r10 driver window -----
+
+
+def test_distinct_rows_matches_pandas(spark, sf_dir):
+    li = _pq(sf_dir, "lineitem")
+    ref = {
+        (f, s, int(y))
+        for f, s, y in zip(
+            li.l_returnflag, li.l_linestatus, li.l_shipdate.dt.year
+        )
+    }
+    got = CATALOG["distinct_rows"].builder(spark, sf_dir).toPandas()
+    got_set = {
+        (r.l_returnflag, r.l_linestatus, int(r.ship_year))
+        for r in got.itertuples()
+    }
+    assert len(got) == len(got_set) == len(ref)  # truly deduplicated
+    assert got_set == ref
+
+
+def test_agg_having_matches_pandas(spark, sf_dir):
+    o = _pq(sf_dir, "orders")
+    g = o.groupby("o_custkey").agg(
+        n=("o_orderkey", "size"), total=("o_totalprice", "sum")
+    )
+    # HAVING runs on the UNROUNDED sum, exactly like SQL
+    ref = g[(g.n >= 12) & (g.total > 100000)]
+    got = (
+        CATALOG["agg_having"].builder(spark, sf_dir).toPandas()
+        .set_index("o_custkey")
+    )
+    assert set(got.index) == set(ref.index)
+    for k, r in ref.iterrows():
+        assert int(got.loc[k].n_orders) == int(r.n)
+        assert abs(got.loc[k].total_spent - _r(float(r.total), 2)) < 2e-2
+
+
+def test_join_left_matches_pandas(spark, sf_dir):
+    c = _pq(sf_dir, "customer")
+    o = _pq(sf_dir, "orders")
+    got = (
+        CATALOG["join_left"].builder(spark, sf_dir).toPandas()
+        .set_index("c_custkey")
+    )
+    assert len(got) == len(c)  # zero-order customers preserved
+    per = o.groupby("o_custkey").agg(
+        n=("o_orderkey", "size"), total=("o_totalprice", "sum")
+    )
+    for r in c.itertuples():
+        row = got.loc[int(r.c_custkey)]
+        assert row.c_mktsegment == r.c_mktsegment
+        if int(r.c_custkey) in per.index:
+            p = per.loc[int(r.c_custkey)]
+            assert int(row.n_orders) == int(p.n)
+            assert abs(row.total_spent - _r(float(p.total), 2)) < 2e-2
+        else:
+            assert int(row.n_orders) == 0
+            assert row.total_spent == 0.0
+
+
+def test_join_anti_matches_pandas(spark, sf_dir):
+    c = _pq(sf_dir, "customer")
+    o = _pq(sf_dir, "orders")
+    orderless = set(c.c_custkey) - set(o.o_custkey.dropna())
+    got = CATALOG["join_anti"].builder(spark, sf_dir).toPandas()
+    assert set(got.c_custkey) == orderless
+    bal = c.set_index("c_custkey").c_acctbal
+    for r in got.itertuples():
+        assert r.c_acctbal == bal.loc[int(r.c_custkey)]
+
+
+def test_join_theta_range_matches_pandas(spark, sf_dir):
+    s = _pq(sf_dir, "supplier")
+    c = _pq(sf_dir, "customer")
+    got = (
+        CATALOG["join_theta_range"].builder(spark, sf_dir).toPandas()
+        .set_index("s_suppkey")
+    )
+    assert len(got) == len(s)  # LEFT join: every supplier appears
+    by_nation = {k: g.c_acctbal.to_numpy() for k, g in c.groupby("c_nationkey")}
+    for r in s.itertuples():
+        richer = int(
+            (by_nation.get(r.s_nationkey, np.array([])) > r.s_acctbal).sum()
+        )
+        assert int(got.loc[int(r.s_suppkey)].n_richer_customers) == richer
+
+
+def test_fn_levenshtein_matches_python(spark, sf_dir):
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(
+                    prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)
+                ))
+            prev = cur
+        return prev[-1]
+
+    n = _pq(sf_dir, "nation")
+    rg = _pq(sf_dir, "region").set_index("r_regionkey").r_name
+    ref = {}
+    for r in n.itertuples():
+        d = lev(r.n_name, rg.loc[r.n_regionkey])
+        if d <= 10:
+            ref[(r.n_name, rg.loc[r.n_regionkey])] = d
+    got = CATALOG["fn_levenshtein"].builder(spark, sf_dir).toPandas()
+    got_d = {(r.n_name, r.r_name): int(r.edit_dist) for r in got.itertuples()}
+    assert got_d == ref
+    assert len(ref) > 0  # the threshold keeps real pairs
