@@ -715,3 +715,147 @@ def test_fn_levenshtein_matches_python(spark, sf_dir):
     got_d = {(r.n_name, r.r_name): int(r.edit_dist) for r in got.itertuples()}
     assert got_d == ref
     assert len(ref) > 0  # the threshold keeps real pairs
+
+
+# --- fourth batch: the fn_* showcases in the r10 window --------------
+
+
+def test_fn_string_matches_python(spark, sf_dir):
+    import re
+
+    p = _pq(sf_dir, "part")
+    got = (
+        CATALOG["fn_string"].builder(spark, sf_dir).toPandas()
+        .set_index("p_partkey")
+    )
+    assert len(got) == len(p)
+    for r in p.itertuples():
+        row = got.loc[int(r.p_partkey)]
+        assert row.name_lower == r.p_name.lower()
+        assert row.brand_upper == r.p_brand.upper()
+        assert row.type_prefix == r.p_type[:5]
+        assert row.brand_size == f"{r.p_brand}-{r.p_size}"
+        assert row.first_word == r.p_name.split(" ")[0]
+        m = re.search(r"([0-9]+)", r.p_brand)
+        assert row.brand_num == (m.group(1) if m else "")
+        assert int(row.name_len) == len(r.p_name)
+        assert row.size_padded == str(r.p_size).rjust(4, "0")
+
+
+def test_fn_date_matches_python(spark, sf_dir):
+    o = _pq(sf_dir, "orders")
+    got = (
+        CATALOG["fn_date"].builder(spark, sf_dir).toPandas()
+        .set_index("o_orderkey")
+    )
+    assert len(got) == len(o)
+    epoch = pd.Timestamp("1995-01-01")
+    for r in o.itertuples():
+        row = got.loc[int(r.o_orderkey)]
+        d = r.o_orderdate
+        assert int(row.order_year) == d.year
+        assert int(row.order_month) == d.month
+        assert int(row.order_day) == d.day
+        assert pd.Timestamp(row.order_month_start) == d.replace(
+            day=1, hour=0, minute=0, second=0, microsecond=0
+        )
+        # datediff counts calendar days between the DATE parts
+        assert int(row.days_since_epoch_start) == (
+            d.normalize() - epoch
+        ).days
+        assert int(row.order_us) == d.value // 1000
+        assert row.order_date == str(d.date())
+
+
+def test_fn_math_matches_python(spark, sf_dir):
+    full = _pq(sf_dir, "lineitem")
+    # the synthetic fixture carries duplicate (orderkey, linenumber)
+    # pairs — only unique keys can be matched row-to-row
+    counts = full.groupby(["l_orderkey", "l_linenumber"]).size()
+    unique_keys = set(counts[counts == 1].index)
+    li = full.head(2000)
+    got = CATALOG["fn_math"].builder(spark, sf_dir).toPandas()
+    got = got.set_index(["l_orderkey", "l_linenumber"])
+    got = got[~got.index.duplicated()]
+    seen = 0
+    for r in li.itertuples():
+        key = (int(r.l_orderkey), int(r.l_linenumber))
+        if key not in unique_keys:
+            continue
+        row = got.loc[key]
+        seen += 1
+        assert abs(row.price_r1 - _r(r.l_extendedprice, 1)) < 1e-9
+        assert int(row.qty_ceil) == math.ceil(r.l_quantity)
+        assert abs(row.price_sqrt - _r(math.sqrt(r.l_extendedprice), 6)) < 2e-6
+        assert abs(row.price_ln - _r(math.log(r.l_extendedprice + 1), 6)) < 2e-6
+        assert abs(row.disc_exp - _r(math.exp(r.l_discount), 6)) < 2e-6
+        assert int(row.qty_mod5) == int(r.l_quantity) % 5
+    assert seen > 1000
+
+
+def test_fn_array_matches_python(spark, sf_dir):
+    emb = _pq(sf_dir, "embeddings")
+    got = (
+        CATALOG["fn_array"].builder(spark, sf_dir).toPandas()
+        .set_index("vec_id")
+    )
+    assert len(got) == len(emb)
+    for r in emb.itertuples():
+        row = got.loc[int(r.vec_id)]
+        assert int(row.dim) == len(r.embedding)
+        assert abs(row.first_val - _r(float(r.embedding[0]), 6)) < 2e-6
+        assert abs(row.max_val - _r(float(max(r.embedding)), 6)) < 2e-6
+        acc = 0.0
+        for x in r.embedding:  # sequential fold, the engine's order
+            acc += float(x) * float(x)
+        assert abs(row.norm_sq - _r(acc, 6)) < 2e-6
+
+
+def test_fn_conditional_matches_python(spark, sf_dir):
+    import json
+
+    e = _pq(sf_dir, "events")
+    got = (
+        CATALOG["fn_conditional"].builder(spark, sf_dir).toPandas()
+        .set_index("event_id")
+    )
+    assert len(got) == len(e)
+    for r in e.itertuples():
+        row = got.loc[int(r.event_id)]
+        props = json.loads(r.props) if r.props else {}
+        assert row.k_or_default == (
+            str(props["missing_key"]) if "missing_key" in props else "absent"
+        )
+        want_nv = None if r.event_type == "view" else r.event_type
+        assert (row.non_view_type == want_nv) or (
+            pd.isna(row.non_view_type) and want_nv is None
+        )
+        v = r.value
+        band = "big" if v > 50 else ("mid" if v > 10 else "small")
+        assert row.value_band == band
+        assert bool(row.k_missing) == ("k" not in props)
+
+
+def test_fn_json_matches_python(spark, sf_dir):
+    import json
+
+    e = _pq(sf_dir, "events")
+    agg: dict[int, list[float]] = {}
+    for r in e.itertuples():
+        props = json.loads(r.props) if r.props else {}
+        if "k" not in props or props["k"] is None:
+            continue
+        b = int(props["k"]) % 5
+        agg.setdefault(b, []).append(r.value)
+    got = (
+        CATALOG["fn_json"].builder(spark, sf_dir).toPandas()
+        .set_index("k_bucket")
+    )
+    assert len(got) == len(agg)
+    for b, vals in agg.items():
+        row = got.loc[b]
+        assert int(row.n_events) == len(vals)
+        clean = [v for v in vals if not pd.isna(v)]
+        assert abs(
+            row.avg_value - _r(sum(clean) / len(clean), 6)
+        ) < 2e-6, b
