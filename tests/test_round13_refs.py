@@ -859,3 +859,133 @@ def test_fn_json_matches_python(spark, sf_dir):
         assert abs(
             row.avg_value - _r(sum(clean) / len(clean), 6)
         ) < 2e-6, b
+
+
+# --- fifth batch: remaining moving-part keys (r7 block) --------------
+
+
+def test_agg_cube_matches_pandas(spark, sf_dir):
+    li = _pq(sf_dir, "lineitem")
+    ref = {}
+    for flags in ((True, True), (True, False), (False, True), (False, False)):
+        keys = [c for c, on in zip(("l_returnflag", "l_linestatus"), flags) if on]
+        if keys:
+            for k, s in li.groupby(keys).l_extendedprice.sum().items():
+                kt = k if isinstance(k, tuple) else (k,)
+                it = iter(kt)
+                full = tuple(next(it) if on else None for on in flags)
+                ref[full] = float(s)
+        else:
+            ref[(None, None)] = float(li.l_extendedprice.sum())
+    got = CATALOG["agg_cube"].builder(spark, sf_dir).toPandas()
+    assert len(got) == len(ref)
+    for r in got.itertuples():
+        key = (
+            None if pd.isna(r.l_returnflag) else r.l_returnflag,
+            None if pd.isna(r.l_linestatus) else r.l_linestatus,
+        )
+        assert abs(r.sum_price - _r(ref[key], 2)) < 2e-2, key
+
+
+def test_agg_grouping_sets_matches_pandas(spark, sf_dir):
+    li = _pq(sf_dir, "lineitem")
+    ref = {}
+    for k, g in li.groupby("l_returnflag"):
+        ref[(k, None)] = (float(g.l_quantity.sum()), len(g))
+    for k, g in li.groupby("l_linestatus"):
+        ref[(None, k)] = (float(g.l_quantity.sum()), len(g))
+    ref[(None, None)] = (float(li.l_quantity.sum()), len(li))
+    got = CATALOG["agg_grouping_sets"].builder(spark, sf_dir).toPandas()
+    assert len(got) == len(ref)
+    for r in got.itertuples():
+        key = (
+            None if pd.isna(r.l_returnflag) else r.l_returnflag,
+            None if pd.isna(r.l_linestatus) else r.l_linestatus,
+        )
+        s, n = ref[key]
+        assert abs(r.sum_qty - _r(s, 2)) < 2e-2, key
+        assert int(r.n_rows) == n, key
+
+
+def test_join_full_matches_pandas(spark, sf_dir):
+    c = _pq(sf_dir, "customer").groupby("c_nationkey").size()
+    s = _pq(sf_dir, "supplier").groupby("s_nationkey").size()
+    keys = set(c.index) | set(s.index)
+    got = (
+        CATALOG["join_full"].builder(spark, sf_dir).toPandas()
+        .set_index("nationkey")
+    )
+    assert set(got.index) == keys
+    for k in keys:
+        assert int(got.loc[k].n_customers) == int(c.get(k, 0))
+        assert int(got.loc[k].n_suppliers) == int(s.get(k, 0))
+
+
+def test_set_ops_match_pandas(spark, sf_dir):
+    """UNION ALL (ledger concat, multiset-exact) / INTERSECT
+    (distinct common nation keys, set-exact) / EXCEPT (distinct
+    difference, set-exact), recomputed in python."""
+    c = _pq(sf_dir, "customer")
+    s = _pq(sf_dir, "supplier")
+    union = CATALOG["set_union"].builder(spark, sf_dir).toPandas()
+    ref_union = Counter(
+        [("customer", int(k), b) for k, b in zip(c.c_custkey, c.c_acctbal)]
+        + [("supplier", int(k), b) for k, b in zip(s.s_suppkey, s.s_acctbal)]
+    )
+    got_union = Counter(
+        (r.kind, int(r.entity_id), r.acctbal) for r in union.itertuples()
+    )
+    assert got_union == ref_union
+    cu, su = set(c.c_nationkey), set(s.s_nationkey)
+    inter = CATALOG["set_intersect"].builder(spark, sf_dir).toPandas()
+    assert set(inter.nationkey) == (cu & su)
+    assert inter.nationkey.is_unique  # INTERSECT is distinct
+    exc = CATALOG["set_except"].builder(spark, sf_dir).toPandas()
+    assert set(exc.nationkey) == (cu - su)
+    assert exc.nationkey.is_unique
+
+
+def test_join_anti_scalar_q22_matches_pandas(spark, sf_dir):
+    c = _pq(sf_dir, "customer")
+    o = _pq(sf_dir, "orders")
+    bal_cents = c.c_acctbal.map(_cents)
+    pos = bal_cents[c.c_acctbal > 0]
+    sum_cents, n_pos = int(pos.sum()), len(pos)
+    recent = set(
+        o[o.o_orderdate >= pd.Timestamp("2000-07-01")].o_custkey
+    )
+    idle = c[
+        (bal_cents * n_pos > sum_cents) & (~c.c_custkey.isin(recent))
+    ].assign(bc=bal_cents)
+    ref = idle.groupby("c_mktsegment").bc.agg(["size", "sum"])
+    got = (
+        CATALOG["join_anti_scalar"].builder(spark, sf_dir).toPandas()
+        .set_index("c_mktsegment")
+    )
+    assert len(got) == len(ref)
+    for k, r in ref.iterrows():
+        assert int(got.loc[k].n_customers) == int(r["size"]), k
+        assert abs(got.loc[k].total_acctbal - r["sum"] / 100.0) < 1e-9, k
+
+
+def test_join_nested_semi_q20_matches_pandas(spark, sf_dir):
+    li = _pq(sf_dir, "lineitem")
+    p = _pq(sf_dir, "part")
+    s = _pq(sf_dir, "supplier")
+    pq = (
+        li.assign(qi=li.l_quantity.astype("int64"))
+        .groupby(["l_partkey", "l_suppkey"]).qi.sum()
+    )
+    pt = pq.groupby(level=0).agg(["sum", "size"])
+    small = set(p[p.p_size <= 10].p_partkey)
+    heavy_sk = set()
+    for (pk, sk), q in pq.items():
+        tot, m = pt.loc[pk]
+        if q * m > 3 * tot and pk in small:
+            heavy_sk.add(sk)
+    ref = s[s.s_suppkey.isin(heavy_sk)]
+    got = CATALOG["join_nested_semi"].builder(spark, sf_dir).toPandas()
+    assert set(got.s_suppkey) == set(ref.s_suppkey)
+    names = s.set_index("s_suppkey").s_name
+    for r in got.itertuples():
+        assert r.s_name == names.loc[int(r.s_suppkey)]
