@@ -989,3 +989,185 @@ def test_join_nested_semi_q20_matches_pandas(spark, sf_dir):
     names = s.set_index("s_suppkey").s_name
     for r in got.itertuples():
         assert r.s_name == names.loc[int(r.s_suppkey)]
+
+
+# --- sixth batch: remaining scalar/scan singles + sampled recall -----
+
+
+def test_scan_count_and_agg_count_distinct_match_pandas(spark, sf_dir):
+    li = _pq(sf_dir, "lineitem")
+    got = CATALOG["scan_count"].builder(spark, sf_dir).toPandas()
+    assert int(got.n_rows.iloc[0]) == len(li)
+    o = _pq(sf_dir, "orders")
+    ref = o.groupby("o_orderpriority").agg(
+        nc=("o_custkey", "nunique"), n=("o_orderkey", "size")
+    )
+    acd = (
+        CATALOG["agg_count_distinct"].builder(spark, sf_dir).toPandas()
+        .set_index("o_orderpriority")
+    )
+    assert len(acd) == len(ref)
+    for k, r in ref.iterrows():
+        assert int(acd.loc[k].n_customers) == int(r.nc)
+        assert int(acd.loc[k].n_orders) == int(r.n)
+
+
+def test_project_expr_matches_pandas(spark, sf_dir):
+    li = _pq(sf_dir, "lineitem")
+    got = CATALOG["project_expr"].builder(spark, sf_dir).toPandas()
+    assert len(got) == len(li)
+    # row-order-free: compare as multisets of full rows
+    ref = Counter(
+        (
+            int(r.l_orderkey), int(r.l_linenumber),
+            _r(r.l_extendedprice * (1 - r.l_discount), 2),
+            "high" if r.l_tax > 0.04 else ("mid" if r.l_tax > 0.02 else "low"),
+            int(r.l_quantity) % 7,
+        )
+        for r in li.itertuples()
+    )
+    got_ms = Counter(
+        (int(r.l_orderkey), int(r.l_linenumber), r.revenue, r.tax_band,
+         int(r.qty_mod))
+        for r in got.itertuples()
+    )
+    assert got_ms == ref
+
+
+def test_json_extract_matches_python(spark, sf_dir):
+    import json
+
+    e = _pq(sf_dir, "events")
+    ref = {}
+    for r in e.itertuples():
+        props = json.loads(r.props) if r.props else {}
+        if "k" in props and props["k"] is not None:
+            ref[int(r.event_id)] = int(props["k"])
+    got = (
+        CATALOG["json_extract"].builder(spark, sf_dir).toPandas()
+        .set_index("event_id")
+    )
+    assert set(got.index) == set(ref)
+    for k, v in ref.items():
+        assert int(got.loc[k].k_int) == v
+        assert got.loc[k].k_str == str(v)
+
+
+def test_fn_regex_matches_python(spark, sf_dir):
+    import re
+
+    docs = _pq(sf_dir, "documents")
+    got = (
+        CATALOG["fn_regex"].builder(spark, sf_dir).toPandas()
+        .set_index("doc_id")
+    )
+    assert len(got) == len(docs)
+    for r in docs.itertuples():
+        row = got.loc[int(r.doc_id)]
+        src = r.source
+        m = re.search(r"src([0-9]+)", src) if src is not None else None
+        want_num = int(m.group(1)) if m else None
+        assert (
+            (pd.isna(row.src_num) and want_num is None)
+            or int(row.src_num) == want_num
+        )
+        teen = bool(re.search(r"src1[0-9]$", src)) if src is not None else None
+        if src is not None:
+            assert int(row.is_teen_src) == int(teen)
+        text = r.text if r.text is not None else None
+        if text is not None:
+            assert int(row.n_vowel_runs) == len(
+                re.findall(r"[aeiou]+", text)
+            )
+            assert row.masked_prefix == re.sub(r"[aeiou]", "*", text[:40])
+
+
+def test_fn_bitwise_matches_python(spark, sf_dir):
+    o = _pq(sf_dir, "orders")
+    o = o[(o.o_orderkey.notna()) & (o.o_custkey.notna()) & (o.o_orderkey >= 0)]
+    got = (
+        CATALOG["fn_bitwise"].builder(spark, sf_dir).toPandas()
+        .set_index("o_orderkey")
+    )
+    got = got[~got.index.duplicated()]
+    seen = 0
+    for r in o.drop_duplicates("o_orderkey").itertuples():
+        k = int(r.o_orderkey)
+        row = got.loc[k]
+        seen += 1
+        assert int(row.and_mask) == (k & 255)
+        assert int(row.or_mask) == (k | 4096)
+        assert int(row.xor_cust) == (k ^ int(math.floor(r.o_custkey)))
+        assert int(row.shl2) == (k << 2)
+        assert int(row.shr3) == (k >> 3)
+        assert int(row.popcount) == bin(k).count("1")
+    assert seen > 100
+
+
+def test_fn_url_matches_python(spark, sf_dir):
+    docs = _pq(sf_dir, "documents")
+    docs = docs[
+        docs.doc_id.notna() & docs.source.notna() & docs.lang.notna()
+    ]
+    got = (
+        CATALOG["fn_url"].builder(spark, sf_dir).toPandas()
+        .set_index("doc_id")
+    )
+    assert len(got) == len(docs)
+    for r in docs.itertuples():
+        row = got.loc[int(r.doc_id)]
+        host = r.source.lower() + ".example.com"
+        path = f"/docs/{int(r.doc_id)}"
+        query = f"lang={r.lang}&v=2"
+        assert row.host == host
+        assert row.path == path
+        assert row.query == query
+        assert row.url == f"https://{host}{path}?{query}"
+        assert row.lang_param == r.lang
+
+
+def test_sim_ann_recall_sampled_matches_numpy(spark, sf_dir):
+    """The 1-in-5 sampled audit: identical ledger algebra to the
+    exhaustive ref, restricted to vec_id % 5 == 0 queries."""
+    from .test_round12_refs import _valid_units
+
+    ids, unit = _valid_units(_pq(sf_dir, "embeddings"))
+    bucket = sum(((unit[:, i] > 0).astype(int) << i) for i in range(4))
+    sim = unit @ unit.T
+    np.fill_diagonal(sim, -np.inf)
+    rounds = lambda c: math.floor(c * 1e6 + 0.5) / 1e6
+    per_bucket: dict[int, list[tuple[int, int]]] = {}
+    for qi in range(len(ids)):
+        if ids[qi] % 5 != 0:
+            continue
+        mask = (bucket == bucket[qi]) & (ids != ids[qi])
+        if not mask.any():
+            continue
+        cand = np.nonzero(mask)[0]
+        ann_j = sorted(cand, key=lambda j: (-sim[qi, j], ids[j]))[0]
+        alln = sorted(
+            (j for j in range(len(ids)) if ids[j] != ids[qi]),
+            key=lambda j: (-sim[qi, j], ids[j]),
+        )
+        topk = {int(ids[j]) for j in alln[:3]}
+        regret_u = math.floor(
+            (rounds(sim[qi, alln[0]]) - rounds(sim[qi, ann_j])) * 1e6 + 0.5
+        )
+        per_bucket.setdefault(int(bucket[qi]), []).append(
+            (1 if int(ids[ann_j]) in topk else 0, regret_u)
+        )
+    got = (
+        CATALOG["sim_ann_recall_sampled"].builder(spark, sf_dir).toPandas()
+        .set_index("bucket")
+    )
+    assert len(got) == len(per_bucket)
+    for b, rows in per_bucket.items():
+        r = got.loc[b]
+        n = len(rows)
+        hits = sum(h for h, _ in rows)
+        assert int(r.n_queries) == n, b
+        assert int(r.n_hits) == hits, b
+        assert int(r.hit_ppm) == math.floor(hits / n * 1e6 + 0.5), b
+        assert int(r.avg_regret_upm) == math.floor(
+            sum(u for _, u in rows) / n + 0.5
+        ), b
