@@ -1070,3 +1070,63 @@ def test_payload_stats_multibyte_utf8_counts_bytes_not_chars(spark, tmp_path):
         load_catalog()["multimodal_payload_stats"].oracle
     ).fetchdf()
     assert canon_frame(out) == canon_frame(dpd)
+
+
+def test_nan_value_rows_are_a_real_engine_split(spark, tmp_path):
+    """MEASURED engine split (round-10 session): a genuine NaN in
+    events.value (reachable in parquet — pyarrow writes NaN as NaN;
+    pandas' to_parquet silently converts NaN to NULL, which is why
+    the NULL sweeps never saw this) makes the engines genuinely
+    diverge: DuckDB's floor(NaN*100+0.5) CAST errors out
+    (events_ohlc), STDDEV_SAMP raises Out of Range
+    (events_anomaly), and NaN-propagating sums/rounds hash-mismatch
+    (win_tumbling). Spark propagates NaN through the same
+    expressions. NaN values are therefore OUT OF CONTRACT for the
+    value column (the fn_bitwise negative-shift precedent):
+    production ingestion must sanitize (nanvl/isnan guard) before
+    these operators. This test pins the split LOUDLY so a future
+    engine version that silently changes NaN behavior is noticed —
+    if it starts passing, the contract note in FIXTURES.md needs
+    revisiting."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreducepy_spark.registry import load_catalog
+
+    from .parity_util import canon_frame
+
+    nan = float("nan")
+    t = pa.table({
+        "event_id": pa.array(range(8), pa.int64()),
+        "ts": pa.array(
+            pd.to_datetime(
+                ["2024-01-01 10:00:00"] * 4 + ["2024-01-01 11:00:00"] * 4
+            ).astype("datetime64[us]")
+        ),
+        "user_id": pa.array([1, 1, 2, 2, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["view", "click", "view", "purchase"] * 2),
+        "value": pa.array([1.0, nan, 2.0, nan, nan, 3.0, 4.0, nan],
+                          pa.float64()),
+        "props": pa.array(['{"k":1}'] * 8),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    cat = load_catalog()
+
+    def split(key: str) -> bool:
+        try:
+            spd = cat[key].builder(spark, str(tmp_path)).toPandas()
+            dpd = con.execute(cat[key].oracle).fetchdf()
+            return canon_frame(spd) != canon_frame(dpd)
+        except Exception:
+            return True  # one engine errored: still a split
+
+    assert split("win_tumbling")
+    assert split("events_ohlc")
+    assert split("events_anomaly")
