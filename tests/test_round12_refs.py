@@ -331,11 +331,14 @@ def test_pivot_roundtrip_matches_wide_form_cells(spark, sf_dir):
 
 def test_text_heavy_hitters_bound_matches_python_mg(spark, sf_dir):
     """Independent Misra-Gries recomputation (naive decrement-loop,
-    different code shape from the engine's level-based kernel): same
-    deterministic shard/order rules, asserting (a) the engine's exact
+    different code shape from the engine's level-based kernel) on a
+    DIFFERENT sharding (deterministic doc_id%8 — the engine shards by
+    physical partition since r11): asserting (a) the engine's exact
     top-k rows match pandas, (b) both theorem flags hold under the
     python sketch too (guarantee-implies-survival; undercount within
-    summed decrement rounds), (c) the sketch is NON-DEGENERATE on
+    summed decrement rounds) — which is the point: the flags are
+    shard-independent theorems, so ANY sharding, including this one,
+    must satisfy them, (c) the sketch is NON-DEGENERATE on
     this data — decrement rounds really happened (capacity 16 <
     vocab) and the undercount is genuinely nonzero somewhere. The
     fixture's ~31-word vocabulary is NEAR-UNIFORM (top word ≈ n/26

@@ -1,0 +1,183 @@
+"""Round-14-session references: the Misra-Gries re-shard (VERDICT r10
+#2) and the empty-sketch decrement-loss fix (ADVICE r10 high).
+
+The engine's heavy-hitters kernel now shards by PHYSICAL partition
+(``mapInPandas``) instead of materializing (lang, doc_id%8) groups —
+legitimate only because the two driver-hashed flags are shard- and
+order-independent theorems. These tests pin (a) the exact regression
+ADVICE reproduced (a shard whose sketch ends EMPTY must still
+contribute its decrement rounds to the undercount bound), (b)
+bit-equality of the level-based ``_mg_update`` against the naive
+textbook decrement loop on the same stream, (c) bounded lazy-heap
+state (the O(tokens) heap growth ADVICE flagged), and (d) the
+shard-independence property itself: ANY split of the same stream
+merges to a summary satisfying both theorems.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from mapreducepy_spark.registry import load_catalog
+
+CATALOG = load_catalog()
+
+
+def _naive_mg(words, cap=16):
+    """Textbook Misra-Gries: decrement ALL counters on a miss at
+    capacity. Returns (counters, decrement_rounds)."""
+    counters, dec = {}, 0
+    for w in words:
+        if w in counters:
+            counters[w] += 1
+        elif len(counters) < cap:
+            counters[w] = 1
+        else:
+            dec += 1
+            for k in list(counters):
+                counters[k] -= 1
+                if counters[k] == 0:
+                    del counters[k]
+    return counters, dec
+
+
+def _stream(n=20_000, vocab=40, seed=0x5EED):
+    """Deterministic zipf-ish token stream via an LCG (no RNG APIs):
+    word i drawn with weight ~ 1/(i+1) through a cumulative table."""
+    cum, tot = [], 0.0
+    for i in range(vocab):
+        tot += 1.0 / (i + 1)
+        cum.append(tot)
+    out, x = [], seed
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % 2**64
+        u = (x >> 11) / 2**53 * tot
+        lo = next(i for i, c in enumerate(cum) if u <= c)
+        out.append(f"w{lo:02d}")
+    return out
+
+
+def test_mg_empty_sketch_shard_still_counts_decrements(spark, tmp_path):
+    """ADVICE r10 high, reproduced verbatim: ONE doc with 17 distinct
+    words. Capacity-16 MG ends with an EMPTY sketch (the 17th word's
+    miss raises base to 1, killing all 16 level-1 entries) after ONE
+    real decrement round. The r10 kernel emitted zero rows for that
+    shard, dropping its dec from dec_total, so undercount(top word)
+    = 1 > dec_total = 0 flipped err_ok FALSE on valid data. The
+    sentinel row (NULL word, est 0, dec carried unconditionally)
+    makes the bound a theorem again: err_ok TRUE, and the oracle
+    (which pins TRUE literals) hash-agrees."""
+    import duckdb
+
+    pd.DataFrame(
+        [(0, " ".join(f"u{i:02d}" for i in range(17)), "en", "web", 100)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    q = CATALOG["text_heavy_hitters_bound"]
+    spd = q.builder(spark, str(tmp_path)).toPandas()
+    assert len(spd) == 3
+    assert spd.err_ok.all(), "empty-sketch shard dropped its dec again"
+    assert spd.survival_ok.all()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    from .parity_util import canon_frame
+
+    assert canon_frame(spd) == canon_frame(con.execute(q.oracle).fetchdf())
+
+
+def test_mg_update_bit_equal_naive_and_bounded_heap():
+    """The level-based kernel is bit-identical to the textbook loop on
+    the same stream — surviving (word, count) pairs AND the decrement
+    round count — while its lazy heap stays O(capacity): 20k tokens
+    push ~20k entries without compaction, so the post-run bound only
+    holds if the ADVICE-flagged rebuild actually fires."""
+    from mapreducepy_spark.llm.text import (
+        _MG_CAP,
+        _MG_HEAP_SLACK,
+        _mg_update,
+    )
+
+    words = _stream()
+    levels, heap, base = {}, [], 0
+    base = _mg_update(levels, heap, base, words)
+    got = {w: lvl - base for w, lvl in levels.items()}
+
+    ref_counters, ref_dec = _naive_mg(words, _MG_CAP)
+    assert got == ref_counters
+    assert base == ref_dec
+    assert base > 0, "stream must exercise the decrement path"
+    assert len(heap) <= _MG_HEAP_SLACK * _MG_CAP, (
+        f"lazy heap grew to {len(heap)} — compaction not firing"
+    )
+
+
+def test_mg_merge_theorems_hold_for_any_sharding():
+    """The property the re-shard rests on: split the SAME stream into
+    k shards (k = 1, 2, 5, 8 — contiguous chunks, i.e. an arbitrary
+    physical partitioning), run one sketch per shard, merge by
+    summing survivors and decrement rounds. For EVERY word: 0 <=
+    exact - est_m <= dec_total; and every word with count·(cap+1) >
+    n survives the merge. Holds for all k or the mapInPandas shape
+    is unsound."""
+    from collections import Counter
+
+    from mapreducepy_spark.llm.text import _MG_CAP, _mg_update
+
+    words = _stream(n=12_000, vocab=35, seed=0xBEEF)
+    exact = Counter(words)
+    n_total = len(words)
+    for k in (1, 2, 5, 8):
+        chunk = (n_total + k - 1) // k
+        merged, dec_total = Counter(), 0
+        for s in range(k):
+            levels, heap, base = {}, [], 0
+            base = _mg_update(
+                levels, heap, base, words[s * chunk : (s + 1) * chunk]
+            )
+            dec_total += base
+            for w, lvl in levels.items():
+                merged[w] += lvl - base
+        for w, c in exact.items():
+            assert 0 <= c - merged.get(w, 0) <= dec_total, (k, w)
+            if c * (_MG_CAP + 1) > n_total:
+                assert merged.get(w, 0) > 0, (k, w)
+
+
+def test_heavy_hitters_output_invariant_to_input_partitioning(
+    spark, tmp_path
+):
+    """End-to-end shard-independence: the SAME corpus written as 1
+    file vs 7 files (different physical partitionings, different
+    per-task streams) produces the IDENTICAL driver-hashed frame —
+    exact counts, ranks, and theorem flags."""
+    rows = []
+    for d in range(70):
+        toks = ["hot"] * 5 + [f"w{(d * 3 + j) % 29:02d}" for j in range(9)]
+        rows.append((d, " ".join(toks), "en" if d % 3 else "fr", "web", 80))
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    one, many = tmp_path / "one", tmp_path / "many"
+    os.makedirs(one)
+    os.makedirs(many / "documents.parquet")
+    df.to_parquet(one / "documents.parquet", index=False)
+    for s in range(7):
+        part = df[df.doc_id % 7 == s]
+        part.to_parquet(
+            many / "documents.parquet" / f"part-{s}.parquet", index=False
+        )
+
+    q = CATALOG["text_heavy_hitters_bound"]
+    from .parity_util import canon_frame
+
+    a = q.builder(spark, str(one)).toPandas()
+    b = q.builder(spark, str(many)).toPandas()
+    assert canon_frame(a) == canon_frame(b)
+    assert a.err_ok.all() and a.survival_ok.all()
