@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from .. import session_cache
 from ..io import load, load_spread
+from ..operators.sampling import split_case_sql, split_col
 from ..registry import register
 from ..rounding import dround
 from . import DUCK_SHINGLES, SPARK_SHINGLES
@@ -253,7 +254,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Non-SQL-expressible in one shot, but DuckDB's recursive CTE
     computes the identical fixpoint, so this stays hash-checkable.
     """
-    return _connected_components(spark, _candidate_pairs_cached(spark, sf_dir))
+    return _clusters_cached(spark, sf_dir)
 
 
 def _connected_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
@@ -528,6 +529,22 @@ def _candidate_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cand_pairs",
         lambda: _candidate_pairs(
             spark, sf_dir, minhashes=_minhash_cached(spark, sf_dir)
+        ),
+    )
+
+
+def _clusters_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed connected-components labels (doc_id → cluster_id):
+    the union-find/propagation runs once per (session, fixture) and is
+    shared by ``dedup_clusters``, ``dedup_cluster_histogram`` and
+    ``split_by_cluster`` — the CC fixpoint is the funnel's most
+    expensive per-consumer recompute after the pairs themselves."""
+    return _funnel_cached(
+        spark,
+        sf_dir,
+        "clusters",
+        lambda: _connected_components(
+            spark, _candidate_pairs_cached(spark, sf_dir)
         ),
     )
 
@@ -1634,6 +1651,94 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("m")).cast("bigint").alias("n_docs"),
     )
     return hist.unionByName(single)
+
+
+# --- leakage-safe corpus split: assign by CLUSTER, not document ------
+
+_ORACLE_SPLIT_BY_CLUSTER = f"""
+WITH RECURSIVE {_duck_lsh_ctes()},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM cand_pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM cand_pairs
+),
+reach(doc_id, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst
+),
+cc AS MATERIALIZED (
+    SELECT doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY doc_id
+),
+k AS (
+    SELECT d.lang,
+           COALESCE(c.cluster_id, d.doc_id) AS rep
+    FROM documents d LEFT JOIN cc c ON d.doc_id = c.doc_id
+),
+s AS (
+    SELECT lang, rep,
+           substring(md5(CAST(rep AS VARCHAR)), 1, 2) AS h2
+    FROM k
+)
+SELECT {split_case_sql()} AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_groups
+FROM s GROUP BY 1, 2
+"""
+
+
+@register(
+    "split_by_cluster", _ORACLE_SPLIT_BY_CLUSTER,
+    tags=("llm", "dedup", "sampling"),
+)
+def split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash bucket keys on the
+    NEAR-DUP CLUSTER REPRESENTATIVE (min doc_id of the LSH connected
+    component; a doc in no candidate pair represents itself), so two
+    near-duplicate documents can NEVER land in different splits — the
+    eval-contamination channel ``sample_split`` leaves open (a
+    paraphrase of a training doc in the test set) is structurally
+    closed. Reported as per-(split, lang) doc and group counts; the
+    same predicate applied as a filter materializes one split.
+
+    The split chain (md5 first-byte cuts, 80/10/10) is IMPORTED from
+    ``operators/sampling`` — the operator, the manifest keys and this
+    cluster-keyed variant share one expression, so thresholds cannot
+    drift. Leak-freedom is by CONSTRUCTION: the split label is a pure
+    function of the cluster representative, so no cluster — hence no
+    near-dup pair — spans two splits (no flag column needed; there is
+    nothing data-dependent to certify).
+
+    Scale: rides the session-cached candidate pairs + hybrid CC
+    (``_clusters_cached``) — zero marginal funnel cost after any
+    other cluster consumer; the assignment itself is a broadcast-able
+    doc_id→cluster join (cluster labels are pair-graph-sized, orders
+    of magnitude under the corpus) + one md5 per row + a tiny
+    aggregate. At 100 TB the labels table outgrowing broadcast turns
+    the join into one equi shuffle; the algebra is unchanged.
+
+    Hash parity: counts are exact integers; the oracle recomputes the
+    identical CC fixpoint via DuckDB's recursive CTE and the identical
+    CASE cuts (``split_case_sql``). NULL doc_id rows (quarantine)
+    have NULL rep → the CASE falls to its ELSE arm ('test') in BOTH
+    engines (NULL comparisons are falsy in a CASE/when chain), and
+    COUNT(DISTINCT rep) ignores NULLs on both sides. Duplicate doc_id
+    fixture rows each inherit the same rep (the labels table is
+    unique per doc_id on both sides).
+    """
+    docs = load(spark, sf_dir, "documents")
+    labels = _clusters_cached(spark, sf_dir)
+    k = docs.join(labels, "doc_id", "left").select(
+        "lang",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep"),
+    )
+    h2 = F.substring(F.md5(F.col("rep").cast("string")), 1, 2)
+    return k.groupBy(split_col(h2).alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("rep").cast("bigint").alias("n_groups"),
+    )
 
 
 # --- LSH recall audit: candidates vs ALL true pairs ------------------

@@ -10,7 +10,7 @@ a 2-column projection reads 2 columns, not the table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -513,4 +513,91 @@ def scan_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("cust8") - F.min("cust8")).cast("bigint").alias("cust_span"),
             (F.max("day8") - F.min("day8")).cast("bigint").alias("day_span"),
         )
+    )
+
+
+# --- small-files compaction planner (the classic 100 TB ETL chore) ---
+
+# Target compacted-file size. 64 KiB against the fixtures' n_chars
+# sizes yields multiple bins per source at every SF (a production run
+# sets this to 128 MB–1 GB); the PLAN is layout-independent either way.
+_COMPACT_TARGET_BYTES = 65_536
+
+_ORACLE_COMPACTION_PLAN = f"""
+WITH census AS (
+    SELECT source, doc_id, n_chars,
+           COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC NULLS LAST, doc_id ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_before
+    FROM documents
+)
+SELECT source,
+       CAST(FLOOR(cum_before / {float(_COMPACT_TARGET_BYTES)}) AS BIGINT)
+           AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_chars) AS BIGINT) AS bytes
+FROM census
+GROUP BY source, bin_id
+"""
+
+
+@register(
+    "compaction_plan", _ORACLE_COMPACTION_PLAN, tags=("scan", "layout", "etl")
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner: bin-pack a file-size census
+    into target-sized output files, one plan row per (source
+    directory, output bin). The census here is the ``documents``
+    table standing in for a file listing (file_id = doc_id, size =
+    n_chars) — the planner's algebra is what the key certifies.
+
+    Packing rule: deterministic CUMULATIVE next-fit over the census
+    sorted (size DESC, id ASC) per directory — bin = floor(running
+    bytes BEFORE this file / target). This is exactly how Spark's own
+    file-coalescing sizes scan partitions (maxPartitionBytes over a
+    sorted listing): every bin except a directory's last lands within
+    one file of the target, the plan is a pure window function (no
+    sequential driver loop, unlike true first-fit-decreasing bin
+    packing, whose marginal packing gain doesn't buy back losing the
+    one-pass distributed form).
+
+    Scale: the census is METADATA — one row per file, millions of
+    rows for a 100 TB lake, not billions; one window shuffle on the
+    directory key + a map-side-combined aggregate. The compaction
+    EXECUTION this plan drives then reads each bin's files in one
+    task — the plan is what makes that read sequential and balanced.
+
+    Hash parity: all-integer sizes and counts; the window order is
+    pinned with explicit NULLS LAST / NULLS FIRST on both engines
+    (Spark and DuckDB default NULL placement differs). Ties in
+    (n_chars, doc_id) are identical rows, so any tiebreak yields the
+    same cumulative sums; NULL n_chars contributes nothing to either
+    engine's SUM; NULL source packs as its own directory group.
+    """
+    w = (
+        Window.partitionBy("source")
+        .orderBy(
+            F.col("n_chars").desc_nulls_last(),
+            F.col("doc_id").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    census = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return census.groupBy(
+        "source",
+        F.floor(
+            F.col("cum_before") / F.lit(float(_COMPACT_TARGET_BYTES))
+        )
+        .cast("bigint")
+        .alias("bin_id"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_chars").cast("bigint").alias("bytes"),
     )

@@ -247,6 +247,53 @@ def clicks_after_views(events: DataFrame, horizon: str = "10 minutes") -> DataFr
     ).select("c_user", "click_id", "click_ts", "view_id", "view_ts")
 
 
+def views_without_click(events: DataFrame, horizon: str = "10 minutes") -> DataFrame:
+    """The LEFT-OUTER side of :func:`clicks_after_views`: views that
+    got NO click from the same user within ``horizon`` — the
+    conversion-FAILURE rows the inner interval join cannot see.
+
+    In streaming this is the watermarked stream-stream LEFT OUTER
+    interval join: a view's NULL-click row is emitted only once the
+    watermark proves no qualifying click can still arrive (the state
+    store holds one horizon of views, then evicts-with-verdict). The
+    time bound is mandatory on the outer side — without it Spark
+    rejects the plan, because "no click yet" is undecidable on an
+    unbounded wait.
+
+    Batch twin (``events_views_unconverted``): the identical
+    predicate as a LEFT ANTI join — same rows, no NULL-column
+    filter pass; tests/test_streaming.py pins replay == batch.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", horizon)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", horizon)
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    )
+    return joined.filter(F.col("click_id").isNull()).select(
+        "v_user", "view_id", "view_ts"
+    )
+
+
 def silent_user_alerts(events: DataFrame, threshold_min: int = 360,
                        watermark: str = "1 hour") -> DataFrame:
     """T5 — the EMIT-ON-ABSENCE stateful pattern (heartbeat / gap

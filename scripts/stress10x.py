@@ -231,6 +231,15 @@ OPS = (
     # construction; cost must stay token-linear with a
     # shards x capacity shuffle
     "text_heavy_hitters_bound",
+    # round-11 session growth: the leakage-safe split (rides the
+    # cached pairs + CC — marginal cost must stay at one join + one
+    # md5 map over docs), the compaction planner (census window —
+    # metadata-sized at any corpus), and the unconverted-views anti
+    # join (user-keyed equi shuffle; drop-at-first-match, so output
+    # and state stay BELOW the inner twin's pair fan-out)
+    "split_by_cluster",
+    "compaction_plan",
+    "events_views_unconverted",
 )
 
 

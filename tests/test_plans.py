@@ -1474,3 +1474,38 @@ def test_no_cartesian_or_row_udf_anywhere_in_catalog(spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders["row_udf"].append(name)
     assert offenders == {"cartesian": [], "row_udf": []}
+
+
+def test_events_views_unconverted_is_anti_join_not_outer(spark, sf_dir):
+    """The batch twin must plan as LEFT ANTI on the user_id equi key
+    (drop-at-first-match), NOT as the left-outer + IsNull-filter
+    formulation the streaming side uses — and never a cartesian
+    (the interval bound is a post-join predicate, the equi key
+    carries the join)."""
+    plan = plan_of(spark, "events_views_unconverted", sf_dir)
+    assert "LeftAnti" in plan
+    assert "LeftOuter" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_compaction_plan_is_one_window_plus_partial_agg(spark, sf_dir):
+    """The planner is a pure window-function plan: exactly one Window
+    node over the directory key, map-side partial aggregation for the
+    bin rollup, no join anywhere (a bin-packing loop smuggled in as a
+    driver collect or a self-join would show here)."""
+    plan = plan_of(spark, "compaction_plan", sf_dir)
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_split_by_cluster_assignment_is_join_plus_tiny_agg(spark, sf_dir):
+    """Past the session-cached cluster labels, the split assignment
+    itself must be ONE doc->label equi join (broadcast at test scale
+    — the labels table is pair-graph-sized) + a map-side-combined
+    aggregate; no cartesian, no Python in the assignment path."""
+    plan = plan_of(spark, "split_by_cluster", sf_dir)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan

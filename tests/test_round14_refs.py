@@ -181,3 +181,170 @@ def test_heavy_hitters_output_invariant_to_input_partitioning(
     b = q.builder(spark, str(many)).toPandas()
     assert canon_frame(a) == canon_frame(b)
     assert a.err_ok.all() and a.survival_ok.all()
+
+
+# --- round-11 growth keys: independent python recomputation ----------
+
+import hashlib
+from collections import defaultdict
+
+
+def _pq(sf_dir: str, name: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def _python_lsh_clusters(docs: pd.DataFrame) -> dict[int, int]:
+    """doc_id -> cluster rep (min reachable doc_id) over the MinHash-
+    LSH candidate graph, rebuilt in pure python (shingle -> 8
+    rotated-md5 minhashes -> 4 band-of-2 signatures -> bucket pairs
+    -> BFS components). Docs in no pair are absent (they represent
+    themselves)."""
+    mh: dict[int, list[str]] = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        if pd.isna(doc_id) or text is None:
+            continue
+        toks = str(text).split(" ")
+        if len(toks) < 3:
+            continue
+        hs = [
+            _md5(" ".join(toks[i : i + 3])) for i in range(len(toks) - 2)
+        ]
+        hs = list(set(hs))
+        mh[int(doc_id)] = [
+            min(h[4 * i :] + h[: 4 * i] for h in hs) for i in range(8)
+        ]
+    buckets: dict[tuple[int, str], list[int]] = defaultdict(list)
+    for d, sig in mh.items():
+        for b in range(4):
+            buckets[(b, sig[2 * b] + sig[2 * b + 1])].append(d)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for ids in buckets.values():
+        for i in ids:
+            for j in ids:
+                if i != j:
+                    adj[i].add(j)
+    rep: dict[int, int] = {}
+    for start in sorted(adj):
+        if start in rep:
+            continue
+        comp, frontier = {start}, [start]
+        while frontier:
+            nxt = []
+            for n in frontier:
+                for m in adj[n]:
+                    if m not in comp:
+                        comp.add(m)
+                        nxt.append(m)
+            frontier = nxt
+        r = min(comp)
+        for n in comp:
+            rep[n] = r
+    return rep
+
+
+def test_split_by_cluster_matches_python(spark, sf_dir):
+    """Full python recomputation: LSH clusters by BFS, representative
+    = coalesce(cluster rep, doc_id), split = md5 first-byte cuts on
+    the REP (not the doc), aggregated per (split, lang). Also pins
+    the leak-freedom consequence on the python side: near-dup mates
+    always share a split."""
+    docs = _pq(sf_dir, "documents")
+    rep = _python_lsh_clusters(docs)
+
+    def split_of(r) -> str:
+        h2 = _md5(str(int(r)))[:2]
+        return "train" if h2 < "cc" else ("val" if h2 < "e6" else "test")
+
+    agg: dict[tuple[str, object], list] = {}
+    groups: dict[tuple[str, object], set] = defaultdict(set)
+    for doc_id, lang in zip(docs.doc_id, docs.lang):
+        if pd.isna(doc_id):
+            key = ("test", lang)  # NULL rep falls to the CASE's ELSE
+            agg.setdefault(key, [0])[0] += 1
+            continue
+        r = rep.get(int(doc_id), int(doc_id))
+        key = (split_of(r), lang)
+        agg.setdefault(key, [0])[0] += 1
+        groups[key].add(r)
+    got = CATALOG["split_by_cluster"].builder(spark, sf_dir).toPandas()
+    assert len(got) == len(agg)
+    for row in got.itertuples():
+        key = (row.split, row.lang)
+        assert agg[key][0] == int(row.n_docs), key
+        assert len(groups[key]) == int(row.n_groups), key
+    # leak-freedom on the python graph: mates share a split
+    for d, r in rep.items():
+        assert split_of(r) == split_of(rep[r])
+
+
+def test_compaction_plan_matches_pandas(spark, sf_dir):
+    """Pandas recomputation of the cumulative next-fit packing: per
+    source, sort (n_chars desc, doc_id asc), running sum BEFORE each
+    file, bin = floor(cum/65536), aggregate. Also pins the packing
+    quality the docstring claims: every bin except a directory's
+    LAST holds at least the target (cumulative next-fit can overflow
+    a bin by one file but never leaves a middle bin short)."""
+    docs = _pq(sf_dir, "documents")
+    got = (
+        CATALOG["compaction_plan"].builder(spark, sf_dir).toPandas()
+    )
+    T = 65_536
+    exp: dict[tuple[object, int], list[int]] = {}
+    for src, g in docs.groupby("source", dropna=False):
+        g = g.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True],
+            na_position="last",
+        )
+        cum = 0
+        for n in g.n_chars:
+            b = int(cum // T)
+            key = (src, b)
+            e = exp.setdefault(key, [0, 0])
+            e[0] += 1
+            if pd.notna(n):
+                e[1] += int(n)
+                cum += int(n)
+    assert len(got) == len(exp)
+    for row in got.itertuples():
+        src = None if pd.isna(row.source) else row.source
+        e = exp[(src, int(row.bin_id))]
+        assert e[0] == int(row.n_files), (src, row.bin_id)
+        assert e[1] == int(row.bytes), (src, row.bin_id)
+    # middle bins are full: for each source, all but the max bin_id
+    # carry >= target bytes
+    for src, g in got.groupby("source", dropna=False):
+        mid = g[g.bin_id < g.bin_id.max()]
+        assert (mid.bytes >= T).all(), src
+
+
+def test_events_views_unconverted_matches_bruteforce(spark, sf_dir):
+    """Brute-force pandas anti-join: per view, scan the same user's
+    clicks for one inside (view_ts, view_ts + 60 min]; keep the view
+    iff none exists. NULL user_id / NULL ts views are kept (the
+    predicate can't match them)."""
+    e = _pq(sf_dir, "events")
+    views = e[e.event_type == "view"]
+    clicks = e[e.event_type == "click"]
+    by_user: dict[object, list] = defaultdict(list)
+    for u, ts in zip(clicks.user_id, clicks.ts):
+        if pd.notna(u) and pd.notna(ts):
+            by_user[int(u)].append(ts)
+    h = pd.Timedelta(minutes=60)
+    keep = set()
+    for r in views.itertuples():
+        if pd.isna(r.user_id) or pd.isna(r.ts):
+            keep.add(int(r.event_id))
+            continue
+        if not any(
+            r.ts < c <= r.ts + h for c in by_user.get(int(r.user_id), ())
+        ):
+            keep.add(int(r.event_id))
+    got = (
+        CATALOG["events_views_unconverted"].builder(spark, sf_dir).toPandas()
+    )
+    assert set(got.view_id.astype(int)) == keep
+    assert len(got) == len(keep)  # view_id is unique among kept views

@@ -865,3 +865,59 @@ def test_join_stream_interval_key_matches_streaming_run(
     )
     assert len(want) > 0
     assert canon_frame(got) == canon_frame(want)
+
+
+def test_views_without_click_stream_matches_batch_anti(
+    spark, sf_dir, events_dir
+):
+    """The LEFT-OUTER interval join's NULL side, replayed, vs the
+    batch anti-join twin (``events_views_unconverted``): the stream
+    may emit a view's no-click verdict ONLY once the watermark proves
+    no qualifying click can still arrive, so the pin is exact in both
+    directions against the final watermark W = min(max view_ts, max
+    click_ts) − horizon:
+
+    - every streamed row appears in the batch answer (the stream
+      never invents an unconverted view), and
+    - the streamed set is EXACTLY the batch rows with
+      ``view_ts + horizon < W`` — the remainder are the views whose
+      verdict window was still open when the replay ended (the same
+      boundary ``events_absence_monitor``'s replay test enumerates
+      for the timer path).
+    """
+    import pandas as pd
+
+    horizon = pd.Timedelta(minutes=60)
+    stream = sw.read_events_stream(spark, events_dir)
+    got = sw.run_available_now(
+        sw.views_without_click(stream, "60 minutes"), "t_vnc", spark
+    ).toPandas()
+    from mapreducepy_spark.registry import load_catalog
+
+    want = (
+        load_catalog()["events_views_unconverted"]
+        .builder(spark, sf_dir)
+        .toPandas()
+    )
+    e = _batch_events(spark, sf_dir).toPandas()
+    wm = (
+        min(
+            e[e.event_type == "view"].ts.max(),
+            e[e.event_type == "click"].ts.max(),
+        )
+        - horizon
+    )
+
+    def keyed(df, user_col):
+        return set(
+            zip(df[user_col].fillna(-1).astype(int), df.view_id.astype(int))
+        )
+
+    got_k = keyed(got, "v_user")
+    want_k = keyed(want, "user_id")
+    assert got_k <= want_k, "stream emitted a view the batch converts"
+    closed = keyed(
+        want[(want.view_ts + horizon) < wm], "user_id"
+    )
+    assert got_k == closed
+    assert len(got_k) > 0 and len(want_k) > len(got_k)
