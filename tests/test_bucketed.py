@@ -190,13 +190,20 @@ def test_bucketed_warehouse_gc_removes_dead_fixture_tables(
 ):
     """The _SOURCE-sidecar GC: a bucketed dir whose source parquet no
     longer exists (a test-minted tmp fixture) is removed on the next
-    _ensure pass; a dir whose sources are live is kept. 80 orphan
-    dirs / 30 MB had accumulated over two rounds before this."""
+    _ensure pass ONCE it has aged past the concurrency grace period;
+    a YOUNG dead dir is left alone (ADVICE r10: a concurrent session
+    sharing the warehouse may still be querying it), and a dir whose
+    sources are live is kept. 80 orphan dirs / 30 MB had accumulated
+    over two rounds before this."""
     import os
     import shutil
+    import time
     from urllib.parse import urlparse
 
-    from mapreducepy_spark.operators.joins import _ensure_bucketed_tables
+    from mapreducepy_spark.operators.joins import (
+        _GC_MIN_AGE_SEC,
+        _ensure_bucketed_tables,
+    )
 
     names = _ensure_bucketed_tables(spark, sf_dir)
     wh = urlparse(
@@ -204,18 +211,58 @@ def test_bucketed_warehouse_gc_removes_dead_fixture_tables(
     ).path or "spark-warehouse"
     live = os.path.abspath(os.path.join(wh, names[0]))
 
+    old = time.time() - _GC_MIN_AGE_SEC - 60
     dead = os.path.join(wh, "orders_bkt_deadbeef0123")
     shutil.rmtree(dead, ignore_errors=True)
     shutil.copytree(live, dead)
     with open(os.path.join(dead, "_SOURCE"), "w") as fh:
         fh.write(str(tmp_path / "gone.parquet") + "\n")
+    os.utime(dead, (old, old))
     legacy = os.path.join(wh, "lineitem_bkt_00ddba11fade")
     shutil.rmtree(legacy, ignore_errors=True)
     shutil.copytree(live, legacy)
     os.remove(os.path.join(legacy, "_SOURCE"))  # pre-sidecar dir
+    os.utime(legacy, (old, old))
+    young = os.path.join(wh, "orders_bkt_0123456789ab")
+    shutil.rmtree(young, ignore_errors=True)
+    shutil.copytree(live, young)  # fresh mtime, dead source
+    with open(os.path.join(young, "_SOURCE"), "w") as fh:
+        fh.write(str(tmp_path / "gone.parquet") + "\n")
 
     assert _ensure_bucketed_tables(spark, sf_dir) == names
-    assert not os.path.isdir(dead)       # dead source -> collected
-    assert not os.path.isdir(legacy)     # no sidecar  -> collected
+    assert not os.path.isdir(dead)       # dead source, aged -> collected
+    assert not os.path.isdir(legacy)     # no sidecar, aged  -> collected
+    assert os.path.isdir(young)          # dead source, YOUNG -> spared
     assert os.path.isdir(live)           # live fixture -> kept
     assert os.path.exists(os.path.join(live, "_SOURCE"))
+    shutil.rmtree(young, ignore_errors=True)  # don't leak the prop
+
+
+def test_bucketed_fingerprint_pins_writer_recipe(spark, sf_dir, monkeypatch):
+    """ADVICE r10: the adoption path trusts SORTED BY purely from the
+    directory name, so the name must change when the writer recipe
+    does — a bumped writer version must mint DIFFERENT table names
+    (old dirs then age out instead of re-registering under a DDL
+    their bytes no longer satisfy)."""
+    from mapreducepy_spark.operators import joins as j
+
+    names_v = j._ensure_bucketed_tables(spark, sf_dir)
+    monkeypatch.setattr(j, "_BUCKET_WRITER_V", j._BUCKET_WRITER_V + 1)
+    import hashlib
+    import os
+
+    # recompute just the fingerprint arithmetic (no write): the names
+    # must differ purely from the version tag
+    fps = [
+        f"writer=v{j._BUCKET_WRITER_V}",
+        f"buckets={j._N_BUCKETS}",
+        "sort=o_orderkey,l_orderkey",
+        "schema=full",
+    ]
+    for t in ("orders", "lineitem"):
+        src = os.path.abspath(f"{sf_dir}/{t}.parquet")
+        st = os.stat(src)
+        fps.append(f"{src}\x00{st.st_mtime_ns}\x00{st.st_size}")
+    fp = hashlib.sha1("|".join(fps).encode()).hexdigest()[:12]
+    assert f"orders_bkt_{fp}" != names_v[0]
+    assert f"lineitem_bkt_{fp}" != names_v[1]
