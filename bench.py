@@ -177,7 +177,16 @@ _KNOWN_COSTS: dict[str, tuple[float, str]] = {
 }
 
 
+def _loadavg() -> list[float] | None:
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except OSError:
+        return None
+
+
 def main() -> None:
+    load_before = _loadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -274,6 +283,12 @@ def main() -> None:
     # SHORT, self-contained summary line LAST so the headline number
     # survives any tail truncation regardless of catalog size.
     sys.stdout.flush()
+    # Box-load marker (VERDICT r10 #7): this machine swings 1.2-2.5x
+    # under contention, and per-round total spreads kept being
+    # attributed to load by narrative. Record 1/5/15-min loadavg at
+    # bench START and END so contention attribution is data in the
+    # ledger (before ≈ what the box was doing when timing began;
+    # after's 15-min figure also covers the run itself).
     print(
         json.dumps(
             {
@@ -285,6 +300,8 @@ def main() -> None:
                 "runs_per_query": _RUNS,
                 "over_budget": over_budget,
                 "over_budget_known": over_budget_known,
+                "loadavg_before": load_before,
+                "loadavg_after": _loadavg(),
             }
         )
     )
