@@ -84,6 +84,9 @@ PORTABLE = (
     "cdc_snapshot_diff",
     # round-10 growth keys, portability verified empirically
     "pivot_roundtrip",
+    # round-11 growth keys, portability verified empirically
+    # (split_by_cluster stays out: RECURSIVE CTE — no Spark SQL twin)
+    "compaction_plan", "events_views_unconverted",
 )
 
 
