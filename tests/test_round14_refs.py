@@ -348,3 +348,103 @@ def test_events_views_unconverted_matches_bruteforce(spark, sf_dir):
     )
     assert set(got.view_id.astype(int)) == keep
     assert len(got) == len(keep)  # view_id is unique among kept views
+
+
+def test_compaction_plan_bin_boundary_is_exclusive_of_current_file(
+    spark, tmp_path
+):
+    """Mutation audit (caught nothing at sf0.001 — single bin per
+    source there): a constructed census that STRADDLES bin
+    boundaries pins the exact packing rule, bin = floor(bytes BEFORE
+    this file / target). Files of 40 KiB: cum_before runs 0 / 40 /
+    80 / 120 / 160 KiB → bins 0,0,1,1,2 (the 64 KiB target). The
+    off-by-one mutation (cum INCLUDING the current file → bins
+    0,1,1,2,2) and a wrong target both flip this. A second source
+    with one file exactly AT the target (65536 bytes) pins the
+    boundary file into bin 0 (cum_before = 0), the next into bin 1."""
+    import duckdb
+
+    rows = []
+    for i in range(5):
+        rows.append((i, "x", "en", "srcA", 40_960))
+    rows.append((10, "x", "en", "srcB", 65_536))
+    rows.append((11, "x", "en", "srcB", 100))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = (
+        CATALOG["compaction_plan"]
+        .builder(spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["source", "bin_id"])
+        .reset_index(drop=True)
+    )
+    a = got[got.source == "srcA"]
+    assert list(zip(a.bin_id, a.n_files, a.bytes)) == [
+        (0, 2, 81_920),
+        (1, 2, 81_920),
+        (2, 1, 40_960),
+    ]
+    b = got[got.source == "srcB"]
+    # the 65536-byte file has cum_before 0 -> bin 0; the 100-byte
+    # file has cum_before exactly 65536 -> floor(1.0) = bin 1
+    assert list(zip(b.bin_id, b.n_files, b.bytes)) == [
+        (0, 1, 65_536),
+        (1, 1, 100),
+    ]
+    # oracle agreement on the same constructed census
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    from .parity_util import canon_frame
+
+    dpd = con.execute(CATALOG["compaction_plan"].oracle).fetchdf()
+    assert canon_frame(got) == canon_frame(dpd)
+
+
+def test_events_views_unconverted_horizon_boundary_is_inclusive(
+    spark, tmp_path
+):
+    """Mutation audit (caught nothing on the fixture — no click lands
+    on the exact horizon): a click EXACTLY at view_ts + 60 min
+    CONVERTS the view (<= bound), one microsecond later does not.
+    Three users: u1's click at +60:00.000000 -> view converted; u2's
+    at +60:00.000001 -> unconverted; u3's at view_ts itself (strict
+    > bound) -> unconverted. Both engines must agree row-for-row."""
+    import duckdb
+
+    t0 = pd.Timestamp("2024-03-01 12:00:00")
+    h = pd.Timedelta(minutes=60)
+    us = pd.Timedelta(microseconds=1)
+    rows = [
+        (1, 1, "view", t0, 0.0),
+        (2, 1, "click", t0 + h, 0.0),          # exactly at horizon
+        (3, 2, "view", t0, 0.0),
+        (4, 2, "click", t0 + h + us, 0.0),     # one us past
+        (5, 3, "view", t0, 0.0),
+        (6, 3, "click", t0, 0.0),              # not strictly after
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts", "value"]
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = (
+        CATALOG["events_views_unconverted"]
+        .builder(spark, str(tmp_path))
+        .toPandas()
+    )
+    assert set(got.view_id.astype(int)) == {3, 5}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    from .parity_util import canon_frame
+
+    dpd = con.execute(
+        CATALOG["events_views_unconverted"].oracle
+    ).fetchdf()
+    assert canon_frame(got) == canon_frame(dpd)
