@@ -1741,6 +1741,139 @@ def split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental dedup: today's delta against the standing corpus ----
+
+# The delta ("today's crawl") is the md5 tail of the doc_id space —
+# the same deterministic keyed-hash selection discipline as the
+# sampling family, so membership is engine- and re-run-stable. 'e6'
+# keeps ~10% of docs (230/256 of the first-byte space below it).
+_DELTA_CUT = "e6"
+
+_ORACLE_DEDUP_INCREMENTAL = f"""
+WITH {_duck_lsh_ctes()},
+delta AS (
+    SELECT DISTINCT doc_id FROM documents
+    WHERE doc_id IS NOT NULL
+      AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{_DELTA_CUT}'
+),
+partners AS (
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           (d2.doc_id IS NOT NULL) AS db_in_delta
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                AND a.doc_id <> b.doc_id
+    JOIN delta d ON d.doc_id = a.doc_id
+    LEFT JOIN delta d2 ON d2.doc_id = b.doc_id
+),
+counts AS (
+    SELECT da,
+           CAST(COUNT(DISTINCT CASE WHEN NOT db_in_delta THEN db END)
+                AS BIGINT) AS n_corpus_partners,
+           CAST(COUNT(DISTINCT CASE WHEN db_in_delta THEN db END)
+                AS BIGINT) AS n_delta_partners
+    FROM partners GROUP BY da
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(c.n_corpus_partners, 0) AS n_corpus_partners,
+       COALESCE(c.n_delta_partners, 0) AS n_delta_partners,
+       CASE WHEN COALESCE(c.n_corpus_partners, 0) > 0 THEN 'dup_of_corpus'
+            WHEN COALESCE(c.n_delta_partners, 0) > 0 THEN 'dup_within_delta'
+            ELSE 'unique' END AS verdict
+FROM delta d LEFT JOIN counts c ON c.da = d.doc_id
+"""
+
+
+@register(
+    "dedup_incremental", _ORACLE_DEDUP_INCREMENTAL,
+    tags=("llm", "dedup", "lsh", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-corpus) near-dup triage — the shape a
+    production pipeline actually runs DAILY: classify each document
+    of the newest ingest batch as ``dup_of_corpus`` (collides with a
+    standing-corpus doc — drop it, the corpus already has it),
+    ``dup_within_delta`` (only collides inside today's batch — keep
+    one), or ``unique``, with the distinct partner counts per class.
+    The full-corpus pair keys (``dedup_near``/``dedup_clusters``)
+    re-derive the WHOLE pair space; this key touches only the
+    delta's LSH bands — you never re-pair 100 TB because one day
+    arrived.
+
+    Delta membership is the md5-tail bucket of doc_id (~10%, cut
+    '{_DELTA_CUT}') — the sampling family's keyed-hash discipline, so
+    the "batch" is deterministic, engine-independent and re-run
+    stable (a real deployment substitutes its ingest-date predicate;
+    the algebra is unchanged).
+
+    Scale: the band table is the session-cached funnel artifact (at
+    deployment: the persisted band INDEX the corpus maintains); the
+    probe is bands⋈bands restricted to delta probes — an equi
+    bucket-join whose left side is |delta| × 4 bands, NOT the
+    corpus. Partner classification is a broadcast-able semi-lookup
+    against the delta id set; the per-doc aggregate is
+    map-side-combining. Work scales with the DELTA and its bucket
+    collisions, exactly like the daily job.
+
+    Hash parity: partner counts are exact COUNT(DISTINCT) integers;
+    verdict is a CASE over them; delta membership uses the identical
+    md5-prefix text both sides. NULL doc_id never enters the delta
+    (NULL fails the cut predicate in both engines); short texts with
+    no shingles produce no bands and land as 'unique' via the final
+    left join. Duplicate doc_id fixture rows collapse: delta is
+    DISTINCT doc_id and the minhash table is one signature per
+    doc_id on both sides.
+    """
+    docs = load(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    delta = (
+        docs.filter(F.col("doc_id").isNotNull() & (h2 >= _DELTA_CUT))
+        .select("doc_id")
+        .distinct()
+    )
+    bands = _band_table(_minhash_cached(spark, sf_dir))
+    probe = bands.join(delta, "doc_id")  # delta-side bands only
+    b = bands.alias("b")
+    partners = (
+        probe.alias("a")
+        .join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .join(
+            delta.select(F.col("doc_id").alias("dd")).alias("d2"),
+            F.col("b.doc_id") == F.col("dd"),
+            "left",
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("dd").isNotNull().alias("db_in_delta"),
+        )
+    )
+    counts = partners.groupBy("da").agg(
+        F.countDistinct(
+            F.when(~F.col("db_in_delta"), F.col("db"))
+        ).cast("bigint").alias("n_corpus_partners"),
+        F.countDistinct(
+            F.when(F.col("db_in_delta"), F.col("db"))
+        ).cast("bigint").alias("n_delta_partners"),
+    )
+    out = delta.join(counts, delta.doc_id == counts.da, "left")
+    n_c = F.coalesce(F.col("n_corpus_partners"), F.lit(0))
+    n_d = F.coalesce(F.col("n_delta_partners"), F.lit(0))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        n_c.alias("n_corpus_partners"),
+        n_d.alias("n_delta_partners"),
+        F.when(n_c > 0, "dup_of_corpus")
+        .when(n_d > 0, "dup_within_delta")
+        .otherwise("unique")
+        .alias("verdict"),
+    )
+
+
 # --- LSH recall audit: candidates vs ALL true pairs ------------------
 
 _ORACLE_MINHASH_RECALL = f"""

@@ -240,6 +240,9 @@ OPS = (
     "split_by_cluster",
     "compaction_plan",
     "events_views_unconverted",
+    # the incremental (delta-vs-corpus) probe: work must scale with
+    # the DELTA's band collisions, not the corpus pair space
+    "dedup_incremental",
 )
 
 

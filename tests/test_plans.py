@@ -1509,3 +1509,17 @@ def test_split_by_cluster_assignment_is_join_plus_tiny_agg(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_dedup_incremental_probes_delta_not_corpus(spark, sf_dir):
+    """The incremental-dedup probe must restrict the LEFT side of the
+    band join to the delta BEFORE pairing (work scales with the
+    delta, not the corpus) and never go cartesian; the per-doc
+    partner rollup keeps map-side partial aggregation."""
+    plan = plan_of(spark, "dedup_incremental", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+    # the delta restriction exists as a join on doc_id upstream of
+    # the band-signature self-join (broadcast at test scale)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
