@@ -1012,11 +1012,19 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
             keep = False
             if os.path.exists(side):
                 with open(side) as fh:
-                    keep = all(
-                        os.path.exists(line.strip())
-                        for line in fh
-                        if line.strip()
-                    )
+                    lines = [ln.strip() for ln in fh if ln.strip()]
+                # keep iff (a) the sidecar's writer-version line says
+                # the CURRENT recipe wrote it — a version bump changes
+                # the fingerprint, so old-version dirs can never be
+                # re-adopted and would otherwise be stranded forever
+                # next to live fixtures — and (b) every source fixture
+                # still exists. A sidecar with no version line predates
+                # v2 and is equally unreachable: collected.
+                keep = f"writer=v{_BUCKET_WRITER_V}" in lines and all(
+                    os.path.exists(ln)
+                    for ln in lines
+                    if not ln.startswith("writer=")
+                )
             if not keep:
                 shutil.rmtree(full, ignore_errors=True)
 
@@ -1030,8 +1038,13 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
 
         def _write_sidecar(path: str) -> None:
             # "_"-prefixed files are invisible to Spark's FileIndex
-            # (the _SUCCESS rule), so the sidecar never pollutes scans
+            # (the _SUCCESS rule), so the sidecar never pollutes scans.
+            # First line = writer version: GC uses it to collect
+            # stranded dirs of SUPERSEDED recipes even while their
+            # source fixtures stay alive (a bumped version re-mints
+            # names, so old dirs are unreachable dead weight).
             with open(os.path.join(path, "_SOURCE"), "w") as fh:
+                fh.write(f"writer=v{_BUCKET_WRITER_V}\n")
                 fh.write("\n".join(srcs) + "\n")
 
         if os.path.isdir(orphan) and os.path.exists(

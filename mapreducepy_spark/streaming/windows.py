@@ -289,7 +289,12 @@ def views_without_click(events: DataFrame, horizon: str = "10 minutes") -> DataF
         & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
         "leftOuter",
     )
-    return joined.filter(F.col("click_id").isNull()).select(
+    # no-match flag = the JOIN KEY column, not click_id: a matched row
+    # can carry a NULL event_id (NULL-id rows are in-contract — the
+    # sweeps mint them), but c_user can never be NULL on a match (a
+    # NULL key fails the equi condition), so this is the robust form
+    # and keeps stream == batch-anti-twin under NULL-id fixtures
+    return joined.filter(F.col("c_user").isNull()).select(
         "v_user", "view_id", "view_ts"
     )
 

@@ -225,17 +225,40 @@ def test_bucketed_warehouse_gc_removes_dead_fixture_tables(
     os.utime(legacy, (old, old))
     young = os.path.join(wh, "orders_bkt_0123456789ab")
     shutil.rmtree(young, ignore_errors=True)
-    shutil.copytree(live, young)  # fresh mtime, dead source
+    shutil.copytree(live, young)
     with open(os.path.join(young, "_SOURCE"), "w") as fh:
         fh.write(str(tmp_path / "gone.parquet") + "\n")
+    # copytree copystat's the SOURCE dir's mtime onto the copy — if
+    # the live table was minted >grace ago (long suite run), the
+    # "young" dir would silently be old; pin its mtime to NOW
+    now = time.time()
+    os.utime(young, (now, now))
+    # aged dir, CURRENT writer version, live sources -> must be KEPT
+    # (the positive GC arm); and an aged dir with live sources but a
+    # SUPERSEDED version line -> collected (it can never be re-adopted
+    # since a version bump re-mints the fingerprint names)
+    from mapreducepy_spark.operators.joins import _BUCKET_WRITER_V
+
+    keepme = os.path.join(wh, "orders_bkt_feedfacecafe")
+    stale_v = os.path.join(wh, "lineitem_bkt_0a1db0b50e55")
+    for d, ver in ((keepme, _BUCKET_WRITER_V), (stale_v, _BUCKET_WRITER_V - 1)):
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.copytree(live, d)
+        with open(os.path.join(d, "_SOURCE"), "w") as fh:
+            fh.write(f"writer=v{ver}\n")
+            fh.write(f"{sf_dir}/orders.parquet\n")
+        os.utime(d, (old, old))
 
     assert _ensure_bucketed_tables(spark, sf_dir) == names
     assert not os.path.isdir(dead)       # dead source, aged -> collected
     assert not os.path.isdir(legacy)     # no sidecar, aged  -> collected
     assert os.path.isdir(young)          # dead source, YOUNG -> spared
+    assert os.path.isdir(keepme)         # live srcs + current v -> kept
+    assert not os.path.isdir(stale_v)    # superseded writer -> collected
     assert os.path.isdir(live)           # live fixture -> kept
     assert os.path.exists(os.path.join(live, "_SOURCE"))
-    shutil.rmtree(young, ignore_errors=True)  # don't leak the prop
+    for d in (young, keepme):
+        shutil.rmtree(d, ignore_errors=True)  # don't leak the props
 
 
 def test_bucketed_fingerprint_pins_writer_recipe(spark, sf_dir, monkeypatch):

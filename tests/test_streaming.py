@@ -921,3 +921,36 @@ def test_views_without_click_stream_matches_batch_anti(
     )
     assert got_k == closed
     assert len(got_k) > 0 and len(want_k) > len(got_k)
+
+
+def test_views_without_click_null_click_id_still_converts(spark, tmp_path):
+    """Code-review regression (r11): a matching click with a NULL
+    event_id must still CONVERT its view. The no-match flag is the
+    JOIN KEY (c_user — never NULL on a matched row), not click_id,
+    which is nullable in-contract. Run on a static frame (the
+    function is mode-agnostic) and against the batch anti twin."""
+    import pandas as pd
+
+    from mapreducepy_spark.io import load as _load
+    from mapreducepy_spark.registry import load_catalog
+
+    t0 = pd.Timestamp("2024-03-01 09:00:00")
+    rows = [
+        (1.0, 1, "view", t0, 0.0),
+        (None, 1, "click", t0 + pd.Timedelta(minutes=5), 0.0),
+        (3.0, 2, "view", t0, 0.0),  # no click at all -> unconverted
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts", "value"]
+    ).astype({"event_id": "Int64"}).to_parquet(
+        tmp_path / "events.parquet", index=False
+    )
+    e = _load(spark, str(tmp_path), "events")
+    got = sw.views_without_click(e, "60 minutes").toPandas()
+    assert list(got.view_id.astype(int)) == [3]
+    want = (
+        load_catalog()["events_views_unconverted"]
+        .builder(spark, str(tmp_path))
+        .toPandas()
+    )
+    assert list(want.view_id.astype(int)) == [3]
