@@ -78,3 +78,99 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# --- range-partition planner (the global-sort layout op) -------------
+
+# Output partition count for the plan. 16 against ~14.7k distinct
+# orderkeys at sf0.01 gives ~920 keys per range — enough rows per
+# bucket that the skew signal (multi-line orders) is visible.
+_RANGE_BUCKETS = 16
+
+_ORACLE_RANGE_PARTITION_PLAN = f"""
+WITH h AS (
+    SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_orderkey
+),
+c AS (
+    SELECT k, n,
+           COALESCE(SUM(n) OVER (
+               ORDER BY k ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_before,
+           SUM(n) OVER () AS tot
+    FROM h
+)
+SELECT CAST(FLOOR(cum_before * {float(_RANGE_BUCKETS)} / tot) AS BIGINT)
+           AS bucket_id,
+       CAST(MIN(k) AS BIGINT) AS lo_key,
+       CAST(MAX(k) AS BIGINT) AS hi_key,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows
+FROM c
+GROUP BY 1
+"""
+
+
+@register(
+    "range_partition_plan", _ORACLE_RANGE_PARTITION_PLAN,
+    tags=("sort", "layout", "etl"),
+)
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition split-point planner — the layout op behind a
+    100 TB global sort / sorted write (Spark's own RangePartitioner,
+    made exact and deterministic): assign every join/sort KEY to one
+    of {_RANGE_BUCKETS} contiguous key ranges so each range carries
+    ~1/{_RANGE_BUCKETS} of the ROWS, and report each range's key
+    span and actual row load. A key is ATOMIC (all its rows land in
+    one bucket — the range-partitioner contract), so hot keys
+    surface as fat buckets: the card IS the skew gauge a planner
+    reads before choosing salting (``join_skew_salted``) or AQE skew
+    splitting for the sort.
+
+    Scale: the fact table is touched ONCE by a map-side-combining
+    key histogram (|distinct keys| rows out); the rank arithmetic —
+    cumulative rows BEFORE each key, bucket = floor(cum ×
+    {_RANGE_BUCKETS} / total) — runs as a window over the HISTOGRAM,
+    never a global sort of the fact table (Spark's sampling-based
+    RangePartitioner avoids the histogram by approximating; this
+    exact form costs one extra tiny shuffle and is deterministic
+    across runs/engines, which a replayable 100 TB layout wants).
+    The histogram window is single-partition over |keys| rows — at
+    true catalog scale swap in the proven rank-pick shuffle
+    (``agg_quantile_disc``'s shape) for the same algebra.
+
+    Hash parity: all-integer counts and key bounds; bucket ids are
+    floor() over exact integer products inside double precision
+    (<2^53 at any realistic scale). NULL keys sort NULLS FIRST on
+    both sides (pinned explicitly), land in bucket 0 via
+    cum_before = 0, and vanish from MIN/MAX identically; duplicate
+    fixture rows only raise a key's n, never split it.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    hist = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = (
+        Window.orderBy(F.col("k").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = hist.select(
+        "k",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_before"),
+        F.sum("n").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot"),
+    )
+    bucket = F.floor(
+        F.col("cum_before") * F.lit(float(_RANGE_BUCKETS)) / F.col("tot")
+    ).cast("bigint")
+    return c.groupBy(bucket.alias("bucket_id")).agg(
+        F.min("k").cast("bigint").alias("lo_key"),
+        F.max("k").cast("bigint").alias("hi_key"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )

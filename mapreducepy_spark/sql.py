@@ -85,8 +85,9 @@ PORTABLE = (
     # round-10 growth keys, portability verified empirically
     "pivot_roundtrip",
     # round-11 growth keys, portability verified empirically
-    # (split_by_cluster stays out: RECURSIVE CTE — no Spark SQL twin)
-    "compaction_plan", "events_views_unconverted",
+    # (split_by_cluster and dedup_incremental stay out: RECURSIVE CTE
+    # / unnest — no Spark SQL twin)
+    "compaction_plan", "events_views_unconverted", "range_partition_plan",
 )
 
 

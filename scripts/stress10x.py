@@ -243,6 +243,9 @@ OPS = (
     # the incremental (delta-vs-corpus) probe: work must scale with
     # the DELTA's band collisions, not the corpus pair space
     "dedup_incremental",
+    # the range-partition planner: one histogram pass over the fact
+    # table + a histogram-sized window — must stay key-linear
+    "range_partition_plan",
 )
 
 

@@ -1523,3 +1523,16 @@ def test_dedup_incremental_probes_delta_not_corpus(spark, sf_dir):
     # the delta restriction exists as a join on doc_id upstream of
     # the band-signature self-join (broadcast at test scale)
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_range_partition_plan_windows_histogram_not_fact_table(spark, sf_dir):
+    """The planner touches the fact table once via a map-side-
+    combining key histogram; the rank window runs over the histogram
+    (partial aggregation BELOW the window in the plan), with no join
+    and no Python anywhere."""
+    plan = plan_of(spark, "range_partition_plan", sf_dir)
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -503,3 +503,63 @@ def test_dedup_incremental_matches_python_bands(spark, sf_dir):
         )
         assert r.verdict == want, r.doc_id
     assert got.verdict.nunique() >= 2
+
+
+def test_range_partition_plan_matches_pandas(spark, sf_dir):
+    """Pandas recompute of the histogram-rank planner: key counts,
+    cumulative rows BEFORE each key (keys ascending), bucket =
+    floor(cum * 16 / total); compare every (bucket, lo, hi, n_keys,
+    n_rows) row. Then the two properties the card exists for: keys
+    are ATOMIC (a key's rows never split across buckets — verified
+    by reconstruction) and bucket ranges are contiguous and
+    non-overlapping (bucket b's lo_key > bucket b-1's hi_key)."""
+    li = _pq(sf_dir, "lineitem")
+    h = (
+        li.groupby("l_orderkey", dropna=False)
+        .size()
+        .reset_index(name="n")
+        .sort_values("l_orderkey", na_position="first")
+        .reset_index(drop=True)
+    )
+    tot = int(h.n.sum())
+    cum = 0
+    exp: dict[int, list] = {}
+    for r in h.itertuples():
+        b = int(cum * 16 // tot)
+        e = exp.setdefault(b, [None, None, 0, 0])
+        k = r.l_orderkey
+        if pd.notna(k):
+            k = int(k)
+            e[0] = k if e[0] is None else min(e[0], k)
+            e[1] = k if e[1] is None else max(e[1], k)
+        e[2] += 1
+        e[3] += int(r.n)
+        cum += int(r.n)
+    got = (
+        CATALOG["range_partition_plan"]
+        .builder(spark, sf_dir)
+        .toPandas()
+        .sort_values("bucket_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        e = exp[int(r.bucket_id)]
+        assert (e[0], e[1], e[2], e[3]) == (
+            None if pd.isna(r.lo_key) else int(r.lo_key),
+            None if pd.isna(r.hi_key) else int(r.hi_key),
+            int(r.n_keys),
+            int(r.n_rows),
+        ), r.bucket_id
+    # contiguous, non-overlapping ranges (atomic keys follow: a split
+    # key would overlap two buckets' [lo, hi] spans)
+    spans = got.dropna(subset=["lo_key"])
+    prev_hi = None
+    for r in spans.itertuples():
+        assert r.lo_key <= r.hi_key
+        if prev_hi is not None:
+            assert r.lo_key > prev_hi, "bucket ranges overlap"
+        prev_hi = r.hi_key
+    # load balance: no bucket more than 2x the ideal share (the
+    # fixture's max key multiplicity is 7 lines per order)
+    assert int(got.n_rows.max()) <= 2 * (tot // 16 + 7)
