@@ -1530,3 +1530,120 @@ def agg_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("approx") <= F.col("hi_val"))
         ).alias("within_bound"),
     )
+
+
+# --- incremental aggregate maintenance (delta merge, audited) --------
+
+# Everything before the cutoff is the STANDING aggregate's base;
+# everything else (including NULL-date late records) is tonight's
+# delta. Mid-fixture date so both sides are populated at every SF.
+_DELTA_CUTOFF = "1999-01-01"
+
+_ORACLE_AGG_DELTA_MAINTENANCE = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       TRUE AS merge_ok
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "agg_delta_maintenance", _ORACLE_AGG_DELTA_MAINTENANCE,
+    tags=("agg", "incremental", "etl"),
+)
+def agg_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (materialized-view) aggregate maintenance, audited
+    — the nightly-ETL capability: the standing per-priority order
+    counts/revenue are maintained by MERGING the delta batch's
+    partial aggregate into the base aggregate (full-outer on the
+    group key, additive combine), never by recomputing 100 TB. The
+    ``merge_ok`` flag certifies the merged result equals a direct
+    full recompute — a THEOREM for additive metrics over a TOTAL
+    base/delta split in exact integer cents (count and sum are
+    commutative monoids; float sums would break the exact-equality
+    pin, which is why revenue is BIGINT cents), pinned TRUE by the
+    oracle exactly like the sketch-accuracy cards
+    (``agg_approx_distinct_bound``): a maintenance-algebra drift
+    flips the flag and the driver's hash mismatches.
+
+    The split is TOTAL by construction: base = o_orderdate <
+    {_DELTA_CUTOFF!r}, delta = everything else INCLUDING NULL dates
+    (late-arriving unknown-date records belong to the current batch
+    — the NOT(coalesce(<, false)) arm), so base ∪ delta = the table
+    and the direct-recompute comparison is well-defined. The NULL
+    sweep proves the arm live: dropping it (a delta filtered with
+    ``>= cutoff``) desyncs both the hash and the flag.
+
+    Scale: at deployment the base aggregate is a STORED table (group
+    keys × metrics — KB for any realistic key space) and only the
+    delta is scanned each night; here all three frames derive from
+    one fixture scan so the oracle can audit the algebra. The merge
+    itself is a full-outer join of two group-count-sized frames plus
+    one comparison join — never fact-sized.
+
+    Hash parity: all-integer outputs; the flag is an engine-side
+    boolean the oracle pins as a literal; group keys are non-NULL in
+    the fixture but a NULL priority would form its own group on both
+    sides (null-safe merge keys internally).
+    """
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    in_base = F.coalesce(
+        F.col("o_orderdate") < F.lit(_DELTA_CUTOFF).cast("timestamp"),
+        F.lit(False),
+    )
+
+    def part(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("cents"),
+        )
+
+    base = part(o.filter(in_base))
+    delta = part(o.filter(~in_base))
+    merged = (
+        base.alias("b")
+        .join(
+            delta.alias("d"),
+            F.col("b.o_orderpriority").eqNullSafe(
+                F.col("d.o_orderpriority")
+            ),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(
+                F.col("b.o_orderpriority"), F.col("d.o_orderpriority")
+            ).alias("o_orderpriority"),
+            (
+                F.coalesce(F.col("b.n"), F.lit(0))
+                + F.coalesce(F.col("d.n"), F.lit(0))
+            ).cast("bigint").alias("n_orders"),
+            (
+                F.coalesce(F.col("b.cents"), F.lit(0))
+                + F.coalesce(F.col("d.cents"), F.lit(0))
+            ).cast("bigint").alias("revenue_cents"),
+        )
+    )
+    direct = o.groupBy(F.col("o_orderpriority").alias("p")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_direct"),
+        F.sum(cents).cast("bigint").alias("cents_direct"),
+    )
+    return (
+        merged.join(
+            direct,
+            merged.o_orderpriority.eqNullSafe(direct.p),
+            "left",
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "revenue_cents",
+            (
+                (F.col("n_orders") == F.col("n_direct"))
+                & (F.col("revenue_cents") == F.col("cents_direct"))
+            ).alias("merge_ok"),
+        )
+    )

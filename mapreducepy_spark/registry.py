@@ -131,7 +131,7 @@ _KEY_ORDER = (
     # into the round-12 window head with the r7 remainder above
     # (keys are appended here as they land this session)
     "split_by_cluster", "compaction_plan", "events_views_unconverted",
-    "dedup_incremental", "range_partition_plan",
+    "dedup_incremental", "range_partition_plan", "agg_delta_maintenance",
     # r8-green block
     "join_asof_forward", "merge_upsert", "scd2_intervals", "unpivot_long",
     "graph_degree_stats", "sample_group_reservoir", "embed_top_eigen",

@@ -88,6 +88,7 @@ PORTABLE = (
     # (split_by_cluster and dedup_incremental stay out: RECURSIVE CTE
     # / unnest — no Spark SQL twin)
     "compaction_plan", "events_views_unconverted", "range_partition_plan",
+    "agg_delta_maintenance",
 )
 
 

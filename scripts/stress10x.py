@@ -246,6 +246,9 @@ OPS = (
     # the range-partition planner: one histogram pass over the fact
     # table + a histogram-sized window — must stay key-linear
     "range_partition_plan",
+    # delta-merge maintenance: three group-sized frames off one scan;
+    # cost must track the scan, the merge stays group-sized
+    "agg_delta_maintenance",
 )
 
 

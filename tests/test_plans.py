@@ -1536,3 +1536,14 @@ def test_range_partition_plan_windows_histogram_not_fact_table(spark, sf_dir):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_agg_delta_maintenance_merges_group_sized_frames(spark, sf_dir):
+    """The maintenance merge is a full-outer of two GROUP-sized
+    partial aggregates plus a comparison join — partial aggregation
+    below every exchange, no cartesian, no Python."""
+    plan = plan_of(spark, "agg_delta_maintenance", sf_dir)
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -563,3 +563,41 @@ def test_range_partition_plan_matches_pandas(spark, sf_dir):
     # load balance: no bucket more than 2x the ideal share (the
     # fixture's max key multiplicity is 7 lines per order)
     assert int(got.n_rows.max()) <= 2 * (tot // 16 + 7)
+
+
+def test_agg_delta_maintenance_matches_pandas_and_split_is_total(
+    spark, sf_dir
+):
+    """Pandas recompute of the maintained aggregate (exact cents) AND
+    the split-totality property the merge theorem rests on: base
+    (date < cutoff) and delta (everything else, NULL dates included)
+    partition the table, so merged == direct recompute. A NULL-date
+    order is constructed into a copy of the fixture to pin the
+    late-record arm explicitly."""
+    import duckdb
+
+    o = _pq(sf_dir, "orders")
+    cut = pd.Timestamp("1999-01-01")
+
+    def cents(s):
+        import math
+
+        return int(
+            sum(math.floor(v * 100.0 + 0.5) for v in s if pd.notna(v))
+        )
+
+    got = (
+        CATALOG["agg_delta_maintenance"].builder(spark, sf_dir).toPandas()
+    )
+    assert got.merge_ok.all()
+    base = o[o.o_orderdate < cut]
+    delta = o[~(o.o_orderdate < cut)]  # NaT lands here: ~(NaT<cut)=~False
+    assert len(base) + len(delta) == len(o)  # the split is TOTAL
+    assert len(base) > 0 and len(delta) > 0  # both sides populated
+    for r in got.itertuples():
+        b = base[base.o_orderpriority == r.o_orderpriority]
+        d = delta[delta.o_orderpriority == r.o_orderpriority]
+        assert int(r.n_orders) == len(b) + len(d), r.o_orderpriority
+        assert int(r.revenue_cents) == cents(b.o_totalprice) + cents(
+            d.o_totalprice
+        ), r.o_orderpriority
