@@ -557,11 +557,16 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted (size DESC, id ASC) per directory — bin = floor(running
     bytes BEFORE this file / target). This is exactly how Spark's own
     file-coalescing sizes scan partitions (maxPartitionBytes over a
-    sorted listing): every bin except a directory's last lands within
-    one file of the target, the plan is a pure window function (no
+    sorted listing); the plan is a pure window function (no
     sequential driver loop, unlike true first-fit-decreasing bin
     packing, whose marginal packing gain doesn't buy back losing the
-    one-pass distributed form).
+    one-pass distributed form). The load guarantee is CUMULATIVE, not
+    per-bin: bytes through every non-last bin b reach (b+1)·target
+    (a bin following a multi-target oversize file can individually
+    run short, and ids can skip — the oversize file already carries
+    that span's bytes; property-pinned by hypothesis in
+    tests/test_round14_refs.py after random censuses falsified the
+    naive every-middle-bin-full claim).
 
     Scale: the census is METADATA — one row per file, millions of
     rows for a 100 TB lake, not billions; one window shuffle on the

@@ -314,8 +314,11 @@ def test_compaction_plan_matches_pandas(spark, sf_dir):
         e = exp[(src, int(row.bin_id))]
         assert e[0] == int(row.n_files), (src, row.bin_id)
         assert e[1] == int(row.bytes), (src, row.bin_id)
-    # middle bins are full: for each source, all but the max bin_id
-    # carry >= target bytes
+    # packing quality ON THIS CENSUS (fixture sizes are all well
+    # under the target, so no overshoot-skip arises and every middle
+    # bin is full here; the general theorem — cumulative bytes
+    # through bin b reach (b+1)·target — is the hypothesis property
+    # test below, which falsified the naive per-bin claim)
     for src, g in got.groupby("source", dropna=False):
         mid = g[g.bin_id < g.bin_id.max()]
         assert (mid.bytes >= T).all(), src
@@ -601,3 +604,134 @@ def test_agg_delta_maintenance_matches_pandas_and_split_is_total(
         assert int(r.revenue_cents) == cents(b.o_totalprice) + cents(
             d.o_totalprice
         ), r.o_orderpriority
+
+
+# --- hypothesis property layer for the r11 kernels -------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    words=st.lists(
+        st.integers(min_value=0, max_value=39).map(lambda i: f"w{i:02d}"),
+        max_size=3000,
+    ),
+    k=st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=150, deadline=None)
+def test_mg_theorems_hold_on_arbitrary_streams(words, k):
+    """Property form of the shard-independence pin: on ARBITRARY
+    token streams (any length, any skew, vocab up to 40 > capacity
+    16) split into any k contiguous shards, the merged Misra-Gries
+    summary satisfies both driver-hashed theorems — 0 <= exact -
+    est <= dec_total for EVERY word, and count·(cap+1) > n implies
+    survival — plus bit-equality with the naive decrement loop on
+    the unsharded stream. Hypothesis explores the degenerate shapes
+    the fixtures can't (empty stream, single repeated word,
+    alternating evict/re-enter runs, shard boundaries mid-run)."""
+    from collections import Counter
+
+    from mapreducepy_spark.llm.text import _MG_CAP, _mg_update
+
+    exact = Counter(words)
+    n_total = len(words)
+    chunk = max(1, (n_total + k - 1) // k)
+    merged, dec_total = Counter(), 0
+    for s in range(k):
+        levels, heap, base = {}, [], 0
+        base = _mg_update(
+            levels, heap, base, words[s * chunk : (s + 1) * chunk]
+        )
+        dec_total += base
+        for w, lvl in levels.items():
+            merged[w] += lvl - base
+    for w, c in exact.items():
+        assert 0 <= c - merged.get(w, 0) <= dec_total, w
+        if c * (_MG_CAP + 1) > n_total:
+            assert merged.get(w, 0) > 0, w
+    # single-shard path is bit-identical to the textbook loop
+    levels, heap, base = {}, [], 0
+    base = _mg_update(levels, heap, base, words)
+    ref_counters, ref_dec = _naive_mg(words, _MG_CAP)
+    assert {w: lvl - base for w, lvl in levels.items()} == ref_counters
+    assert base == ref_dec
+
+
+@given(
+    sizes=st.lists(
+        st.integers(min_value=0, max_value=200_000), max_size=200
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_compaction_packing_properties_on_arbitrary_censuses(sizes):
+    """Property form of the bin-boundary pin, pure python mirror of
+    the window algebra — asserting only the TRUE theorems (hypothesis
+    falsified two first drafts, which is the point of this layer:
+    bin ids can SKIP after a multi-target oversize file — sizes
+    [0, 131072] packs to bins {0, 2} — and a middle bin CAN hold
+    less than the target when the preceding bin overshot — sizes
+    [1.9T, 0.2T, 0.05T] leaves bin 1 at 0.2T):
+
+    (a) bin ids are monotone along the packing order and start at 0;
+    (b) CUMULATIVE bytes through every non-last present bin b reach
+        (b+1)·target — the invariant that actually bounds the read
+        side: any underfilled middle bin is exactly compensated by
+        an earlier oversize file's overshoot, so total work per bin
+        prefix tracks the target grid;
+    (c) no bin id exceeds total_bytes // target."""
+    T = 65_536
+    order = sorted(
+        range(len(sizes)), key=lambda i: (-sizes[i], i)
+    )
+    cum, bins = 0, []
+    for i in order:
+        bins.append(cum // T)
+        cum += sizes[i]
+    if not bins:
+        return
+    assert bins[0] == 0
+    assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:]))
+    assert max(bins) <= sum(sizes) // T
+    end_cum: dict[int, int] = {}
+    run = 0
+    for pos, i in enumerate(order):
+        run += sizes[i]
+        end_cum[bins[pos]] = run
+    last = max(end_cum)
+    for b, ec in end_cum.items():
+        if b != last:
+            assert ec >= (b + 1) * T, (b, ec)
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=400,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_range_partition_properties_on_arbitrary_histograms(counts):
+    """Property form of the split-point pin, pure python mirror:
+    bucket = floor(cum_before * 16 / total) over keys ascending
+    yields (a) atomic keys, (b) monotone bucket ids with contiguous
+    key ranges, (c) bucket ids inside [0, 16), and (d) every bucket's
+    row load < ideal_share + max_key_multiplicity (the deterministic
+    balance bound: a bucket stops accepting keys once its cum share
+    is spent, so it can overshoot by at most one key's rows)."""
+    B = 16
+    tot = sum(counts)
+    cum, assign = 0, []
+    for n in counts:  # key i has n rows, keys ascending
+        assign.append(int(cum * B // tot))
+        cum += n
+    assert all(0 <= b < B for b in assign)
+    assert all(b2 >= b1 for b1, b2 in zip(assign, assign[1:]))
+    loads: dict[int, int] = {}
+    for b, n in zip(assign, counts):
+        loads[b] = loads.get(b, 0) + n
+    ideal = tot / B
+    mx = max(counts)
+    for b, load in loads.items():
+        assert load < ideal + mx + 1, (b, load, ideal, mx)
