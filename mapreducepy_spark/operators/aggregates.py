@@ -1597,13 +1597,24 @@ def agg_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def part(df: DataFrame) -> DataFrame:
+        # n_priced (count of non-NULL prices) travels with the sum so
+        # the merge can tell "side absent / all prices NULL" (sum is
+        # NULL, contributes nothing) apart from "no non-NULL price in
+        # EITHER side" — where SQL's SUM semantics demand the merged
+        # sum be NULL, not 0 (code review r11: an all-NULL-price
+        # group hashed 0 while the oracle's SUM said NULL, and the
+        # merge_ok comparison went NULL instead of TRUE).
         return df.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(cents).cast("bigint").alias("cents"),
+            F.count(cents).cast("bigint").alias("n_priced"),
         )
 
     base = part(o.filter(in_base))
     delta = part(o.filter(~in_base))
+    merged_priced = F.coalesce(F.col("b.n_priced"), F.lit(0)) + F.coalesce(
+        F.col("d.n_priced"), F.lit(0)
+    )
     merged = (
         base.alias("b")
         .join(
@@ -1621,9 +1632,10 @@ def agg_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("b.n"), F.lit(0))
                 + F.coalesce(F.col("d.n"), F.lit(0))
             ).cast("bigint").alias("n_orders"),
-            (
+            F.when(
+                merged_priced > 0,
                 F.coalesce(F.col("b.cents"), F.lit(0))
-                + F.coalesce(F.col("d.cents"), F.lit(0))
+                + F.coalesce(F.col("d.cents"), F.lit(0)),
             ).cast("bigint").alias("revenue_cents"),
         )
     )
@@ -1643,7 +1655,11 @@ def agg_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents",
             (
                 (F.col("n_orders") == F.col("n_direct"))
-                & (F.col("revenue_cents") == F.col("cents_direct"))
+                # null-safe: an all-NULL-price group's sum is NULL on
+                # BOTH sides, which is agreement, not unknown
+                & F.col("revenue_cents").eqNullSafe(
+                    F.col("cents_direct")
+                )
             ).alias("merge_ok"),
         )
     )

@@ -925,6 +925,16 @@ _BUCKET_WRITER_V = 2
 # within the same suite run and are collected on the next touch.
 _GC_MIN_AGE_SEC = 600
 
+# Longer grace for SUPERSEDED-writer-version dirs whose source
+# fixtures are still alive: a concurrent session running the OLDER
+# build may have that dir registered and mid-query (its catalog is
+# invisible to us), and unlike a dead-fixture orphan nothing forces
+# it idle within minutes. Mixed-version overlap is a deployment
+# transient, so a deep grace covers it; after that the dir is
+# unreachable dead weight (new builds mint different names) and is
+# collected.
+_GC_VERSION_GRACE_SEC = 6 * 3600
+
 
 def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write orders and lineitem as BUCKETED + per-bucket-SORTED
@@ -1004,7 +1014,8 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
             try:
                 import time as _time
 
-                if _time.time() - os.path.getmtime(full) < _GC_MIN_AGE_SEC:
+                age = _time.time() - os.path.getmtime(full)
+                if age < _GC_MIN_AGE_SEC:
                     continue
             except OSError:
                 continue
@@ -1020,11 +1031,20 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
                 # next to live fixtures — and (b) every source fixture
                 # still exists. A sidecar with no version line predates
                 # v2 and is equally unreachable: collected.
-                keep = f"writer=v{_BUCKET_WRITER_V}" in lines and all(
+                version_ok = f"writer=v{_BUCKET_WRITER_V}" in lines
+                sources_ok = all(
                     os.path.exists(ln)
                     for ln in lines
                     if not ln.startswith("writer=")
                 )
+                keep = version_ok and sources_ok
+                # superseded recipe over LIVE fixtures: an older-build
+                # concurrent session may still have it registered —
+                # spare it for the deep version grace, then collect
+                # (code review r11: the plain version gate defeated
+                # the concurrency guard for mixed-version sessions)
+                if not version_ok and sources_ok:
+                    keep = age < _GC_VERSION_GRACE_SEC
             if not keep:
                 shutil.rmtree(full, ignore_errors=True)
 

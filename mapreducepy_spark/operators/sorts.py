@@ -151,19 +151,20 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = li.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    w = (
-        Window.orderBy(F.col("k").asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # both windows share the ordered spec (frames differ) so Catalyst
+    # plans ONE Window operator over one sorted pass of the histogram
+    # — a separately-specified unordered total window planned a second
+    # single-partition pass (code review r11)
+    ordered = Window.orderBy(F.col("k").asc_nulls_first())
+    w = ordered.rowsBetween(Window.unboundedPreceding, -1)
+    wtot = ordered.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     c = hist.select(
         "k",
         "n",
         F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_before"),
-        F.sum("n").over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("tot"),
+        F.sum("n").over(wtot).alias("tot"),
     )
     bucket = F.floor(
         F.col("cum_before") * F.lit(float(_RANGE_BUCKETS)) / F.col("tot")

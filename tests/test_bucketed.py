@@ -234,30 +234,42 @@ def test_bucketed_warehouse_gc_removes_dead_fixture_tables(
     now = time.time()
     os.utime(young, (now, now))
     # aged dir, CURRENT writer version, live sources -> must be KEPT
-    # (the positive GC arm); and an aged dir with live sources but a
-    # SUPERSEDED version line -> collected (it can never be re-adopted
-    # since a version bump re-mints the fingerprint names)
-    from mapreducepy_spark.operators.joins import _BUCKET_WRITER_V
+    # (the positive GC arm); a MILDLY-aged dir with live sources but
+    # a SUPERSEDED version line -> spared (an older-build concurrent
+    # session may still be querying it — the deep version grace);
+    # the same shape aged PAST the version grace -> collected (it can
+    # never be re-adopted since a version bump re-mints the names)
+    from mapreducepy_spark.operators.joins import (
+        _BUCKET_WRITER_V,
+        _GC_VERSION_GRACE_SEC,
+    )
 
+    ancient = time.time() - _GC_VERSION_GRACE_SEC - 60
     keepme = os.path.join(wh, "orders_bkt_feedfacecafe")
-    stale_v = os.path.join(wh, "lineitem_bkt_0a1db0b50e55")
-    for d, ver in ((keepme, _BUCKET_WRITER_V), (stale_v, _BUCKET_WRITER_V - 1)):
+    stale_mild = os.path.join(wh, "lineitem_bkt_0a1db0b50e55")
+    stale_old = os.path.join(wh, "lineitem_bkt_0a1db0b50e56")
+    for d, ver, ts in (
+        (keepme, _BUCKET_WRITER_V, old),
+        (stale_mild, _BUCKET_WRITER_V - 1, old),
+        (stale_old, _BUCKET_WRITER_V - 1, ancient),
+    ):
         shutil.rmtree(d, ignore_errors=True)
         shutil.copytree(live, d)
         with open(os.path.join(d, "_SOURCE"), "w") as fh:
             fh.write(f"writer=v{ver}\n")
             fh.write(f"{sf_dir}/orders.parquet\n")
-        os.utime(d, (old, old))
+        os.utime(d, (ts, ts))
 
     assert _ensure_bucketed_tables(spark, sf_dir) == names
     assert not os.path.isdir(dead)       # dead source, aged -> collected
     assert not os.path.isdir(legacy)     # no sidecar, aged  -> collected
     assert os.path.isdir(young)          # dead source, YOUNG -> spared
     assert os.path.isdir(keepme)         # live srcs + current v -> kept
-    assert not os.path.isdir(stale_v)    # superseded writer -> collected
+    assert os.path.isdir(stale_mild)     # superseded, mild age -> spared
+    assert not os.path.isdir(stale_old)  # superseded, ancient -> collected
     assert os.path.isdir(live)           # live fixture -> kept
     assert os.path.exists(os.path.join(live, "_SOURCE"))
-    for d in (young, keepme):
+    for d in (young, keepme, stale_mild):
         shutil.rmtree(d, ignore_errors=True)  # don't leak the props
 
 

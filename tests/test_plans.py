@@ -1515,14 +1515,43 @@ def test_dedup_incremental_probes_delta_not_corpus(spark, sf_dir):
     """The incremental-dedup probe must restrict the LEFT side of the
     band join to the delta BEFORE pairing (work scales with the
     delta, not the corpus) and never go cartesian; the per-doc
-    partner rollup keeps map-side partial aggregation."""
+    partner rollup keeps map-side partial aggregation. The
+    delta-before-pairing property is pinned STRUCTURALLY on the
+    optimized logical plan: the doc_id delta-restriction Inner join
+    must sit INSIDE the band-signature Inner join's subtree (deeper
+    indentation, printed after) — a regression that pairs the full
+    corpus first and filters afterwards flips that nesting (code
+    review r11: the old substring asserts were satisfied by the band
+    join alone)."""
     plan = plan_of(spark, "dedup_incremental", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "HashAggregate" in plan
-    # the delta restriction exists as a join on doc_id upstream of
-    # the band-signature self-join (broadcast at test scale)
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+    logical = (
+        CATALOG["dedup_incremental"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    band_line = docid_line = None
+    for i, ln in enumerate(logical.splitlines()):
+        if "Join Inner" in ln and "sig#" in ln and band_line is None:
+            band_line = (i, len(ln) - len(ln.lstrip(" :+-")))
+        elif (
+            "Join Inner" in ln
+            and "doc_id#" in ln
+            and "sig#" not in ln
+            and docid_line is None
+        ):
+            docid_line = (i, len(ln) - len(ln.lstrip(" :+-")))
+    assert band_line is not None, "band-signature join missing"
+    assert docid_line is not None, "delta doc_id restriction missing"
+    assert docid_line[0] > band_line[0] and docid_line[1] > band_line[1], (
+        "delta restriction is no longer nested under the band join: "
+        f"{band_line} vs {docid_line}\n{logical[:2000]}"
+    )
 
 
 def test_range_partition_plan_windows_histogram_not_fact_table(spark, sf_dir):
@@ -1532,10 +1561,17 @@ def test_range_partition_plan_windows_histogram_not_fact_table(spark, sf_dir):
     and no Python anywhere."""
     plan = plan_of(spark, "range_partition_plan", sf_dir)
     assert "partial_count" in plan or "HashAggregate" in plan
-    assert plan.count("Window") >= 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+    # exactly ONE Window operator: cum_before and tot share the
+    # ordered spec, so both fold into one sorted histogram pass
+    # (code review r11: a separately-specified total window planned a
+    # second single-partition pass)
+    simple = plan_text(
+        CATALOG["range_partition_plan"].builder(spark, sf_dir), "simple"
+    )
+    assert simple.count("Window") == 1, simple
 
 
 def test_agg_delta_maintenance_merges_group_sized_frames(spark, sf_dir):

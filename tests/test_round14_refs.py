@@ -574,11 +574,10 @@ def test_agg_delta_maintenance_matches_pandas_and_split_is_total(
     """Pandas recompute of the maintained aggregate (exact cents) AND
     the split-totality property the merge theorem rests on: base
     (date < cutoff) and delta (everything else, NULL dates included)
-    partition the table, so merged == direct recompute. A NULL-date
-    order is constructed into a copy of the fixture to pin the
-    late-record arm explicitly."""
-    import duckdb
-
+    partition the table, so merged == direct recompute. (The NULL
+    arms themselves are pinned on a constructed fixture in
+    test_agg_delta_maintenance_null_date_and_all_null_price_group —
+    the sf fixture has no NULL dates or prices.)"""
     o = _pq(sf_dir, "orders")
     cut = pd.Timestamp("1999-01-01")
 
@@ -735,3 +734,95 @@ def test_range_partition_properties_on_arbitrary_histograms(counts):
     mx = max(counts)
     for b, load in loads.items():
         assert load < ideal + mx + 1, (b, load, ideal, mx)
+
+
+def test_agg_delta_maintenance_null_date_and_all_null_price_group(
+    spark, tmp_path, sf_dir
+):
+    """The two NULL arms of the maintenance merge, pinned on a
+    constructed fixture (code review r11 — the second one was a LIVE
+    bug): (a) a NULL-date late record lands in the DELTA (the
+    NOT(coalesce) arm) and is counted; (b) a priority group whose
+    EVERY price is NULL must report revenue_cents NULL — not 0 — and
+    merge_ok TRUE, matching SQL SUM semantics (the pre-fix merge
+    coalesced the all-NULL partial to 0 and the equality comparison
+    went NULL, hash-diverging from the oracle)."""
+    import duckdb
+
+    o = _pq(sf_dir, "orders").head(200).copy()
+    extra = pd.DataFrame(
+        [
+            # NULL date, priced: must land in the delta and be counted
+            {
+                "o_orderkey": 9_000_001,
+                "o_custkey": 1,
+                "o_orderstatus": "O",
+                "o_totalprice": 123.45,
+                "o_orderdate": pd.NaT,
+                "o_orderpriority": "1-URGENT",
+                "o_clerk": "x",
+                "o_shippriority": 0,
+                "o_comment": "late record",
+            },
+            # a whole priority group with only NULL prices, split
+            # across base (1997 < cutoff) and delta (2000 >= cutoff)
+            {
+                "o_orderkey": 9_000_002,
+                "o_custkey": 1,
+                "o_orderstatus": "O",
+                "o_totalprice": None,
+                "o_orderdate": pd.Timestamp("1997-01-01"),
+                "o_orderpriority": "9-NULLONLY",
+                "o_clerk": "x",
+                "o_shippriority": 0,
+                "o_comment": "",
+            },
+            {
+                "o_orderkey": 9_000_003,
+                "o_custkey": 1,
+                "o_orderstatus": "O",
+                "o_totalprice": None,
+                "o_orderdate": pd.Timestamp("2000-01-01"),
+                "o_orderpriority": "9-NULLONLY",
+                "o_clerk": "x",
+                "o_shippriority": 0,
+                "o_comment": "",
+            },
+        ]
+    )
+    o = pd.concat(
+        [o, extra[o.columns.intersection(extra.columns)]],
+        ignore_index=True,
+    )
+    # concat upcasts datetimes to ns; the engine contract is
+    # timestamp[us] (a ns column reads as BIGINT under nanosAsLong)
+    o["o_orderdate"] = o.o_orderdate.astype("datetime64[us]")
+    o.to_parquet(tmp_path / "orders.parquet", index=False)
+
+    got = (
+        CATALOG["agg_delta_maintenance"]
+        .builder(spark, str(tmp_path))
+        .toPandas()
+    )
+    assert got.merge_ok.all(), got.to_string()
+    urgent = got[got.o_orderpriority == "1-URGENT"].iloc[0]
+    base_urgent = _pq(sf_dir, "orders").head(200)
+    n_urgent = int(
+        (base_urgent.o_orderpriority == "1-URGENT").sum()
+    )
+    assert int(urgent.n_orders) == n_urgent + 1  # the late record
+    nullonly = got[got.o_orderpriority == "9-NULLONLY"].iloc[0]
+    assert int(nullonly.n_orders) == 2
+    assert pd.isna(nullonly.revenue_cents), "all-NULL sum must be NULL"
+    # oracle hash agreement on the same constructed fixture
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet')"
+    )
+    from .parity_util import canon_frame
+
+    dpd = con.execute(
+        CATALOG["agg_delta_maintenance"].oracle
+    ).fetchdf()
+    assert canon_frame(got) == canon_frame(dpd)
