@@ -23,6 +23,7 @@ from ..io import load, load_spread
 from ..operators.sampling import split_case_sql, split_col
 from ..registry import register
 from ..rounding import dround
+from ..warehouse import ensure_table, gc_stale_tables, warehouse_path
 from . import DUCK_SHINGLES, SPARK_SHINGLES
 
 _ORACLE_DEDUP_EXACT = """
@@ -1823,6 +1824,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT doc_id and the minhash table is one signature per
     doc_id on both sides.
     """
+    return _incremental_triage(
+        spark, sf_dir, _band_table(_minhash_cached(spark, sf_dir))
+    )
+
+
+def _incremental_triage(
+    spark: SparkSession, sf_dir: str, bands: DataFrame
+) -> DataFrame:
+    """The delta-vs-corpus classification shared by
+    ``dedup_incremental`` (session-cached band table) and
+    ``dedup_incremental_indexed`` (the PERSISTED band index) — the
+    band source is the only thing that differs between the two."""
     docs = load(spark, sf_dir, "documents")
     h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     delta = (
@@ -1830,7 +1843,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    bands = _band_table(_minhash_cached(spark, sf_dir))
     probe = bands.join(delta, "doc_id")  # delta-side bands only
     b = bands.alias("b")
     partners = (
@@ -1872,6 +1884,116 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unique")
         .alias("verdict"),
     )
+
+
+# --- persisted band index (the standing nightly-pipeline artifact) ---
+
+# Writer-recipe version for the persisted band index, folded into the
+# table fingerprint (same discipline as joins._BUCKET_WRITER_V): the
+# adoption path trusts a directory's layout purely from its name, so
+# the name must pin everything the writer guarantees — LSH geometry,
+# bucket count, schema. Bump on any change; old dirs then stop
+# matching and age out via GC instead of re-registering stale layouts.
+_BANDIDX_WRITER_V = 1
+
+# Bucket count of the stored index on its probe key (band, sig). The
+# at-scale contract: a delta probe join on (band, sig) against the
+# bucketed index shuffles only the DELTA side (or broadcasts it) —
+# the corpus-sized index is never re-shuffled after the one write.
+_BANDIDX_BUCKETS = 8
+
+
+def _ensure_band_index(spark: SparkSession, sf_dir: str) -> str:
+    """Write the corpus LSH band table (doc_id, band, sig) ONCE per
+    fixture content as a persisted parquet table BUCKETED BY
+    (band, sig), and return the table name. This is the standing
+    index a nightly dedup pipeline maintains: the corpus-sized
+    shingle→minhash→band computation is paid at index-build time,
+    and every later delta run only SCANS the stored index — nothing
+    corpus-sized recomputes per delta (VERDICT r11 #4).
+
+    Lifecycle (content-fingerprinted name, `_SOURCE` sidecar, GC of
+    dead-fixture orphans with concurrency grace, `_SUCCESS`-gated
+    adoption via DDL): the shared ``mapreducepy_spark.warehouse``
+    machinery — the same path the bucketed fact tables ride, proven
+    by tests/test_bucketed.py and extended to this index by
+    tests/test_band_index.py.
+    """
+    import hashlib
+    import os
+    import re
+
+    writer_tag = f"writer=v{_BANDIDX_WRITER_V}"
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    st = os.stat(src)
+    fps = [
+        writer_tag,
+        f"buckets={_BANDIDX_BUCKETS}",
+        f"lsh={_N_HASHES}h/{_BAND_SIZE}r",
+        "schema=doc_id,band,sig",
+        f"{src}\x00{st.st_mtime_ns}\x00{st.st_size}",
+    ]
+    fp = hashlib.sha1("|".join(fps).encode()).hexdigest()[:12]
+    name = f"bandidx_{fp}"
+    wh = warehouse_path(spark)
+    gc_stale_tables(
+        spark,
+        wh,
+        re.compile(r"^bandidx_[0-9a-f]{12}$"),
+        {name},
+        writer_tag,
+    )
+
+    def _build() -> None:
+        (
+            _band_table(_minhash_cached(spark, sf_dir))
+            .repartition(_BANDIDX_BUCKETS, F.col("band"), F.col("sig"))
+            .write.bucketBy(_BANDIDX_BUCKETS, "band", "sig")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+
+    ensure_table(
+        spark,
+        name,
+        wh,
+        f"CLUSTERED BY (band, sig) INTO {_BANDIDX_BUCKETS} BUCKETS",
+        _build,
+        writer_tag,
+        [src],
+    )
+    return name
+
+
+@register(
+    "dedup_incremental_indexed", _ORACLE_DEDUP_INCREMENTAL,
+    tags=("llm", "dedup", "lsh", "incremental", "warehouse"),
+)
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental`` riding the PERSISTED band index — the
+    true nightly-pipeline shape: the corpus band table is a stored,
+    bucketed warehouse artifact (``_ensure_band_index``), so a delta
+    run's plan SCANS the index table instead of recomputing the
+    shingle→minhash→band funnel. Same triage algebra, same oracle,
+    same answer — the deliverable is the plan: per-delta work is
+    delta shingling ZERO (the probe filters the stored index by
+    delta membership) plus the bucket-join against the index.
+
+    Scale: at 100 TB the index is corpus-sized but the probe side is
+    |delta| rows — broadcast (or, unbroadcastable, shuffled to the
+    index's bucket count so only the delta moves). The index write
+    is paid once per corpus version; the nightly append of
+    yesterday's delta bands into the index is the natural extension
+    (same bucket spec, `INSERT INTO`).
+
+    Hash parity: identical to ``dedup_incremental`` — the band
+    source is value-identical (the stored table IS the session band
+    table, materialized), and everything downstream is shared code
+    (``_incremental_triage``).
+    """
+    name = _ensure_band_index(spark, sf_dir)
+    return _incremental_triage(spark, sf_dir, spark.table(name))
 
 
 # --- LSH recall audit: candidates vs ALL true pairs ------------------

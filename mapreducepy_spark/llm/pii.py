@@ -141,3 +141,86 @@ def text_pii_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ips").cast("bigint").alias("n_ips"),
         F.sum("delta").cast("bigint").alias("chars_delta"),
     )
+
+
+_ORACLE_TEXT_REDACT = f"""
+WITH decorated AS (
+    SELECT doc_id, source,
+           {_INJECT_SQL} AS text2
+    FROM documents
+    WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+scrubbed AS (
+    SELECT doc_id, source, text2,
+           CAST(len(regexp_extract_all(text2, '{_RE_EMAIL}')) AS BIGINT)
+               + CAST(len(regexp_extract_all(text2, '{_RE_PHONE}')) AS BIGINT)
+               + CAST(len(regexp_extract_all(text2, '{_RE_IP}')) AS BIGINT)
+               AS n_spans,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text2, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                   '{_RE_PHONE}', '<PHONE>', 'g'),
+               '{_RE_IP}', '<IP>', 'g') AS redacted
+    FROM decorated
+)
+SELECT doc_id, source, n_spans,
+       CAST(len(text2) AS BIGINT) AS len_before,
+       CAST(len(redacted) AS BIGINT) AS len_after,
+       md5(redacted) AS redact_fp
+FROM scrubbed
+"""
+
+
+@register(
+    "text_redact", _ORACLE_TEXT_REDACT,
+    tags=("llm", "text", "pii"),
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII REDACTION — the action half of the
+    census→action pair (``text_pii_census`` counts; this key
+    actually masks). Every surviving document comes back with its
+    detected span count, before/after lengths, and the md5
+    fingerprint of the REDACTED text — the fingerprint certifies the
+    masked bytes themselves, not just their length: an engine whose
+    replace chain produced different bytes (order of the three
+    passes matters — a redacted <IP> placeholder must not be
+    re-matched by the email pass, which is why the chain runs
+    email→phone→IP on both sides) breaks the hash. Clean docs
+    (``doc_id % 4 == 3``) flow through with n_spans = 0 and the
+    fingerprint of their unmodified text — proving the scrubber is
+    the identity off PII.
+
+    Scale: pure narrow map — regexp_count/replace/md5 inside
+    whole-stage codegen, ZERO shuffles (no aggregate, no join; the
+    plan has no Exchange at all, pinned in tests/test_plans.py). At
+    100 TB this is the embarrassingly-parallel scrub pass writ
+    exact.
+
+    NULL doc_id / NULL text rows are excluded by contract (same as
+    the census: quarantine rows; the injection rule needs a doc_id).
+    """
+    docs = load_spread(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    decorated = docs.select(
+        "doc_id", "source", F.expr(_INJECT_SQL).alias("text2")
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text2"), _RE_EMAIL, "<EMAIL>"),
+            _RE_PHONE, "<PHONE>",
+        ),
+        _RE_IP, "<IP>",
+    )
+    return decorated.select(
+        "doc_id",
+        "source",
+        (
+            F.regexp_count("text2", F.lit(_RE_EMAIL))
+            + F.regexp_count("text2", F.lit(_RE_PHONE))
+            + F.regexp_count("text2", F.lit(_RE_IP))
+        ).cast("bigint").alias("n_spans"),
+        F.length("text2").cast("bigint").alias("len_before"),
+        F.length(redacted).cast("bigint").alias("len_after"),
+        F.md5(redacted.cast("binary")).alias("redact_fp"),
+    )

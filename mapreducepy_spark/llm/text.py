@@ -9,6 +9,8 @@ aggregation (the combiner) and codegen apply.
 
 from __future__ import annotations
 
+import heapq
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1866,8 +1868,6 @@ def _mg_update(levels: dict, heap: list, base: int, words) -> int:
     lands above its death level. The heap is compacted back to the
     live entries whenever lazy deletions let it grow past
     ``_MG_HEAP_SLACK × capacity``, keeping state O(capacity)."""
-    import heapq
-
     for w in words:
         if w in levels:
             levels[w] += 1

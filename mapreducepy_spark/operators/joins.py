@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from .. import warehouse as _wh
 from ..io import load
 from ..registry import register
 from ..rounding import dround, dround_sql
@@ -918,22 +919,13 @@ _N_BUCKETS = 8
 # re-registering under a DDL the bytes no longer satisfy.
 _BUCKET_WRITER_V = 2
 
-# GC grace period: a directory younger than this is never collected,
-# even if its _SOURCE fixtures are gone — a CONCURRENT session sharing
-# the warehouse may have just written it against a tmp fixture it is
-# still querying (ADVICE r10). Dead tmp-fixture orphans age past this
-# within the same suite run and are collected on the next touch.
-_GC_MIN_AGE_SEC = 600
-
-# Longer grace for SUPERSEDED-writer-version dirs whose source
-# fixtures are still alive: a concurrent session running the OLDER
-# build may have that dir registered and mid-query (its catalog is
-# invisible to us), and unlike a dead-fixture orphan nothing forces
-# it idle within minutes. Mixed-version overlap is a deployment
-# transient, so a deep grace covers it; after that the dir is
-# unreachable dead weight (new builds mint different names) and is
-# collected.
-_GC_VERSION_GRACE_SEC = 6 * 3600
+# Grace windows re-exported from the shared lifecycle module (the
+# generic machinery was extracted to ``mapreducepy_spark.warehouse``
+# in r12 so the persisted LSH band index rides the same battle-tested
+# GC/adopt path — VERDICT r11 #4); tests reference them by these
+# names.
+_GC_MIN_AGE_SEC = _wh.GC_MIN_AGE_SEC
+_GC_VERSION_GRACE_SEC = _wh.GC_VERSION_GRACE_SEC
 
 
 def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -950,32 +942,20 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     tasks; one sorted file per bucket is the layout the zero-exchange
     read relies on.
 
-    Cross-session reuse (VERDICT r9 #2 — the cold first-touch cost):
-    a PREVIOUS session's table directory survives in the warehouse
-    but its catalog entry dies with the in-memory catalog. The files
-    ARE trustworthy as a bucketed layout when (a) the directory name
-    carries this function's content fingerprint — which includes the
-    bucket count, so a changed _N_BUCKETS mints a different name —
-    meaning only this function ever wrote it, with exactly the
-    declared bucket spec (Spark derives bucket ids from the file
-    names it wrote), and (b) the `_SUCCESS` marker certifies the
-    write completed. Such orphans are RE-REGISTERED via
-    ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` (seconds of DDL
-    instead of re-shuffling both fact tables); anything else —
-    no marker, unreadable schema — is removed and rebuilt. This is
-    the at-scale semantics too: the whole point of bucketed layout is
-    that the write-time shuffle is paid ONCE and every later job
-    (session) reuses it through the metastore.
+    Lifecycle (GC of dead-fixture orphans with concurrency grace,
+    `_SUCCESS`-gated adoption of a previous session's directory via
+    seconds of DDL instead of re-shuffling both fact tables, sidecar
+    provenance): the shared ``mapreducepy_spark.warehouse`` module —
+    see its docstrings for the at-scale metastore semantics.
     """
     import hashlib
     import os
 
     import re
-    import shutil
-    from urllib.parse import urlparse
 
+    writer_tag = f"writer=v{_BUCKET_WRITER_V}"
     fps = [
-        f"writer=v{_BUCKET_WRITER_V}",
+        writer_tag,
         f"buckets={_N_BUCKETS}",
         "sort=o_orderkey,l_orderkey",
         "schema=full",
@@ -988,9 +968,7 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
         fps.append(f"{src}\x00{st.st_mtime_ns}\x00{st.st_size}")
     fp = hashlib.sha1("|".join(fps).encode()).hexdigest()[:12]
     names = (f"orders_bkt_{fp}", f"lineitem_bkt_{fp}")
-    wh = urlparse(
-        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    ).path or "spark-warehouse"
+    wh = _wh.warehouse_path(spark)
 
     # GC: test suites mint bucketed tables against tmp-dir fixtures
     # whose fingerprints are never seen again — 80 orphan dirs / 30 MB
@@ -999,101 +977,40 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     # longer exist (or that predates the sidecar) is dead weight and
     # removed. Dirs for live fixtures (other SFs) keep their sources
     # on disk and survive.
-    if os.path.isdir(wh):
-        pat = re.compile(r"^(orders|lineitem)_bkt_[0-9a-f]{12}$")
-        for d in os.listdir(wh):
-            if not pat.match(d) or d in names:
-                continue
-            if spark.catalog.tableExists(d):
-                continue
-            full = os.path.join(wh, d)
-            # concurrency guard (ADVICE r10): another session sharing
-            # this warehouse may still be querying a freshly-written
-            # table whose tmp-dir fixture is already gone — never
-            # collect anything younger than the grace period
-            try:
-                import time as _time
-
-                age = _time.time() - os.path.getmtime(full)
-                if age < _GC_MIN_AGE_SEC:
-                    continue
-            except OSError:
-                continue
-            side = os.path.join(full, "_SOURCE")
-            keep = False
-            if os.path.exists(side):
-                with open(side) as fh:
-                    lines = [ln.strip() for ln in fh if ln.strip()]
-                # keep iff (a) the sidecar's writer-version line says
-                # the CURRENT recipe wrote it — a version bump changes
-                # the fingerprint, so old-version dirs can never be
-                # re-adopted and would otherwise be stranded forever
-                # next to live fixtures — and (b) every source fixture
-                # still exists. A sidecar with no version line predates
-                # v2 and is equally unreachable: collected.
-                version_ok = f"writer=v{_BUCKET_WRITER_V}" in lines
-                sources_ok = all(
-                    os.path.exists(ln)
-                    for ln in lines
-                    if not ln.startswith("writer=")
-                )
-                keep = version_ok and sources_ok
-                # superseded recipe over LIVE fixtures: an older-build
-                # concurrent session may still have it registered —
-                # spare it for the deep version grace, then collect
-                # (code review r11: the plain version gate defeated
-                # the concurrency guard for mixed-version sessions)
-                if not version_ok and sources_ok:
-                    keep = age < _GC_VERSION_GRACE_SEC
-            if not keep:
-                shutil.rmtree(full, ignore_errors=True)
+    _wh.gc_stale_tables(
+        spark,
+        wh,
+        re.compile(r"^(orders|lineitem)_bkt_[0-9a-f]{12}$"),
+        set(names),
+        writer_tag,
+    )
 
     for t, name, key in (
         ("orders", names[0], "o_orderkey"),
         ("lineitem", names[1], "l_orderkey"),
     ):
-        if spark.catalog.tableExists(name):
-            continue
-        orphan = os.path.abspath(os.path.join(wh, name))
 
-        def _write_sidecar(path: str) -> None:
-            # "_"-prefixed files are invisible to Spark's FileIndex
-            # (the _SUCCESS rule), so the sidecar never pollutes scans.
-            # First line = writer version: GC uses it to collect
-            # stranded dirs of SUPERSEDED recipes even while their
-            # source fixtures stay alive (a bumped version re-mints
-            # names, so old dirs are unreachable dead weight).
-            with open(os.path.join(path, "_SOURCE"), "w") as fh:
-                fh.write(f"writer=v{_BUCKET_WRITER_V}\n")
-                fh.write("\n".join(srcs) + "\n")
+        def _build(t: str = t, name: str = name, key: str = key) -> None:
+            (
+                load(spark, sf_dir, t)
+                .repartition(_N_BUCKETS, F.col(key))
+                .write.bucketBy(_N_BUCKETS, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
 
-        if os.path.isdir(orphan) and os.path.exists(
-            os.path.join(orphan, "_SUCCESS")
-        ):
-            try:
-                ddl = spark.read.parquet(orphan).schema.toDDL()
-                spark.sql(
-                    f"CREATE TABLE {name} ({ddl}) USING parquet "
-                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                    f"INTO {_N_BUCKETS} BUCKETS LOCATION '{orphan}'"
-                )
-                _write_sidecar(orphan)
-                continue
-            except Exception:
-                # fall through to rebuild; never trust a half-state
-                spark.sql(f"DROP TABLE IF EXISTS {name}")
-        if os.path.isdir(orphan):
-            shutil.rmtree(orphan, ignore_errors=True)
-        (
-            load(spark, sf_dir, t)
-            .repartition(_N_BUCKETS, F.col(key))
-            .write.bucketBy(_N_BUCKETS, key)
-            .sortBy(key)
-            .mode("overwrite")
-            .format("parquet")
-            .saveAsTable(name)
+        _wh.ensure_table(
+            spark,
+            name,
+            wh,
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {_N_BUCKETS} BUCKETS",
+            _build,
+            writer_tag,
+            srcs,
         )
-        _write_sidecar(orphan)
     return names
 
 

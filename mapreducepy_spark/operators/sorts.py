@@ -87,6 +87,12 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucket that the skew signal (multi-line orders) is visible.
 _RANGE_BUCKETS = 16
 
+# Shard count for the distributed prefix sum over the key histogram
+# (the "reduce tasks" of the two-level cumulative count). A constant:
+# shard-total frames must stay broadcast-sized by construction. At
+# 100 TB set this near the cluster's target parallelism.
+_RANGE_SHARDS = 64
+
 _ORACLE_RANGE_PARTITION_PLAN = f"""
 WITH h AS (
     SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n
@@ -131,40 +137,97 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the fact table is touched ONCE by a map-side-combining
     key histogram (|distinct keys| rows out); the rank arithmetic —
     cumulative rows BEFORE each key, bucket = floor(cum ×
-    {_RANGE_BUCKETS} / total) — runs as a window over the HISTOGRAM,
-    never a global sort of the fact table (Spark's sampling-based
-    RangePartitioner avoids the histogram by approximating; this
-    exact form costs one extra tiny shuffle and is deterministic
-    across runs/engines, which a replayable 100 TB layout wants).
-    The histogram window is single-partition over |keys| rows — at
-    true catalog scale swap in the proven rank-pick shuffle
-    (``agg_quantile_disc``'s shape) for the same algebra.
+    {_RANGE_BUCKETS} / total) — is a DISTRIBUTED two-level prefix
+    sum over the histogram (VERDICT r11 #2, replacing the
+    single-partition window that funneled every distinct key through
+    one task):
+
+    1. Every key gets a SHARD id from a deterministic,
+       order-preserving function of its value: floor((k − kmin) ×
+       {_RANGE_SHARDS} / span) between the broadcast global min/max.
+       Monotonic in k ⇒ shards are contiguous, ordered key ranges —
+       the property the offset algebra needs. Deliberately NOT
+       ``repartitionByRange`` + ``spark_partition_id()``: the
+       RangePartitioner samples with a per-execution seed, and this
+       shard column feeds TWO plan branches (local prefix + shard
+       totals) — if the optimizer ever failed to reuse the exchange,
+       sampled boundaries could disagree between branches and corrupt
+       the offsets. A pure function of the value cannot.
+    2. A window PARTITIONED BY shard computes each key's local
+       prefix sum — the same per-group rank shape as
+       ``agg_quantile_disc``, parallel across shards.
+    3. Shard totals (one row per shard — {_RANGE_SHARDS}, a
+       constant, never data-sized) get their exclusive prefix via a
+       broadcast self-join, and the global total via a 1-row
+       broadcast; cum_before = shard offset + local prefix.
+
+    Spark's sampling RangePartitioner approximates the split points
+    in one pass; this exact form costs the histogram shuffle and is
+    deterministic across runs/engines/shard-counts, which a
+    replayable 100 TB layout wants. Value-range sharding is uneven
+    under key-space skew — that only unbalances SHARD sizes (a
+    performance matter; raise {_RANGE_SHARDS} or pre-hash the key
+    space), never the answer. At 100 TB, cache the histogram so the
+    three tiny sibling aggregates don't re-scan the fact table if
+    exchange reuse is disabled.
 
     Hash parity: all-integer counts and key bounds; bucket ids are
     floor() over exact integer products inside double precision
-    (<2^53 at any realistic scale). NULL keys sort NULLS FIRST on
-    both sides (pinned explicitly), land in bucket 0 via
-    cum_before = 0, and vanish from MIN/MAX identically; duplicate
-    fixture rows only raise a key's n, never split it.
+    (<2^53 at any realistic scale). The shard id itself may round in
+    double for huge spans — harmless, monotonicity is all it needs.
+    NULL keys sort NULLS FIRST on both sides, get shard −1 (below
+    every real shard), land in bucket 0 via cum_before = 0, and
+    vanish from MIN/MAX identically; duplicate fixture rows only
+    raise a key's n, never split it.
     """
     li = load(spark, sf_dir, "lineitem")
     hist = li.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    # both windows share the ordered spec (frames differ) so Catalyst
-    # plans ONE Window operator over one sorted pass of the histogram
-    # — a separately-specified unordered total window planned a second
-    # single-partition pass (code review r11)
-    ordered = Window.orderBy(F.col("k").asc_nulls_first())
-    w = ordered.rowsBetween(Window.unboundedPreceding, -1)
-    wtot = ordered.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # level 1: deterministic contiguous shards + shard-local prefix
+    # sums. span uses +1 so kmax itself stays below shard count.
+    bounds = hist.agg(
+        F.min("k").alias("kmin"), F.max("k").alias("kmax")
     )
-    c = hist.select(
+    shard = F.when(F.col("k").isNull(), F.lit(-1).cast("bigint")).otherwise(
+        F.floor(
+            (F.col("k") - F.col("kmin")).cast("double")
+            * F.lit(float(_RANGE_SHARDS))
+            / (F.col("kmax") - F.col("kmin") + F.lit(1)).cast("double")
+        ).cast("bigint")
+    )
+    h = hist.crossJoin(F.broadcast(bounds)).withColumn("pid", shard)
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("k").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = h.select(
         "k",
         "n",
-        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_before"),
-        F.sum("n").over(wtot).alias("tot"),
+        "pid",
+        F.coalesce(F.sum("n").over(wloc), F.lit(0)).alias("loc_before"),
+    )
+    # level 2: shard offsets (exclusive prefix over shard totals) and
+    # the global total — both frames are shard-count-sized constants,
+    # so broadcast joins, never a partition-less window.
+    ptot = h.groupBy("pid").agg(F.sum("n").alias("ptot"))
+    off = (
+        ptot.alias("a")
+        .join(F.broadcast(ptot.alias("b")), F.col("b.pid") <= F.col("a.pid"))
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg((F.sum("b.ptot") - F.max("a.ptot")).alias("offset"))
+    )
+    tot = hist.agg(F.sum("n").alias("tot"))
+    c = (
+        local.join(F.broadcast(off), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n",
+            (F.col("offset") + F.col("loc_before")).alias("cum_before"),
+            "tot",
+        )
     )
     bucket = F.floor(
         F.col("cum_before") * F.lit(float(_RANGE_BUCKETS)) / F.col("tot")

@@ -71,117 +71,127 @@ _MODULES = (
 # back under a bounded budget (every round so far stopped at exactly
 # the first 50 catalog keys), so ordering is evidence policy, not
 # cosmetics. Standing rotation policy (SURVEY §8, VERDICT r8 #6,
-# re-affirmed VERDICT r9 #1): window = all zero-driver-evidence keys
+# re-affirmed VERDICT r11 #1): window = all zero-driver-evidence keys
 # first, then the oldest-evidence keys (latest green round ascending,
-# ties by prior catalog position) filling to exactly 50.
+# ties by FIRST green round ascending, then prior catalog position)
+# filling to exactly 50.
 #
-# Round-11 window = the 4 round-10 session-growth keys (zero driver
-# evidence) + the 11 r6-evidence keys (the full stale tail) + the 35
-# oldest r7-evidence keys. Ties inside an evidence round break by
-# FIRST green round ascending (longest since originally proven),
-# then prior catalog position — VERDICT r10 #1 names the r1-origin
-# core operators (sort_limit, set_*, agg_rollup, …) as the oldest
-# r7s, which is exactly this ordering. BELOW the line: the 15
-# remaining r7 keys, then any round-11 session growth (zero evidence
-# always rotates into the next head), then the r8 / r9 / r10 blocks
-# by evidence age, and PARKED AT THE VERY TAIL, permanently, the 3
-# rows-only-by-design keys (agg_approx_distinct, sample_fraction,
-# sample_stratified): rounds 1 AND 4 both recorded
-# ``err: "no_oracle"`` with live spark_rows — the protocol
-# structurally cannot express a rows-only pass, so windowing them
-# again only burns evidence slots. Their correctness lives in pytest.
+# Round-12 window = the 6 round-11 session-growth keys (zero driver
+# evidence) + the full 15-key r7-evidence stale tail + the 29 oldest
+# r8-evidence keys (14 of pre-r8 origin — join_asof/agg_minmax_by/
+# win_lead_lag/win_session are r2-origin, the events_* cohort r3 —
+# then the first 15 r8-origin keys by prior catalog position). BELOW
+# the line: the 21 remaining r8 keys (these lead the round-13 window
+# together with any round-12 session growth), then the round-12
+# session growth block (zero evidence always rotates into the next
+# head), then the r9 / r10 / r11 blocks by evidence age, and PARKED
+# AT THE VERY TAIL, permanently, the 3 rows-only-by-design keys
+# (agg_approx_distinct, sample_fraction, sample_stratified): rounds 1
+# AND 4 both recorded ``err: "no_oracle"`` with live spark_rows — the
+# protocol structurally cannot express a rows-only pass, so windowing
+# them again only burns evidence slots. Their correctness lives in
+# pytest.
 #
 # ``load_catalog`` reorders the registry to this sequence and RAISES
 # if any registered key is missing from it (round-2 postmortem: five
 # keys silently fell to the alphabetical tail, outside any evidence
 # window); tests/test_sql.py additionally pins the two lists equal.
 _KEY_ORDER = (
-    # ---- round-11 window head: the 4 zero-driver-evidence keys
-    # (round-10 session growth)
-    "events_absence_monitor", "join_stream_interval", "pivot_roundtrip",
-    "text_heavy_hitters_bound",
-    # the 11 r6-evidence keys (window positions 5-15) — the two that
-    # were among the 40 oldest but skipped by the r10 window lead
-    "text_contamination_ngram", "text_repetition", "text_oov_rate",
-    "events_anomaly", "events_dau_rolling", "text_keywords",
-    "text_perplexity_proxy", "agg_pareto", "events_user_lifecycle",
-    "graph_pagerank", "graph_knn_triangles",
-    # the 35 oldest r7-evidence keys (window positions 16-50), first
-    # green round ascending: 14 r1-origin + 1 r3-origin + 20 r4-origin
-    "sort_limit", "set_union", "set_intersect", "set_except", "win_ntile",
-    "win_dist", "topk_per_group", "agg_pivot", "agg_cube",
-    "agg_grouping_sets", "agg_rollup", "agg_stats", "join_full",
-    "win_running", "agg_quantile_disc", "agg_top_revenue",
-    "join_nested_semi", "text_chunk_overlap", "embed_quantize_error",
-    "dedup_threshold_sweep", "join_groupagg_in", "join_disjunctive",
-    "agg_global_share", "join_anti_scalar", "join_exists_chain",
-    "text_bpe_pairs", "embed_covariance", "agg_count_histogram",
-    "embed_dim_stats", "corpus_mixture_apply", "dedup_containment",
-    "events_rfm", "docs_corpus_card", "sim_ann_recall", "agg_key_skew",
-    # ---- BELOW the driver window ----------------------------------
-    # the 15 remaining r7-evidence keys (r4- and r7-origin): lead the
-    # round-12 window with any round-11 session growth
+    # ---- round-12 window head: the 6 zero-driver-evidence keys
+    # (round-11 session growth)
+    "split_by_cluster", "compaction_plan", "events_views_unconverted",
+    "dedup_incremental", "range_partition_plan",
+    "agg_delta_maintenance",
+    # the full 15-key r7-evidence stale tail (window positions 7-21),
+    # first green round ascending (7 r4-origin, then 8 r7-origin)
     "agg_correlated_scalar", "lsh_band_stats", "docs_source_profile",
     "corpus_mixture_plan", "text_vocab_coverage", "dedup_prefix",
     "embed_bucket_purity", "jsonl_quarantine_shapes",
     "multimodal_decode_stats", "multimodal_audio_stats",
-    "sim_ann_recall_sampled", "csv_quarantine", "multimodal_frame_index",
-    "multimodal_resize_plan", "join_volume_shipping",
-    # round-11 session growth block: zero driver evidence — rotates
-    # into the round-12 window head with the r7 remainder above
+    "sim_ann_recall_sampled", "csv_quarantine",
+    "multimodal_frame_index", "multimodal_resize_plan",
+    "join_volume_shipping",
+    # the 29 oldest r8-evidence keys (window positions 22-50), first
+    # green round ascending: 4 r2-origin + 7 r3-origin + 2 r4-origin
+    # + 1 r5-origin + the first 15 r8-origin keys
+    "join_asof", "agg_minmax_by", "win_lead_lag", "win_session",
+    "events_session_stats", "events_paths", "events_inter_arrival",
+    "events_attribution", "events_cooccurrence",
+    "pipeline_clean_corpus", "sample_split", "events_ohlc",
+    "pipeline_mixture_manifest", "pipeline_drop_explain",
+    "join_asof_forward", "merge_upsert", "scd2_intervals",
+    "unpivot_long", "graph_degree_stats", "sample_group_reservoir",
+    "embed_top_eigen", "win_first_last", "fn_bitwise",
+    "join_min_cost_supplier", "join_null_safe", "join_lateral_topk",
+    "text_pii_census", "events_peak_concurrency",
+    "multimodal_payload_dedup",
+    # ---- BELOW the driver window ----------------------------------
+    # the 21 remaining r8-evidence keys: lead the round-13 window
+    # with any round-12 session growth
+    "fn_url", "graph_reachability", "join_shipping_priority",
+    "join_local_supplier", "join_market_share", "join_returned_items",
+    "agg_forecast_revenue", "agg_promo_share", "join_late_shipments",
+    "agg_nation_profit", "join_supplier_part_count",
+    "agg_quantile_cont", "join_interval_overlap", "orc_census",
+    "embed_mrl_error", "join_asof_nearest", "scan_partition_prune",
+    "events_gap_fill", "win_rolling_median", "win_cum_distinct",
+    "embed_pq_codes",
+    # round-12 session growth block: zero driver evidence — rotates
+    # into the round-13 window head with the r8 remainder above
     # (keys are appended here as they land this session)
-    "split_by_cluster", "compaction_plan", "events_views_unconverted",
-    "dedup_incremental", "range_partition_plan", "agg_delta_maintenance",
-    # r8-green block
-    "join_asof_forward", "merge_upsert", "scd2_intervals", "unpivot_long",
-    "graph_degree_stats", "sample_group_reservoir", "embed_top_eigen",
-    "win_first_last", "fn_bitwise", "join_min_cost_supplier",
-    "join_null_safe", "join_lateral_topk", "text_pii_census",
-    "events_peak_concurrency", "multimodal_payload_dedup", "fn_url",
-    "graph_reachability", "join_shipping_priority", "join_local_supplier",
-    "join_market_share", "join_returned_items", "agg_forecast_revenue",
-    "agg_promo_share", "join_late_shipments", "agg_nation_profit",
-    "join_supplier_part_count", "agg_quantile_cont",
-    "join_interval_overlap", "orc_census", "embed_mrl_error",
-    "join_asof_nearest", "scan_partition_prune", "events_gap_fill",
-    "win_rolling_median", "win_cum_distinct", "embed_pq_codes",
-    "join_asof", "pipeline_drop_explain", "events_ohlc", "agg_minmax_by",
-    "win_lead_lag", "win_session", "events_session_stats", "events_paths",
-    "events_inter_arrival", "events_attribution", "events_cooccurrence",
-    "pipeline_clean_corpus", "pipeline_mixture_manifest", "sample_split",
-    # r9-green block (freshest driver evidence: the whole round-9
-    # window landed 50/50 in CORRECTNESS_r09.json)
+    "dedup_incremental_indexed", "text_redact",
+    # r9-green block
     "avro_census", "join_point_in_time", "cdc_snapshot_diff",
     "agg_approx_distinct_bound", "agg_mad", "agg_moments", "win_ema",
-    "events_burst_detect", "events_funnel_timing", "sample_weighted_hash",
-    "embed_outlier_census", "sim_ann_multitable", "text_source_drift",
-    "text_langid_quality", "scan_schema_merge", "scan_profile", "fn_regex",
-    "sim_knn", "dedup_embedding", "dedup_near", "dedup_clusters",
-    "dedup_near_verified", "dedup_minhash_est", "dedup_survivors_verified",
-    "dedup_exact", "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf",
-    "text_stats", "text_tfidf", "agg_group", "multimodal_cols",
-    "text_quality", "text_langid", "text_tokens", "text_fingerprint",
-    "win_tumbling", "win_sliding", "events_funnel", "rollup_multires",
-    "join_range_binned", "sample_hash_fraction", "sample_hash_stratified",
-    "join_inner", "agg_count_distinct", "scan_project", "scan_count",
-    "json_extract", "filter_pred", "project_expr",
-    # r10-green block (freshest driver evidence: the whole round-10
-    # window landed 50/50 in CORRECTNESS_r10.json)
-    "join_bucketed", "agg_approx_quantile_bound", "join_asof_tolerance",
-    "dedup_cluster_histogram", "embed_centroid_drift",
-    "dedup_minhash_recall", "text_js_divergence", "fn_interval",
-    "events_markov_entropy", "scan_zorder_stats", "distinct_rows",
-    "jsonl_quarantine", "multimodal_payload_stats", "dedup_ngram_jaccard",
+    "events_burst_detect", "events_funnel_timing",
+    "sample_weighted_hash", "embed_outlier_census",
+    "sim_ann_multitable", "text_source_drift", "text_langid_quality",
+    "scan_schema_merge", "scan_profile", "fn_regex", "sim_knn",
+    "dedup_embedding", "dedup_near", "dedup_clusters",
+    "dedup_near_verified", "dedup_minhash_est",
+    "dedup_survivors_verified", "dedup_exact", "dedup_simhash",
+    "sim_ann_lsh", "sim_ann_ivf", "text_stats", "text_tfidf",
+    "agg_group", "multimodal_cols", "text_quality", "text_langid",
+    "text_tokens", "text_fingerprint", "win_tumbling", "win_sliding",
+    "events_funnel", "rollup_multires", "join_range_binned",
+    "sample_hash_fraction", "sample_hash_stratified", "join_inner",
+    "agg_count_distinct", "scan_project", "scan_count", "json_extract",
+    "filter_pred", "project_expr",
+    # r10-green block
+    "join_bucketed", "agg_approx_quantile_bound",
+    "join_asof_tolerance", "dedup_cluster_histogram",
+    "embed_centroid_drift", "dedup_minhash_recall",
+    "text_js_divergence", "fn_interval", "events_markov_entropy",
+    "scan_zorder_stats", "distinct_rows", "jsonl_quarantine",
+    "multimodal_payload_stats", "dedup_ngram_jaccard",
     "dedup_jaccard_capped", "fn_string", "fn_date", "fn_conditional",
     "fn_json", "fn_levenshtein", "fn_math", "fn_array", "agg_having",
     "win_rank", "join_theta_range", "win_range_frame", "agg_gini",
     "agg_histogram", "dedup_keep_first", "join_skew_salted",
     "text_decontaminate", "join_left", "join_multi", "join_semi",
     "join_anti", "agg_collect", "events_entropy", "text_charlm",
-    "text_zipf", "text_length_profile", "dedup_cross_source", "text_hapax",
-    "text_pack_sequences", "text_bigrams", "text_quality_filter",
-    "embed_norm_bins", "events_retention", "win_streak",
-    "agg_weighted_avg", "agg_mode",
+    "text_zipf", "text_length_profile", "dedup_cross_source",
+    "text_hapax", "text_pack_sequences", "text_bigrams",
+    "text_quality_filter", "embed_norm_bins", "events_retention",
+    "win_streak", "agg_weighted_avg", "agg_mode",
+    # r11-green block (freshest driver evidence: the whole round-11
+    # window landed 50/50 in CORRECTNESS_r11.json)
+    "events_absence_monitor", "join_stream_interval",
+    "pivot_roundtrip", "text_heavy_hitters_bound",
+    "text_contamination_ngram", "text_repetition", "text_oov_rate",
+    "events_anomaly", "events_dau_rolling", "text_keywords",
+    "text_perplexity_proxy", "agg_pareto", "events_user_lifecycle",
+    "graph_pagerank", "graph_knn_triangles", "sort_limit", "set_union",
+    "set_intersect", "set_except", "win_ntile", "win_dist",
+    "topk_per_group", "agg_pivot", "agg_cube", "agg_grouping_sets",
+    "agg_rollup", "agg_stats", "join_full", "win_running",
+    "agg_quantile_disc", "agg_top_revenue", "join_nested_semi",
+    "text_chunk_overlap", "embed_quantize_error",
+    "dedup_threshold_sweep", "join_groupagg_in", "join_disjunctive",
+    "agg_global_share", "join_anti_scalar", "join_exists_chain",
+    "text_bpe_pairs", "embed_covariance", "agg_count_histogram",
+    "embed_dim_stats", "corpus_mixture_apply", "dedup_containment",
+    "events_rfm", "docs_corpus_card", "sim_ann_recall", "agg_key_skew",
     # parked permanently (see policy comment above): the protocol
     # records "err: no_oracle" for these — proven in r1 AND r4
     "agg_approx_distinct", "sample_fraction", "sample_stratified",

@@ -260,17 +260,22 @@ def test_bucketed_warehouse_gc_removes_dead_fixture_tables(
             fh.write(f"{sf_dir}/orders.parquet\n")
         os.utime(d, (ts, ts))
 
-    assert _ensure_bucketed_tables(spark, sf_dir) == names
-    assert not os.path.isdir(dead)       # dead source, aged -> collected
-    assert not os.path.isdir(legacy)     # no sidecar, aged  -> collected
-    assert os.path.isdir(young)          # dead source, YOUNG -> spared
-    assert os.path.isdir(keepme)         # live srcs + current v -> kept
-    assert os.path.isdir(stale_mild)     # superseded, mild age -> spared
-    assert not os.path.isdir(stale_old)  # superseded, ancient -> collected
-    assert os.path.isdir(live)           # live fixture -> kept
-    assert os.path.exists(os.path.join(live, "_SOURCE"))
-    for d in (young, keepme, stale_mild):
-        shutil.rmtree(d, ignore_errors=True)  # don't leak the props
+    # try/finally (ADVICE r11): an assertion failure must not leak
+    # the minted prop dirs into the shared warehouse, where they'd
+    # persist across test runs until GC ages them out
+    try:
+        assert _ensure_bucketed_tables(spark, sf_dir) == names
+        assert not os.path.isdir(dead)       # dead source, aged -> collected
+        assert not os.path.isdir(legacy)     # no sidecar, aged  -> collected
+        assert os.path.isdir(young)          # dead source, YOUNG -> spared
+        assert os.path.isdir(keepme)         # live srcs + current v -> kept
+        assert os.path.isdir(stale_mild)     # superseded, mild age -> spared
+        assert not os.path.isdir(stale_old)  # superseded, ancient -> collected
+        assert os.path.isdir(live)           # live fixture -> kept
+        assert os.path.exists(os.path.join(live, "_SOURCE"))
+    finally:
+        for d in (young, keepme, stale_mild, stale_old):
+            shutil.rmtree(d, ignore_errors=True)  # don't leak the props
 
 
 def test_bucketed_fingerprint_pins_writer_recipe(spark, sf_dir, monkeypatch):

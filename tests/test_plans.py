@@ -1554,24 +1554,41 @@ def test_dedup_incremental_probes_delta_not_corpus(spark, sf_dir):
     )
 
 
-def test_range_partition_plan_windows_histogram_not_fact_table(spark, sf_dir):
-    """The planner touches the fact table once via a map-side-
-    combining key histogram; the rank window runs over the histogram
-    (partial aggregation BELOW the window in the plan), with no join
-    and no Python anywhere."""
+def test_range_partition_plan_distributed_prefix_sum(spark, sf_dir):
+    """The planner touches the fact table via a map-side-combining
+    key histogram; the prefix sum is the two-level distributed shape
+    (VERDICT r11 #2): exactly ONE Window operator, PARTITIONED BY the
+    shard id — no partition-less window anywhere, so no task ever
+    sees the whole distinct-key histogram. Shard-offset/total frames
+    ride broadcast joins (constant-sized), never a sort-merge join
+    or cartesian, and no Python anywhere."""
     plan = plan_of(spark, "range_partition_plan", sf_dir)
     assert "partial_count" in plan or "HashAggregate" in plan
-    assert "Join" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    # exactly ONE Window operator: cum_before and tot share the
-    # ordered spec, so both fold into one sorted histogram pass
-    # (code review r11: a separately-specified total window planned a
-    # second single-partition pass)
     simple = plan_text(
         CATALOG["range_partition_plan"].builder(spark, sf_dir), "simple"
     )
-    assert simple.count("Window") == 1, simple
+    # exactly one Window (the shard-local prefix pass) and it must be
+    # partitioned: every windowspecdefinition names the pid column
+    assert simple.count("Window ") == 1, simple
+    specs = [ln for ln in simple.splitlines() if "windowspecdefinition" in ln]
+    assert specs, simple
+    for ln in specs:
+        assert "pid#" in ln, f"partition-less window crept back in: {ln}"
+    # the tiny frames stay broadcast: no SortMergeJoin in this plan
+    assert "SortMergeJoin" not in simple, simple
+
+
+def test_text_redact_is_shuffle_free_narrow_map(spark, sf_dir):
+    """The scrub pass is embarrassingly parallel by construction: no
+    aggregate, no join — the plan must carry ZERO Exchange and stay
+    entirely inside whole-stage codegen (no Python anywhere)."""
+    simple = plan_text(CATALOG["text_redact"].builder(spark, sf_dir), "simple")
+    assert "Exchange" not in simple, simple
+    assert "BatchEvalPython" not in simple
+    # "*(n)" marks whole-stage-codegen stages in simple mode
+    assert "*(1) Project" in simple, simple
 
 
 def test_agg_delta_maintenance_merges_group_sized_frames(spark, sf_dir):

@@ -1,0 +1,130 @@
+"""Round-15-session third references: the r12 growth keys.
+
+``text_redact`` gets an independent pure-Python recompute — the same
+injection rule and detector patterns applied with the stdlib ``re``
+module, per document, comparing span counts, lengths, AND the md5 of
+the redacted bytes. Any drift in pattern text, chain order
+(email→phone→IP), replace semantics (leftmost non-overlapping,
+global), or encoding turns the fingerprint red — the mutation-audit
+surface the standing recipe requires.
+
+``dedup_incremental_indexed``'s third ref is structural (the stored
+index must be VALUE-identical to the session band table) — the
+triage algebra itself is shared code already third-referenced via
+``dedup_incremental`` in test_round14_refs.py, so the new surface is
+the index lifecycle, covered in tests/test_band_index.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+
+from mapreducepy_spark.registry import load_catalog
+
+CATALOG = load_catalog()
+
+
+def _pq(sf_dir: str, name: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+# The injection rule and patterns, restated independently (NOT
+# imported from the engine: a silent engine-side edit must diverge
+# from this copy and fail here).
+def _inject(doc_id: int, text: str) -> str:
+    m = doc_id % 4
+    if m == 0:
+        return f"{text} contact user{doc_id}@example.com now"
+    if m == 1:
+        return f"{text} call +1-555-{1000 + doc_id % 9000} today"
+    if m == 2:
+        return f"{text} from 10.{doc_id % 256}.0.1 logged"
+    return text
+
+
+_PATTERNS = [
+    (re.compile(r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"), "<EMAIL>"),
+    (re.compile(r"\+1-555-[0-9]{4}"), "<PHONE>"),
+    (re.compile(r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"), "<IP>"),
+]
+
+
+def test_text_redact_matches_python_re(spark, sf_dir):
+    """Per-doc python-re recompute of spans, lengths, and the
+    redacted-bytes md5 for EVERY document at the test SF."""
+    docs = _pq(sf_dir, "documents")
+    docs = docs[docs.doc_id.notna() & docs.text.notna()]
+    exp = {}
+    for r in docs.itertuples():
+        t2 = _inject(int(r.doc_id), r.text)
+        n_spans = 0
+        red = t2
+        for pat, repl in _PATTERNS:
+            n_spans += len(pat.findall(t2))
+            red = pat.sub(repl, red)
+        exp[int(r.doc_id)] = (
+            n_spans,
+            len(t2),
+            len(red),
+            hashlib.md5(red.encode("utf-8")).hexdigest(),
+        )
+    got = CATALOG["text_redact"].builder(spark, sf_dir).toPandas()
+    assert len(got) == len(exp)
+    n_redacted = 0
+    for r in got.itertuples():
+        e = exp[int(r.doc_id)]
+        assert (
+            int(r.n_spans),
+            int(r.len_before),
+            int(r.len_after),
+            r.redact_fp,
+        ) == e, r.doc_id
+        n_redacted += int(r.n_spans) > 0
+    # non-degeneracy: the rule plants PII in 3 of 4 residue classes,
+    # and clean docs must flow through untouched
+    assert n_redacted > 0
+    assert any(
+        v[0] == 0 and v[1] == v[2] for v in exp.values()
+    ), "no clean doc in fixture — identity arm untested"
+
+
+def test_text_redact_span_counting_not_fooled_by_placeholders(spark):
+    """Chain-order pin on a constructed row: counting happens on the
+    ORIGINAL text (an inserted <EMAIL> placeholder must not be
+    re-counted or re-matched by later passes), and a doc carrying
+    ALL three PII kinds at once redacts every one. Built via a tiny
+    in-memory frame so the boundary case exists regardless of
+    fixture content."""
+    import pyspark.sql.functions as F
+
+    from mapreducepy_spark.llm.pii import (
+        _RE_EMAIL,
+        _RE_IP,
+        _RE_PHONE,
+    )
+
+    spark_df = spark.createDataFrame(
+        [("ab1@cd2.ef call +1-555-0000 from 1.2.3.4 x",)], ["text2"]
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text2"), _RE_EMAIL, "<EMAIL>"),
+            _RE_PHONE,
+            "<PHONE>",
+        ),
+        _RE_IP,
+        "<IP>",
+    )
+    row = spark_df.select(
+        redacted.alias("red"),
+        (
+            F.regexp_count("text2", F.lit(_RE_EMAIL))
+            + F.regexp_count("text2", F.lit(_RE_PHONE))
+            + F.regexp_count("text2", F.lit(_RE_IP))
+        ).alias("n"),
+    ).first()
+    assert row.red == "<EMAIL> call <PHONE> from <IP> x"
+    assert row.n == 3
