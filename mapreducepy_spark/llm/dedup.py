@@ -1966,6 +1966,28 @@ def _ensure_band_index(spark: SparkSession, sf_dir: str) -> str:
     return name
 
 
+def append_band_index(
+    spark: SparkSession, name: str, docs: DataFrame
+) -> None:
+    """Nightly index maintenance: shingle→minhash→band ONLY the new
+    documents (delta-sized work) and ``insertInto`` the stored index
+    — Spark honors the table's bucket spec on insert, so the layout
+    contract (probe joins on (band, sig) never re-shuffle the index)
+    survives the append. The corpus is never re-read.
+
+    The fixture-fingerprinted ``bandidx_*`` tables mint a NEW name
+    whenever the source bytes change, so against the static test
+    fixtures this function is exercised on table copies
+    (tests/test_band_index.py); a production deployment keys the
+    index by corpus VERSION and appends each ingest day into it.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle")
+    )
+    bands = _band_table(_minhash_table(spark, "", shingles=sh))
+    bands.write.insertInto(name)
+
+
 @register(
     "dedup_incremental_indexed", _ORACLE_DEDUP_INCREMENTAL,
     tags=("llm", "dedup", "lsh", "incremental", "warehouse"),

@@ -157,9 +157,9 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
        prefix sum — the same per-group rank shape as
        ``agg_quantile_disc``, parallel across shards.
     3. Shard totals (one row per shard — {_RANGE_SHARDS}, a
-       constant, never data-sized) get their exclusive prefix via a
-       broadcast self-join, and the global total via a 1-row
-       broadcast; cum_before = shard offset + local prefix.
+       constant, never data-sized) get their exclusive prefix AND
+       the global total from one broadcast self-join;
+       cum_before = shard offset + local prefix.
 
     Spark's sampling RangePartitioner approximates the split points
     in one pass; this exact form costs the histogram shuffle and is
@@ -208,26 +208,29 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pid",
         F.coalesce(F.sum("n").over(wloc), F.lit(0)).alias("loc_before"),
     )
-    # level 2: shard offsets (exclusive prefix over shard totals) and
-    # the global total — both frames are shard-count-sized constants,
-    # so broadcast joins, never a partition-less window.
+    # level 2: shard offsets (exclusive prefix over shard totals) AND
+    # the global total, both out of ONE tiny self-join over the
+    # shard-count-sized totals frame (shards² rows — a constant), so
+    # broadcast joins, never a partition-less window.
     ptot = h.groupBy("pid").agg(F.sum("n").alias("ptot"))
     off = (
         ptot.alias("a")
-        .join(F.broadcast(ptot.alias("b")), F.col("b.pid") <= F.col("a.pid"))
+        .crossJoin(F.broadcast(ptot.alias("b")))
         .groupBy(F.col("a.pid").alias("pid"))
-        .agg((F.sum("b.ptot") - F.max("a.ptot")).alias("offset"))
-    )
-    tot = hist.agg(F.sum("n").alias("tot"))
-    c = (
-        local.join(F.broadcast(off), "pid")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "k",
-            "n",
-            (F.col("offset") + F.col("loc_before")).alias("cum_before"),
-            "tot",
+        .agg(
+            F.sum(
+                F.when(F.col("b.pid") < F.col("a.pid"), F.col("b.ptot"))
+            ).alias("offset"),
+            F.sum("b.ptot").alias("tot"),
         )
+    )
+    c = local.join(F.broadcast(off), "pid").select(
+        "k",
+        "n",
+        (F.coalesce(F.col("offset"), F.lit(0)) + F.col("loc_before")).alias(
+            "cum_before"
+        ),
+        "tot",
     )
     bucket = F.floor(
         F.col("cum_before") * F.lit(float(_RANGE_BUCKETS)) / F.col("tot")

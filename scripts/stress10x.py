@@ -249,6 +249,12 @@ OPS = (
     # delta-merge maintenance: three group-sized frames off one scan;
     # cost must track the scan, the merge stays group-sized
     "agg_delta_maintenance",
+    # round-12 session growth: the stored-band-index delta probe
+    # (index write is amortized — the timed run pays only the probe;
+    # cost must track the delta like its session-cached twin) and the
+    # shuffle-free PII scrub (pure narrow map: must scale with bytes)
+    "dedup_incremental_indexed",
+    "text_redact",
 )
 
 

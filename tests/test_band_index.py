@@ -143,3 +143,66 @@ def test_index_gc_collects_dead_fixture_orphans(spark, sf_dir, tmp_path):
     finally:
         for d in (dead, young, keepme):
             shutil.rmtree(d, ignore_errors=True)  # don't leak the props
+
+
+def test_index_append_is_delta_sized_and_layout_preserving(spark, sf_dir):
+    """The nightly shape end-to-end: append ONE new document's bands
+    (a byte-copy of an existing doc, so its signatures must collide)
+    into a COPY of the stored index via insertInto — the bucket
+    layout survives (no-Exchange groupBy still plans), the appended
+    doc is probeable, and it collides with its original."""
+    from pyspark.sql import functions as F
+
+    from mapreducepy_spark.llm.dedup import append_band_index
+
+    name = _ensure_band_index(spark, sf_dir)
+    copy = "bandidx_aaaaaaaaaaaa"  # test-local; dropped in finally
+    spark.sql(f"DROP TABLE IF EXISTS {copy}")
+    try:
+        (
+            spark.table(name)
+            .repartition(8, F.col("band"), F.col("sig"))
+            .write.bucketBy(8, "band", "sig")
+            .format("parquet")
+            .saveAsTable(copy)
+        )
+        # tomorrow's delta: one doc whose text copies an existing doc
+        src = (
+            spark.table(name)
+            .select("doc_id")
+            .where(F.col("doc_id").isNotNull())
+            .orderBy("doc_id")
+            .limit(1)
+            .collect()[0][0]
+        )
+        from mapreducepy_spark.io import load
+
+        donor = (
+            load(spark, sf_dir, "documents")
+            .where(F.col("doc_id") == src)
+            .select("doc_id", "text")
+            .collect()[0]
+        )
+        new_id = 999_000_001
+        delta_docs = spark.createDataFrame(
+            [(new_id, donor.text)], ["doc_id", "text"]
+        )
+        n_before = spark.table(copy).count()
+        append_band_index(spark, copy, delta_docs)
+        after = spark.table(copy)
+        assert after.count() > n_before
+        # layout contract survives the append
+        from mapreducepy_spark.plans import plan_text
+
+        agg = after.groupBy("band", "sig").count()
+        assert "Exchange" not in plan_text(agg, "simple")
+        # the appended doc collides with its byte-identical original
+        mine = after.where(F.col("doc_id") == new_id).select("band", "sig")
+        partners = (
+            after.join(mine, ["band", "sig"])
+            .where(F.col("doc_id") == donor.doc_id)
+            .count()
+        )
+        assert partners > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {copy}")
