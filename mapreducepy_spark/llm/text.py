@@ -1024,11 +1024,13 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for boilerplate floods (too shallow) or synthetic/templated text
     (too steep).
 
-    Scale: the fit runs over the VOCABULARY table (types, not
-    tokens), so the single-partition rank window and the final 1-row
-    aggregate are bounded by vocabulary size — millions of rows at
-    web scale, not the corpus' trillions of tokens; the corpus-sized
-    work is one combiner-friendly wordcount.
+    Scale: the corpus-sized work is one combiner-friendly wordcount;
+    the fit then runs over the VOCABULARY table (types, not tokens)
+    — millions of rows at web scale — and even that frame is never
+    funneled through one task: the rank is the distributed two-level
+    count prefix (``operators.prefix``, the ``range_partition_plan``
+    shape — value-range shards on the count, shard-local windows,
+    broadcast offsets), feeding the 1-row closed-form regression.
 
     Hash parity: rank is deterministic (cnt desc, word asc); the
     closed-form slope keeps the identical operation shape on both
@@ -1037,16 +1039,17 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n·Σxy − Σx·Σy stays ≥6 orders above the ulp floor for any
     realistic vocabulary).
     """
-    from pyspark.sql.window import Window
+    from ..operators.prefix import with_global_prefix
 
     tc = _term_counts(spark, sf_dir)
     wc = tc.groupBy("word").agg(F.sum("n").cast("bigint").alias("cnt"))
-    ranked = wc.withColumn(
-        "rank",
-        F.row_number()
-        .over(Window.orderBy(F.col("cnt").desc(), F.col("word").asc()))
-        .cast("bigint"),
-    )
+    ranked = with_global_prefix(
+        wc,
+        "cnt",
+        [F.col("cnt").desc(), F.col("word").asc()],
+        descending=True,
+        count_as="rows_before",
+    ).withColumn("rank", (F.col("rows_before") + 1).cast("bigint"))
     xy = ranked.select(
         F.log(F.col("rank").cast("double")).alias("x"),
         F.log(F.col("cnt").cast("double")).alias("y"),

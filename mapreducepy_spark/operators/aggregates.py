@@ -711,26 +711,29 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_AGG_PARETO = """
 WITH rev AS (
     SELECT l_suppkey,
-           (floor((SUM(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5)
-            / 100.0) AS revenue
+           CAST(floor((SUM(l_extendedprice * (1 - l_discount))) * 100.0
+                      + 0.5) AS BIGINT) AS cents
     FROM lineitem
     GROUP BY l_suppkey
 ),
 c AS (
-    SELECT l_suppkey, revenue,
-           SUM(revenue) OVER (
-               ORDER BY revenue DESC NULLS LAST, l_suppkey ASC
+    SELECT l_suppkey, cents,
+           SUM(COALESCE(cents, 0)) OVER (
+               ORDER BY cents DESC NULLS LAST, l_suppkey ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cum
+           ) AS cum_cents,
+           SUM(COALESCE(cents, 0)) OVER () AS total_cents
     FROM rev
-),
-t AS (SELECT l_suppkey, revenue, cum, MAX(cum) OVER () AS total FROM c)
-SELECT l_suppkey, revenue,
-       (floor((revenue / total) * 1000000.0 + 0.5) / 1000000.0) AS rev_share,
-       (floor((cum / total) * 1000000.0 + 0.5) / 1000000.0) AS cum_share,
-       CAST((floor((cum / total) * 1000000.0 + 0.5) / 1000000.0) <= 0.8 AS INT)
-           AS in_top80
-FROM t
+)
+SELECT l_suppkey,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       (floor((CAST(cents AS DOUBLE) / total_cents) * 1000000.0 + 0.5)
+        / 1000000.0) AS rev_share,
+       (floor((CAST(cum_cents AS DOUBLE) / total_cents) * 1000000.0 + 0.5)
+        / 1000000.0) AS cum_share,
+       CAST((floor((CAST(cum_cents AS DOUBLE) / total_cents) * 1000000.0
+                   + 0.5) / 1000000.0) <= 0.8 AS INT) AS in_top80
+FROM c
 """
 
 
@@ -741,43 +744,53 @@ def agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 80%-of-revenue membership flag — the skew profile that decides
     where salting / bucketing effort goes.
 
-    Scale: the window runs over the AGGREGATED supplier table
-    (#suppliers rows, orders of magnitude below the fact table), so
-    the single-partition ordered window is bounded by dimension
-    cardinality, not data volume; at a cardinality where that breaks,
-    the cumulative sum becomes the classic two-pass partition-prefix
-    rollup. The fact-table side is one combiner-friendly groupBy.
+    Scale: the fact-table side is one combiner-friendly groupBy; the
+    cumulative share then runs over the AGGREGATED supplier table as
+    the DISTRIBUTED two-level prefix sum (``operators.prefix``, the
+    ``range_partition_plan`` shape — value-range shards on the cents,
+    shard-local windows in parallel, broadcast offsets), so no task
+    ever sees the whole supplier frame at any cardinality.
 
-    Hash parity: per-supplier revenue is rounded FIRST; the running
-    sum then adds identical doubles in the identical (revenue desc,
-    suppkey asc) order on both engines, so every cumulative value is
-    bit-identical — and the grand total is taken as MAX(cum), never a
-    separate order-sensitive re-aggregation.
+    Hash parity: per-supplier revenue is rounded to exact BIGINT
+    CENTS first — integer addition is associative, so the two-level
+    regrouping of the prefix sum cannot change a single cumulative
+    value (a float running sum would be order- AND grouping-
+    sensitive; the cents switch is what makes the distributed shape
+    exact). The ordering ties on cents equal the old rounded-double
+    ordering, and every share is the same integer ratio on both
+    engines before the 1e-6 grid.
     """
-    from pyspark.sql.window import Window
+    from .prefix import with_global_prefix
 
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey").agg(
-        dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-        .alias("revenue")
+        F.floor(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            * 100.0
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cents")
+    ).withColumn("cents0", F.coalesce(F.col("cents"), F.lit(0)))
+    c = with_global_prefix(
+        rev,
+        "cents",
+        [F.col("cents").desc(), F.col("l_suppkey").asc()],
+        descending=True,
+        nulls_last=True,
+        sums={"cum_before": "cents0"},
+        total_sums={"total_cents": "cents0"},
     )
-    order = [F.col("revenue").desc(), F.col("l_suppkey").asc()]
-    w_run = (
-        Window.orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_cents = F.col("cum_before") + F.col("cents0")
+    cum_share = dround(
+        cum_cents.cast("double") / F.col("total_cents"), 6
     )
-    w_all = (
-        Window.orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    c = rev.withColumn("cum", F.sum("revenue").over(w_run)).withColumn(
-        "total", F.max("cum").over(w_all)
-    )
-    cum_share = dround(F.col("cum") / F.col("total"), 6)
     return c.select(
         "l_suppkey",
-        "revenue",
-        dround(F.col("revenue") / F.col("total"), 6).alias("rev_share"),
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        dround(
+            F.col("cents").cast("double") / F.col("total_cents"), 6
+        ).alias("rev_share"),
         cum_share.alias("cum_share"),
         (cum_share <= 0.8).cast("int").alias("in_top80"),
     )

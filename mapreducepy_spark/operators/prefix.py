@@ -1,0 +1,197 @@
+"""Distributed global prefix aggregation (the two-level rank shape).
+
+A window ordered over a whole frame with no ``partitionBy`` funnels
+every row through ONE task — fine for metadata-sized frames (a
+source census, a threshold grid), a scale-killer for data-sized ones
+(per-user, per-supplier, per-type tables: billions of rows at
+100 TB). This module is the reusable distributed replacement, proven
+first in ``range_partition_plan`` (VERDICT r11 #2) and then adopted
+by every data-sized global ranking in the catalog (``win_ntile``,
+``events_rfm``, ``agg_pareto``, ``text_zipf``):
+
+1. Every row gets a SHARD id from a deterministic, order-preserving
+   function of the leading sort key: floor((v − vmin) × S / span)
+   between the broadcast global min/max. Monotonic in v ⇒ shards are
+   contiguous slices of the global order (ties of the leading key
+   share a shard, so secondary sort keys never cross a boundary).
+   Deliberately NOT ``repartitionByRange`` + ``spark_partition_id()``:
+   the RangePartitioner samples split points with a per-execution
+   seed, and the shard column feeds TWO plan branches (local prefix
+   + shard totals) — a pure value function cannot disagree between
+   branches; sampled boundaries could (FIXTURES.md r12 gotcha).
+2. A window PARTITIONED BY shard computes local prefix counts/sums —
+   parallel across shards, never a partition-less window.
+3. Shard totals (one row per shard — a CONSTANT, never data-sized)
+   get their exclusive prefix AND the global totals from one
+   broadcast self-join; global prefix = shard offset + local prefix.
+
+Exactness contract: prefix COUNTS are exact by construction; prefix
+SUMS must be over integer (or otherwise exactly-associative) columns
+— float addition is order-sensitive, and the two-level regrouping
+WOULD change the addition order (the reason ``agg_pareto`` switched
+to BIGINT cents when it adopted this shape). Value-range sharding is
+uneven under leading-key skew — that only unbalances SHARD sizes (a
+performance matter: raise ``shards``), never the answer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# One row per shard flows into the broadcast offsets join, so this is
+# a constant bound on that frame, not a parallelism cap at test scale.
+# At 100 TB set near the cluster's target parallelism.
+DEFAULT_SHARDS = 64
+
+# ord_pid sentinel for the NULL shard when it sorts LAST (its rows
+# must come after every real shard in the offsets ordering).
+_NULL_LAST = 1 << 40
+
+
+def with_global_prefix(
+    df: DataFrame,
+    shard_col: str,
+    order: Sequence[Column],
+    *,
+    descending: bool = False,
+    nulls_last: bool = False,
+    sums: Mapping[str, str] | None = None,
+    count_as: str | None = None,
+    total_sums: Mapping[str, str] | None = None,
+    total_count_as: str | None = None,
+    shards: int = DEFAULT_SHARDS,
+) -> DataFrame:
+    """Return ``df`` with exact global-prefix columns, distributed.
+
+    - ``shard_col``: numeric column that is the LEADING key of
+      ``order`` (its direction given by ``descending``/``nulls_last``
+      must match the order's). Ties may exist; they stay in one shard.
+    - ``order``: the TOTAL order (deterministic tie-breaks included)
+      defining "before".
+    - ``sums``: out_name → column; each out column is the sum of that
+      column over all rows STRICTLY before this one in ``order``
+      (0 for the first row). Columns must be integer-typed and
+      non-NULL (see module exactness contract).
+    - ``count_as``: out column counting rows strictly before.
+    - ``total_sums`` / ``total_count_as``: grand totals over the
+      whole frame, attached to every row (replaces the unbounded
+      partition-less window a naive plan would use).
+    """
+    sums = dict(sums or {})
+    total_sums = dict(total_sums or {})
+    if not (sums or count_as or total_sums or total_count_as):
+        raise ValueError("nothing to compute")
+
+    bounds = df.agg(
+        F.min(shard_col).alias("__vmin"), F.max(shard_col).alias("__vmax")
+    )
+    v = F.col(shard_col)
+    pid = F.when(v.isNull(), F.lit(-1).cast("bigint")).otherwise(
+        F.floor(
+            (v - F.col("__vmin")).cast("double")
+            * F.lit(float(shards))
+            / (F.col("__vmax") - F.col("__vmin") + F.lit(1)).cast("double")
+        ).cast("bigint")
+    )
+    h = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("__pid", pid)
+        .drop("__vmin", "__vmax")
+    )
+    # ord_pid: ascending ord_pid == the shards' global sort order
+    sign = -1 if descending else 1
+    null_ord = _NULL_LAST if nulls_last else -_NULL_LAST
+    ord_pid = F.when(F.col("__pid") == -1, F.lit(null_ord)).otherwise(
+        F.lit(sign) * F.col("__pid")
+    )
+    h = h.withColumn("__ord", ord_pid)
+
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc_cols = [
+        F.coalesce(F.sum(src).over(wloc), F.lit(0)).alias(f"__loc_{out}")
+        for out, src in sums.items()
+    ]
+    if count_as:
+        loc_cols.append(
+            F.coalesce(F.count(F.lit(1)).over(wloc), F.lit(0)).alias(
+                "__loc_cnt"
+            )
+        )
+    local = h.select("*", *loc_cols)
+
+    agg_cols = [
+        F.sum(src).alias(f"__pt_{out}")
+        for out, src in {**sums, **total_sums}.items()
+    ]
+    agg_cols.append(F.count(F.lit(1)).alias("__pt_cnt"))
+    ptot = h.groupBy("__ord").agg(*agg_cols)
+    before = F.col("b.__ord") < F.col("a.__ord")
+    off_cols = []
+    for out, src in sums.items():
+        off_cols.append(
+            F.sum(F.when(before, F.col(f"b.__pt_{out}"))).alias(
+                f"__off_{out}"
+            )
+        )
+    for out, src in total_sums.items():
+        off_cols.append(F.sum(F.col(f"b.__pt_{out}")).alias(out))
+    if count_as:
+        off_cols.append(
+            F.sum(F.when(before, F.col("b.__pt_cnt"))).alias("__off_cnt")
+        )
+    if total_count_as:
+        off_cols.append(F.sum("b.__pt_cnt").alias(total_count_as))
+    off = (
+        ptot.alias("a")
+        .crossJoin(F.broadcast(ptot.alias("b")))
+        .groupBy(F.col("a.__ord").alias("__ord"))
+        .agg(*off_cols)
+    )
+
+    out_df = local.join(F.broadcast(off), "__ord")
+    final_cols = [F.col(c) for c in df.columns]
+    for out in sums:
+        final_cols.append(
+            (
+                F.coalesce(F.col(f"__off_{out}"), F.lit(0))
+                + F.col(f"__loc_{out}")
+            ).alias(out)
+        )
+    if count_as:
+        final_cols.append(
+            (
+                F.coalesce(F.col("__off_cnt"), F.lit(0))
+                + F.col("__loc_cnt")
+            ).cast("bigint").alias(count_as)
+        )
+    for out in total_sums:
+        final_cols.append(F.col(out))
+    if total_count_as:
+        final_cols.append(F.col(total_count_as).cast("bigint"))
+    return out_df.select(*final_cols)
+
+
+def ntile_from_rank(rn: Column, total: Column, n: int) -> Column:
+    """Exact NTILE(n) from a 1-based global row_number and the frame
+    size — the standard SQL semantics both Spark and DuckDB implement:
+    the first ``total % n`` tiles hold ``total // n + 1`` rows, the
+    rest ``total // n``. Pure integer algebra, so the distributed
+    rank (``with_global_prefix`` count + 1) reproduces the builtin
+    bit-for-bit."""
+    base = F.floor(total / n).cast("bigint")
+    rem = (total % n).cast("bigint")
+    big = (base + 1) * rem  # rows living in the fat tiles
+    return (
+        F.when(base == 0, rn)  # fewer rows than tiles: tile == rank
+        .when(rn <= big, F.floor((rn - 1) / (base + 1)) + 1)
+        .otherwise(rem + F.floor((rn - big - 1) / base) + 1)
+        .cast("int")
+    )

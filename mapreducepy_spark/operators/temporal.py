@@ -1152,11 +1152,16 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the events-sized work is ONE user-keyed groupBy with
     map-side combine; the three NTILE windows then run over the
     per-user aggregate — three single-partition sorts of one row per
-    purchasing user, the same deliberate aggregate-then-rank shape as
-    ``corpus_mixture_plan`` (documented trade: at extreme user
-    cardinality swap the quartile boundaries for approx_percentile
-    cuts computed distributively; the segment grid itself is ≤64
-    rows). The 1-row horizon broadcasts back via cross join.
+    purchasing user. At extreme user cardinality each axis swaps
+    onto the distributed two-level rank that ``win_ntile`` already
+    ships (``operators.prefix.with_global_prefix`` +
+    ``ntile_from_rank`` — same exact integers, proven on the
+    single-axis keys); it is NOT the default here because the
+    three-axis chain costs ~25 stages of scheduling overhead for a
+    frame that is orders of magnitude below the fact table (measured
+    12.4 s chained / 4.3 s checkpointed vs 0.5 s at sf0.1 — the
+    r12 close ledger), and the segment grid itself is ≤64 rows. The
+    1-row horizon broadcasts back via cross join.
 
     Hash parity: recency is exact DATE arithmetic; per-user monetary
     is rounded 1e-2 BEFORE it feeds both the ordering and the

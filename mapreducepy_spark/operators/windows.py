@@ -141,17 +141,31 @@ FROM customer
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 — ntile quartiles over account balance.
 
-    Note: this window has no partitionBy, which serializes the sort
-    onto one task — acceptable for a per-entity scoring table that
-    fits one node; at 100 TB use ``percent_rank`` over range
-    partitions or bucketed quantiles (A6) instead.
+    Scale: a bare ``NTILE(4) OVER (ORDER BY ...)`` serializes every
+    customer through one task. This runs the distributed two-level
+    rank instead (``operators.prefix``, the ``range_partition_plan``
+    shape): value-range shards on acctbal → shard-local rank windows
+    in parallel → constant-sized shard offsets via broadcast join;
+    the tile is then EXACT integer algebra from (global rank, total)
+    — ``ntile_from_rank`` reproduces the builtin bit-for-bit, so the
+    oracle keeps the plain NTILE text.
     """
-    c = load(spark, sf_dir, "customer")
-    w = Window.orderBy(
-        F.col("c_acctbal").asc_nulls_first(), F.col("c_custkey").asc()
+    from .prefix import ntile_from_rank, with_global_prefix
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = with_global_prefix(
+        c,
+        "c_acctbal",
+        [F.col("c_acctbal").asc_nulls_first(), F.col("c_custkey").asc()],
+        count_as="rows_before",
+        total_count_as="n_total",
     )
-    return c.select(
-        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("wealth_quartile")
+    return ranked.select(
+        "c_custkey",
+        "c_acctbal",
+        ntile_from_rank(
+            F.col("rows_before") + 1, F.col("n_total"), 4
+        ).alias("wealth_quartile"),
     )
 
 

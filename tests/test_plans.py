@@ -7,6 +7,8 @@ refactor that silently degrades a plan fails CI."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from mapreducepy_spark.plans import executed_plan, plan_text, read_schema_line
@@ -356,13 +358,17 @@ def test_perplexity_unigram_table_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_pareto_windows_share_one_exchange(spark, sf_dir):
-    """Both window frames order identically, so the plan must collect
-    the supplier aggregate into the ordered window partition ONCE
-    (one SinglePartition Exchange, one Sort), not once per frame."""
+def test_pareto_prefix_is_distributed(spark, sf_dir):
+    """The cumulative-share pass is the two-level distributed prefix
+    sum over exact BIGINT cents (r12): the only Window is partitioned
+    by the shard id — the supplier frame is never funneled through
+    one task — and the shard-offset frames stay broadcast-joined."""
     plan = plan_of(spark, "agg_pareto", sf_dir, mode="simple")
-    assert plan.count("Exchange SinglePartition") == 1
-    assert plan.count("Sort ") <= 1
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert specs
+    for ln in specs:
+        assert "__pid" in ln, f"partition-less window crept back in: {ln}"
+    assert "SortMergeJoin" not in plan
 
 
 def test_tfidf_scans_once_via_exchange_reuse_at_scale(spark, sf_dir):
@@ -1462,18 +1468,55 @@ def test_no_cartesian_or_row_udf_anywhere_in_catalog(spark, sf_dir):
     - no ``BatchEvalPython`` — row-at-a-time Python UDFs are banned
       from every registered plan (Python crosses the wire only as
       Arrow-batched pandas kernels: FlatMapGroupsInPandas /
-      MapInPandas / ArrowEvalPython).
+      MapInPandas / ArrowEvalPython);
+    - no PARTITION-LESS window over a data-sized frame (r12): a
+      ``Window.orderBy`` with no ``partitionBy`` funnels its whole
+      input through ONE task — every data-sized global ranking now
+      rides the two-level distributed prefix (``operators.prefix``).
+      The whitelist below names the keys whose window input is
+      METADATA-sized by construction and therefore exempt:
+      the mixture trio orders |sources| rows (a handful at any
+      corpus), dedup_threshold_sweep orders the fixed threshold
+      grid, text_vocab_coverage's window rides the top-1000 frame a
+      TakeOrderedAndProject heap already reduced, and events_rfm is
+      the documented aggregate-then-rank trade: its three-axis
+      quartile chain swaps onto the SAME prefix machinery at extreme
+      user cardinality (the single-axis form is what win_ntile runs)
+      but costs ~25 stages of scheduling overhead at bench scale for
+      a user-sized frame (12.4 s vs 0.5 s measured — r12 ledger).
 
-    One loop instead of 218 parametrized tests: the failure message
+    One loop instead of 226 parametrized tests: the failure message
     names every offender, and collection stays light."""
-    offenders: dict[str, list[str]] = {"cartesian": [], "row_udf": []}
+    partitionless_ok = {
+        "corpus_mixture_plan",
+        "corpus_mixture_apply",
+        "pipeline_mixture_manifest",
+        "dedup_threshold_sweep",
+        "text_vocab_coverage",
+        "events_rfm",
+    }
+    offenders: dict[str, list[str]] = {
+        "cartesian": [],
+        "row_udf": [],
+        "partitionless_window": [],
+    }
     for name, q in CATALOG.items():
         plan = plan_text(q.builder(spark, sf_dir), "simple")
         if "CartesianProduct" in plan:
             offenders["cartesian"].append(name)
         if "BatchEvalPython" in plan:
             offenders["row_udf"].append(name)
-    assert offenders == {"cartesian": [], "row_udf": []}
+        if name not in partitionless_ok:
+            for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+                first = m.group(1).split(",")[0]
+                if " ASC" in first or " DESC" in first:
+                    offenders["partitionless_window"].append(name)
+                    break
+    assert offenders == {
+        "cartesian": [],
+        "row_udf": [],
+        "partitionless_window": [],
+    }
 
 
 def test_events_views_unconverted_is_anti_join_not_outer(spark, sf_dir):

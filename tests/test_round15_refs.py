@@ -128,3 +128,85 @@ def test_text_redact_span_counting_not_fooled_by_placeholders(spark):
     ).first()
     assert row.red == "<EMAIL> call <PHONE> from <IP> x"
     assert row.n == 3
+
+
+def test_with_global_prefix_matches_partitionless_window(spark):
+    """The distributed two-level prefix must equal the naive
+    partition-less window on a constructed frame that exercises ties
+    in the leading key, NULL keys at both sort positions, descending
+    order, and sums alongside counts."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from mapreducepy_spark.operators.prefix import with_global_prefix
+
+    rows = [
+        (1, 10, 3),
+        (2, 10, 5),   # tie on the leading key
+        (3, None, 7),  # NULL leading key
+        (4, -2, 1),
+        (5, 40, 2),
+        (6, 40, 4),
+        (7, 0, 6),
+        (8, None, 8),
+    ]
+    df = spark.createDataFrame(rows, ["id", "k", "n"])
+    for descending, nulls_last in ((False, False), (True, True)):
+        korder = (
+            F.col("k").desc() if descending else F.col("k").asc_nulls_first()
+        )
+        order = [korder, F.col("id").asc()]
+        got = (
+            with_global_prefix(
+                df,
+                "k",
+                order,
+                descending=descending,
+                nulls_last=nulls_last,
+                sums={"cum_before": "n"},
+                count_as="rows_before",
+                total_sums={"tot_n": "n"},
+                total_count_as="tot_rows",
+                shards=3,  # tiny: forces multi-row shards + ties
+            )
+            .orderBy(*order)
+            .collect()
+        )
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+        want = (
+            df.select(
+                "id",
+                F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_before"),
+                F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)).alias(
+                    "rows_before"
+                ),
+            )
+            .orderBy(*order)
+            .collect()
+        )
+        assert [(r.id, r.cum_before, r.rows_before) for r in got] == [
+            (r.id, r.cum_before, r.rows_before) for r in want
+        ], (descending, nulls_last)
+        assert all(r.tot_n == 36 and r.tot_rows == 8 for r in got)
+
+
+def test_ntile_from_rank_matches_builtin(spark):
+    """ntile_from_rank must reproduce F.ntile bit-for-bit across
+    frame sizes around every remainder class, tiles > rows included."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from mapreducepy_spark.operators.prefix import ntile_from_rank
+
+    for total in (1, 2, 3, 4, 5, 7, 8, 9, 100):
+        for n in (2, 4, 7):
+            df = spark.range(total).select(F.col("id"))
+            w = Window.orderBy("id")
+            got = df.select(
+                "id",
+                F.ntile(n).over(w).alias("builtin"),
+                ntile_from_rank(
+                    F.row_number().over(w), F.lit(total), n
+                ).alias("formula"),
+            ).collect()
+            assert all(r.builtin == r.formula for r in got), (total, n)
