@@ -901,3 +901,118 @@ def pipeline_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+# --- token-budget curation (greedy quality prefix) -------------------
+
+# Budget fraction of the corpus token mass the curated set may spend.
+_BUDGET_FRAC = 0.4
+
+_ORACLE_CORPUS_TOKEN_BUDGET = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+pd AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_types
+    FROM toks WHERE word <> '' GROUP BY doc_id
+),
+d AS (
+    SELECT docs.source, pd.doc_id, pd.n_tokens, pd.n_types
+    FROM documents docs JOIN pd ON pd.doc_id = docs.doc_id
+),
+c AS (
+    SELECT source, doc_id, n_tokens, n_types,
+           COALESCE(SUM(n_tokens) OVER (
+               ORDER BY n_types DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_before,
+           SUM(n_tokens) OVER () AS tot
+    FROM d
+),
+s AS (
+    SELECT source, n_tokens, tot,
+           CASE WHEN cum_before + n_tokens
+                     <= CAST(floor(tot * {_BUDGET_FRAC}) AS BIGINT)
+                THEN 1 ELSE 0 END AS sel
+    FROM c
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(sel) AS BIGINT) AS n_docs_selected,
+       CAST(SUM(CASE WHEN sel = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS n_tokens_selected,
+       (floor((CAST(SUM(CASE WHEN sel = 1 THEN n_tokens ELSE 0 END)
+                    AS DOUBLE) / MAX(tot)) * 1000000.0 + 0.5) / 1000000.0)
+           AS corpus_share
+FROM s
+GROUP BY source
+"""
+
+
+@register(
+    "corpus_token_budget", _ORACLE_CORPUS_TOKEN_BUDGET,
+    tags=("llm", "pipeline", "curation"),
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation — the data-mixing step every training
+    run starts with: spend at most ``_BUDGET_FRAC`` (40%) of the
+    corpus token mass on the highest-quality documents (quality proxy =
+    type count, an INTEGER so the greedy order is exactly
+    deterministic; production swaps in its own scorer), reported as
+    the per-source census of what survived the cut. A doc is
+    admitted iff the running token total through it stays within the
+    budget — the classic greedy prefix, so which sources lose mass
+    under a budget squeeze is exactly what this card shows.
+
+    Scale: the corpus-sized work is one explode + one doc-keyed
+    groupBy; the greedy prefix is the DISTRIBUTED two-level token
+    cumsum (``operators.prefix``, the ``range_partition_plan``
+    shape) over the per-doc frame — billions of docs never funnel
+    through one task, and the token sums are exact BIGINTs, so the
+    two-level regrouping is exact. Final census shuffles |sources|
+    rows.
+
+    Hash parity: the ranking key (n_types DESC, doc_id ASC) and all
+    cumulative arithmetic are integers; the single float is the
+    budget threshold floor(tot × ``_BUDGET_FRAC``) — one multiply +
+    floor of the same integer on both engines — and the 1e-6-gridded
+    share. Duplicate doc_id fixture rows merge in the per-doc
+    aggregate and then fan back out per instance; their (n_types,
+    doc_id) ties make the instances interchangeable, so every
+    per-source SUM is order-invariant. Zero-token docs never enter
+    the ranking (no pd row) and NULL doc_ids fail the join on both
+    sides.
+    """
+    from ..operators.prefix import with_global_prefix
+
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    pd_ = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("word").cast("bigint").alias("n_types"),
+    )
+    d = docs.select("doc_id", "source").join(pd_, "doc_id")
+    c = with_global_prefix(
+        d,
+        "n_types",
+        [F.col("n_types").desc(), F.col("doc_id").asc()],
+        descending=True,
+        sums={"cum_before": "n_tokens"},
+        total_sums={"tot": "n_tokens"},
+    )
+    budget = F.floor(F.col("tot") * _BUDGET_FRAC).cast("bigint")
+    sel = (F.col("cum_before") + F.col("n_tokens")) <= budget
+    sel_tokens = F.sum(F.when(sel, F.col("n_tokens")).otherwise(0))
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(sel.cast("int")).cast("bigint").alias("n_docs_selected"),
+        sel_tokens.cast("bigint").alias("n_tokens_selected"),
+        dround(
+            sel_tokens.cast("double") / F.max("tot"), 6
+        ).alias("corpus_share"),
+    )

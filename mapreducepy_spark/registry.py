@@ -139,7 +139,7 @@ _KEY_ORDER = (
     # round-12 session growth block: zero driver evidence — rotates
     # into the round-13 window head with the r8 remainder above
     # (keys are appended here as they land this session)
-    "dedup_incremental_indexed", "text_redact",
+    "dedup_incremental_indexed", "text_redact", "corpus_token_budget",
     # r9-green block
     "avro_census", "join_point_in_time", "cdc_snapshot_diff",
     "agg_approx_distinct_bound", "agg_mad", "agg_moments", "win_ema",

@@ -255,6 +255,9 @@ OPS = (
     # shuffle-free PII scrub (pure narrow map: must scale with bytes)
     "dedup_incremental_indexed",
     "text_redact",
+    # the greedy token-budget prefix: two-level distributed cumsum
+    # over the per-doc frame — must stay doc-linear
+    "corpus_token_budget",
 )
 
 

@@ -210,3 +210,60 @@ def test_ntile_from_rank_matches_builtin(spark):
                 ).alias("formula"),
             ).collect()
             assert all(r.builtin == r.formula for r in got), (total, n)
+
+
+def test_corpus_token_budget_matches_pandas_greedy(spark, sf_dir):
+    """Independent pandas recompute of the greedy budget prefix:
+    per-doc token/type counts (merging duplicate doc_id instances in
+    the aggregate, fanning back out per instance — the engine's join
+    semantics), the (n_types DESC, doc_id ASC) greedy order,
+    cumulative tokens, floor(tot×0.4) cut, per-source census."""
+    import math
+
+    docs = _pq(sf_dir, "documents")
+    per: dict[int, list[int]] = {}
+    for r in docs.itertuples():
+        if pd.isna(r.doc_id) or r.text is None:
+            continue
+        words = [w for w in r.text.split(" ") if w != ""]
+        if not words:
+            continue
+        k = int(r.doc_id)
+        e = per.setdefault(k, [0, set()])
+        e[0] += len(words)
+        e[1] = e[1] | set(words)
+    rows = []
+    for r in docs.itertuples():
+        if pd.isna(r.doc_id):
+            continue
+        k = int(r.doc_id)
+        if k in per:
+            rows.append((r.source, k, per[k][0], len(per[k][1])))
+    rows.sort(key=lambda t: (-t[3], t[1]))
+    tot = sum(t[2] for t in rows)
+    budget = math.floor(tot * 0.4)
+    exp: dict = {}
+    cum = 0
+    for source, _k, n_tok, _n_ty in rows:
+        sel = cum + n_tok <= budget
+        e = exp.setdefault(source, [0, 0, 0])
+        e[0] += 1
+        if sel:
+            e[1] += 1
+            e[2] += n_tok
+        cum += n_tok
+    got = CATALOG["corpus_token_budget"].builder(spark, sf_dir).toPandas()
+    assert len(got) == len(exp)
+    saw_partial = False
+    for r in got.itertuples():
+        e = exp[r.source]
+        assert (
+            int(r.n_docs),
+            int(r.n_docs_selected),
+            int(r.n_tokens_selected),
+        ) == tuple(e), r.source
+        assert abs(r.corpus_share - e[2] / tot) < 2e-6
+        saw_partial |= 0 < e[1] < e[0]
+    # non-degeneracy: the 40% budget must actually CUT somewhere —
+    # at least one source keeps some but not all of its docs
+    assert saw_partial, "budget cut nothing — fixture degenerate"
