@@ -926,7 +926,7 @@ d AS (
 c AS (
     SELECT source, doc_id, n_tokens, n_types,
            COALESCE(SUM(n_tokens) OVER (
-               ORDER BY n_types DESC, doc_id ASC
+               ORDER BY n_types DESC, doc_id ASC, source ASC NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
            ), 0) AS cum_before,
            SUM(n_tokens) OVER () AS tot
@@ -981,10 +981,15 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor of the same integer on both engines — and the 1e-6-gridded
     share. Duplicate doc_id fixture rows merge in the per-doc
     aggregate and then fan back out per instance; their (n_types,
-    doc_id) ties make the instances interchangeable, so every
-    per-source SUM is order-invariant. Zero-token docs never enter
-    the ranking (no pd row) and NULL doc_ids fail the join on both
-    sides.
+    doc_id) ties are broken by source (ASC NULLS FIRST, pinned both
+    engines), making the greedy order TOTAL over instance rows — a
+    budget boundary falling inside a duplicated doc_id therefore
+    cuts the same instance on both engines (r12 review: without the
+    source tie-break, a dup doc_id spanning two sources could
+    diverge; the shipped fixtures carry no dup doc_ids, so this is a
+    latent-hazard pin, not an observed failure). Zero-token docs
+    never enter the ranking (no pd row) and NULL doc_ids fail the
+    join on both sides.
     """
     from ..operators.prefix import with_global_prefix
 
@@ -1000,8 +1005,13 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = with_global_prefix(
         d,
         "n_types",
-        [F.col("n_types").desc(), F.col("doc_id").asc()],
+        [
+            F.col("n_types").desc(),
+            F.col("doc_id").asc(),
+            F.col("source").asc_nulls_first(),
+        ],
         descending=True,
+        nulls_last=True,  # Spark desc default; n_types is never NULL
         sums={"cum_before": "n_tokens"},
         total_sums={"tot": "n_tokens"},
     )

@@ -1043,11 +1043,29 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tc = _term_counts(spark, sf_dir)
     wc = tc.groupBy("word").agg(F.sum("n").cast("bigint").alias("cnt"))
+    # shard key: Zipfian counts are catastrophically skewed for
+    # value-range sharding (every word below ~cnt_max/shards — i.e.
+    # almost the whole vocabulary — would land in shard 0; r12
+    # review), so shard on a composite that is monotonic in the FULL
+    # (cnt DESC, word ASC) order and near-uniform over the tail:
+    # −cnt·2²⁰ + first-two-byte word bucket. Ties (same cnt, same
+    # 2-byte prefix) colocate, which is all contiguity needs; the
+    # huge cnt=1 tail spreads across shards by word prefix. UTF-8
+    # binary string order is codepoint order, so ascii(substr) is
+    # monotonic w.r.t. the word sort on both engines.
+    # codepoints clamp at 255 so the bucket stays < 2²⁰ (the cnt
+    # stride) — unicode heads ≥ U+00FF tie at the clamp and merely
+    # colocate, preserving monotonicity
+    b1 = F.least(F.ascii(F.substring("word", 1, 1)), F.lit(255))
+    b2 = F.least(
+        F.coalesce(F.ascii(F.substring("word", 2, 1)), F.lit(0)),
+        F.lit(255),
+    )
+    sk = F.col("cnt") * F.lit(-(1 << 20)) + b1 * 256 + b2
     ranked = with_global_prefix(
-        wc,
-        "cnt",
+        wc.withColumn("sk", sk),
+        "sk",
         [F.col("cnt").desc(), F.col("word").asc()],
-        descending=True,
         count_as="rows_before",
     ).withColumn("rank", (F.col("rows_before") + 1).cast("bigint"))
     xy = ranked.select(

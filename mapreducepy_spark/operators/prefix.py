@@ -31,7 +31,19 @@ SUMS must be over integer (or otherwise exactly-associative) columns
 WOULD change the addition order (the reason ``agg_pareto`` switched
 to BIGINT cents when it adopted this shape). Value-range sharding is
 uneven under leading-key skew — that only unbalances SHARD sizes (a
-performance matter: raise ``shards``), never the answer.
+performance matter: raise ``shards``), never the answer; when the
+leading key's VALUE distribution is pathologically skewed (Zipfian
+counts), shard on a rank-uniform monotonic composite instead
+(``text_zipf``'s −cnt·2²⁰ + word-prefix bucket).
+
+Cost caveat: the bounds aggregate and the shard-totals branch are
+extra plan branches over the input's lineage — AQE exchange reuse
+dedupes them at runtime (verified on ``range_partition_plan``'s
+executed plan), but if reuse is disabled, or the input lineage is a
+whole corpus pipeline, cache/checkpoint the input first. Chaining
+SEVERAL prefix axes multiplies branches; the measured cost table is
+``events_rfm``'s docstring (12.4 s chained vs 0.5 s at sf0.1 —
+stage scheduling, not data).
 """
 
 from __future__ import annotations
@@ -85,6 +97,27 @@ def with_global_prefix(
     total_sums = dict(total_sums or {})
     if not (sums or count_as or total_sums or total_count_as):
         raise ValueError("nothing to compute")
+    # foot-gun guard (r12 review): a descending/nulls_last flag that
+    # disagrees with the leading order expression silently corrupts
+    # every prefix (shards ordered one way, rows within them the
+    # other). Spark normalizes sort-order strings to
+    # "<expr> ASC|DESC NULLS FIRST|LAST" — validate against it. Only
+    # enforceable when the shard column IS the leading order key; a
+    # caller sharding on a derived composite key (e.g. text_zipf's
+    # rank-uniform proxy) owns the monotonicity contract itself.
+    lead = str(order[0])
+    lead_is_shard = lead.split("'", 1)[-1].startswith(f"{shard_col} ")
+    if lead_is_shard and (" DESC" in lead or " ASC" in lead):
+        if (" DESC" in lead) != bool(descending):
+            raise ValueError(
+                f"descending={descending} contradicts leading order "
+                f"{lead!r}"
+            )
+        if ("NULLS LAST" in lead) != bool(nulls_last):
+            raise ValueError(
+                f"nulls_last={nulls_last} contradicts leading order "
+                f"{lead!r}"
+            )
 
     bounds = df.agg(
         F.min(shard_col).alias("__vmin"), F.max(shard_col).alias("__vmax")

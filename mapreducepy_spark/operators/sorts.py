@@ -180,57 +180,22 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     vanish from MIN/MAX identically; duplicate fixture rows only
     raise a key's n, never split it.
     """
+    from .prefix import with_global_prefix
+
     li = load(spark, sf_dir, "lineitem")
     hist = li.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    # level 1: deterministic contiguous shards + shard-local prefix
-    # sums. span uses +1 so kmax itself stays below shard count.
-    bounds = hist.agg(
-        F.min("k").alias("kmin"), F.max("k").alias("kmax")
-    )
-    shard = F.when(F.col("k").isNull(), F.lit(-1).cast("bigint")).otherwise(
-        F.floor(
-            (F.col("k") - F.col("kmin")).cast("double")
-            * F.lit(float(_RANGE_SHARDS))
-            / (F.col("kmax") - F.col("kmin") + F.lit(1)).cast("double")
-        ).cast("bigint")
-    )
-    h = hist.crossJoin(F.broadcast(bounds)).withColumn("pid", shard)
-    wloc = (
-        Window.partitionBy("pid")
-        .orderBy(F.col("k").asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = h.select(
+    # the two-level distributed prefix sum lives in operators.prefix
+    # (extracted from this operator's hand-rolled r12 form — r12
+    # review: two drifting copies of the trickiest algebra); shard on
+    # the key itself, NULLS FIRST, exact BIGINT row counts
+    c = with_global_prefix(
+        hist,
         "k",
-        "n",
-        "pid",
-        F.coalesce(F.sum("n").over(wloc), F.lit(0)).alias("loc_before"),
-    )
-    # level 2: shard offsets (exclusive prefix over shard totals) AND
-    # the global total, both out of ONE tiny self-join over the
-    # shard-count-sized totals frame (shards² rows — a constant), so
-    # broadcast joins, never a partition-less window.
-    ptot = h.groupBy("pid").agg(F.sum("n").alias("ptot"))
-    off = (
-        ptot.alias("a")
-        .crossJoin(F.broadcast(ptot.alias("b")))
-        .groupBy(F.col("a.pid").alias("pid"))
-        .agg(
-            F.sum(
-                F.when(F.col("b.pid") < F.col("a.pid"), F.col("b.ptot"))
-            ).alias("offset"),
-            F.sum("b.ptot").alias("tot"),
-        )
-    )
-    c = local.join(F.broadcast(off), "pid").select(
-        "k",
-        "n",
-        (F.coalesce(F.col("offset"), F.lit(0)) + F.col("loc_before")).alias(
-            "cum_before"
-        ),
-        "tot",
+        [F.col("k").asc_nulls_first()],
+        sums={"cum_before": "n"},
+        total_sums={"tot": "n"},
     )
     bucket = F.floor(
         F.col("cum_before") * F.lit(float(_RANGE_BUCKETS)) / F.col("tot")

@@ -116,8 +116,14 @@ def gc_stale_tables(
         side = os.path.join(full, "_SOURCE")
         keep = False
         if os.path.exists(side):
-            with open(side) as fh:
-                lines = [ln.strip() for ln in fh if ln.strip()]
+            try:
+                with open(side) as fh:
+                    lines = [ln.strip() for ln in fh if ln.strip()]
+            except OSError:
+                # a CONCURRENT session's GC removed the dir between
+                # our exists() and open() (r12 review) — it is gone,
+                # nothing left for us to collect
+                continue
             version_ok = writer_tag in lines
             sources_ok = all(
                 os.path.exists(ln)

@@ -1509,7 +1509,16 @@ def test_no_cartesian_or_row_udf_anywhere_in_catalog(spark, sf_dir):
         if name not in partitionless_ok:
             for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
                 first = m.group(1).split(",")[0]
-                if " ASC" in first or " DESC" in first:
+                # a spec WITH partitions leads with a bare column; a
+                # partition-less one leads with an order expression
+                # (" ASC"/" DESC") or — unordered total frames — goes
+                # straight to specifiedwindowframe (r12 review: the
+                # order-only heuristic missed SUM(x) OVER ())
+                if (
+                    " ASC" in first
+                    or " DESC" in first
+                    or first.lstrip().startswith("specifiedwindowframe")
+                ):
                     offenders["partitionless_window"].append(name)
                     break
     assert offenders == {
