@@ -81,7 +81,13 @@ def with_global_prefix(
 
     - ``shard_col``: numeric column that is the LEADING key of
       ``order`` (its direction given by ``descending``/``nulls_last``
-      must match the order's). Ties may exist; they stay in one shard.
+      must match the order's). Ties may exist; they stay in one
+      shard. NULLs are handled (the −1 shard); NaN is NOT — a NaN
+      survives the value arithmetic as a NULL shard id that bypasses
+      the −1 sentinel and drops from the inner offsets join. Every
+      current caller shards on counts, ranks, cents or a composite
+      of them (NaN-free by construction); filter or quarantine NaN
+      before sharding on a raw float measure.
     - ``order``: the TOTAL order (deterministic tie-breaks included)
       defining "before".
     - ``sums``: out_name → column; each out column is the sum of that

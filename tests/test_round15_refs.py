@@ -267,3 +267,83 @@ def test_corpus_token_budget_matches_pandas_greedy(spark, sf_dir):
     # non-degeneracy: the 40% budget must actually CUT somewhere —
     # at least one source keeps some but not all of its docs
     assert saw_partial, "budget cut nothing — fixture degenerate"
+
+
+def test_with_global_prefix_degenerate_frames(spark):
+    """Edge contract: empty input → empty output (the bounds row is
+    all-NULL but no row consults it); single-row and all-NULL-key
+    frames produce zero prefixes and correct totals."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from mapreducepy_spark.operators.prefix import with_global_prefix
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("n", LongType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    out = with_global_prefix(
+        empty,
+        "k",
+        [F.col("k").asc_nulls_first()],
+        sums={"cb": "n"},
+        count_as="rb",
+        total_sums={"tn": "n"},
+        total_count_as="tr",
+    )
+    assert out.count() == 0
+
+    one = spark.createDataFrame([(7, 3)], schema)
+    r = with_global_prefix(
+        one,
+        "k",
+        [F.col("k").asc_nulls_first()],
+        sums={"cb": "n"},
+        count_as="rb",
+        total_sums={"tn": "n"},
+        total_count_as="tr",
+    ).collect()[0]
+    assert (r.cb, r.rb, r.tn, r.tr) == (0, 0, 3, 1)
+
+    nulls = spark.createDataFrame([(None, 2), (None, 5)], schema)
+    rows = (
+        with_global_prefix(
+            nulls,
+            "k",
+            [F.col("k").asc_nulls_first(), F.col("n").asc()],
+            sums={"cb": "n"},
+            count_as="rb",
+            total_count_as="tr",
+        )
+        .orderBy("n")
+        .collect()
+    )
+    assert [(r.cb, r.rb, r.tr) for r in rows] == [(0, 0, 2), (2, 1, 2)]
+
+
+def test_with_global_prefix_rejects_contradictory_flags(spark):
+    """The r12-review foot-gun guard: a descending flag that
+    disagrees with the leading order expression raises instead of
+    silently corrupting prefixes."""
+    import pytest as _pytest
+
+    import pyspark.sql.functions as F
+
+    from mapreducepy_spark.operators.prefix import with_global_prefix
+
+    df = spark.createDataFrame([(1, 1)], ["k", "n"])
+    with _pytest.raises(ValueError, match="contradicts"):
+        with_global_prefix(
+            df, "k", [F.col("k").desc()], count_as="rb"
+        )  # descending not set
+    with _pytest.raises(ValueError, match="contradicts"):
+        with_global_prefix(
+            df,
+            "k",
+            [F.col("k").asc_nulls_last()],
+            count_as="rb",
+        )  # nulls_last not set
