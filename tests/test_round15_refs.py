@@ -347,3 +347,101 @@ def test_with_global_prefix_rejects_contradictory_flags(spark):
             [F.col("k").asc_nulls_last()],
             count_as="rb",
         )  # nulls_last not set
+
+
+# --- hypothesis property layer (pure-python mirrors, no Spark) -------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-1000, 1000)),  # shard key
+            st.integers(0, 50),                              # summand
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    shards=st.integers(1, 65),
+    descending=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_two_level_prefix_algebra_property(rows, shards, descending):
+    """THE theorem with_global_prefix rides, pure-python mirror: for
+    ANY multiset of (key, n) rows (NULL keys included), any shard
+    count, either direction — value-range shard id + shard-local
+    prefix + exclusive shard-total offsets == the sequential prefix
+    over the global order. Verifies monotone shard ids along the
+    order as a lemma (ties colocate by construction)."""
+    idx_rows = list(enumerate(rows))  # idx = the deterministic tie-break
+    nonnull = [k for _, (k, _) in idx_rows if k is not None]
+    vmin, vmax = (min(nonnull), max(nonnull)) if nonnull else (0, 0)
+    span = vmax - vmin + 1
+
+    def pid(k):
+        if k is None:
+            return -1
+        return int((k - vmin) * shards // span)
+
+    def ord_pid(p):
+        if descending:  # nulls last under DESC
+            return 1 << 40 if p == -1 else -p
+        return p  # nulls first under ASC: -1 already sorts first
+
+    def sort_key(item):
+        i, (k, _) = item
+        if k is None:
+            kk = (0, 0) if not descending else (2, 0)
+        else:
+            kk = (1, -k if descending else k)
+        return (kk, i)
+
+    glob = sorted(idx_rows, key=sort_key)
+    # lemma: shard ord is monotone non-decreasing along the order
+    ords = [ord_pid(pid(k)) for _, (k, _) in glob]
+    assert all(a <= b for a, b in zip(ords, ords[1:]))
+    # naive sequential prefix
+    naive = {}
+    cum = 0
+    for i, (_k, n) in glob:
+        naive[i] = cum
+        cum += n
+    # two-level: local prefix within shard (same global order) +
+    # exclusive sum of lower-ord shard totals
+    ptot = {}
+    loc = {}
+    lcum = {}
+    for i, (k, n) in glob:
+        p = ord_pid(pid(k))
+        loc[i] = lcum.get(p, 0)
+        lcum[p] = lcum.get(p, 0) + n
+        ptot[p] = ptot.get(p, 0) + n
+    for i, (k, n) in idx_rows:
+        p = ord_pid(pid(k))
+        offset = sum(t for q, t in ptot.items() if q < p)
+        assert offset + loc[i] == naive[i], (i, k, n)
+
+
+@given(total=st.integers(1, 500), n=st.integers(1, 32))
+@settings(max_examples=200, deadline=None)
+def test_ntile_formula_property(total, n):
+    """ntile_from_rank's integer algebra vs the SQL-standard
+    definition (first total%n tiles get total//n+1 rows), pure
+    python, every rank of every frame size."""
+    base, rem = divmod(total, n)
+    big = (base + 1) * rem
+    expect = []
+    for tile in range(1, min(n, total) + 1):
+        size = base + 1 if tile <= rem else base
+        expect.extend([tile] * size)
+    got = []
+    for rn in range(1, total + 1):
+        if base == 0:
+            got.append(rn)
+        elif rn <= big:
+            got.append((rn - 1) // (base + 1) + 1)
+        else:
+            got.append(rem + (rn - big - 1) // base + 1)
+    assert got == expect
