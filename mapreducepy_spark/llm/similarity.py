@@ -1475,3 +1475,256 @@ def _recall_ledger(ann: DataFrame, knn: DataFrame) -> DataFrame:
             + 0.5
         ).cast("bigint").alias("avg_regret_upm"),
     )
+
+
+# --- IVF + PQ asymmetric-distance search audit ------------------------
+
+# Query sample: md5-tail bucket of vec_id (~12.5%) — the sampling
+# family's keyed-hash discipline, deterministic on both engines.
+_ADC_CUT = "e0"
+
+_ORACLE_SIM_ANN_ADC = f"""
+WITH raw AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                         AS BIGINT)) AS qv
+    FROM embeddings
+    WHERE vec_id IS NOT NULL AND len(embedding) = 64
+),
+corpus AS (SELECT vec_id, MIN(qv) AS qv FROM raw GROUP BY vec_id),
+cent AS (SELECT vec_id AS cell, qv AS cv FROM corpus WHERE vec_id < 16),
+cellassign AS (
+    SELECT vec_id, cell FROM (
+        SELECT c.vec_id, ct.cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                   CAST(list_sum(list_transform(range(1, 65),
+                       i -> (c.qv[i] - ct.cv[i]) * (c.qv[i] - ct.cv[i])))
+                       AS BIGINT) ASC,
+                   ct.cell ASC) AS rn
+        FROM corpus c CROSS JOIN cent ct
+    ) t WHERE rn = 1
+),
+subs AS (
+    SELECT vec_id, s.s, list_slice(qv, s.s * 8 + 1, s.s * 8 + 8) AS v
+    FROM corpus CROSS JOIN (SELECT UNNEST(range(8)) AS s) s
+),
+cb AS (SELECT vec_id AS cw, s, v AS c FROM subs WHERE vec_id < 16),
+best AS (
+    SELECT vec_id, s, cw FROM (
+        SELECT subs.vec_id, subs.s, cb.cw,
+               ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.s ORDER BY
+                   CAST(list_sum(list_transform(range(1, 9),
+                       i -> (subs.v[i] - cb.c[i]) * (subs.v[i] - cb.c[i])))
+                       AS BIGINT) ASC,
+                   cb.cw ASC) AS rn
+        FROM subs JOIN cb ON subs.s = cb.s
+    ) t WHERE rn = 1
+),
+recon AS (
+    SELECT b.vec_id,
+           MAX(CASE WHEN b.s = 0 THEN cb.c END)
+        || MAX(CASE WHEN b.s = 1 THEN cb.c END)
+        || MAX(CASE WHEN b.s = 2 THEN cb.c END)
+        || MAX(CASE WHEN b.s = 3 THEN cb.c END)
+        || MAX(CASE WHEN b.s = 4 THEN cb.c END)
+        || MAX(CASE WHEN b.s = 5 THEN cb.c END)
+        || MAX(CASE WHEN b.s = 6 THEN cb.c END)
+        || MAX(CASE WHEN b.s = 7 THEN cb.c END) AS recon
+    FROM best b JOIN cb ON cb.s = b.s AND cb.cw = b.cw
+    GROUP BY b.vec_id
+),
+qs AS (
+    SELECT c.vec_id AS q_id, c.qv AS q_qv, a.cell
+    FROM corpus c JOIN cellassign a ON a.vec_id = c.vec_id
+    WHERE substring(md5(CAST(c.vec_id AS VARCHAR)), 1, 2) >= '{_ADC_CUT}'
+),
+ns AS (
+    SELECT c.vec_id AS n_id, c.qv AS n_qv, r.recon, a.cell
+    FROM corpus c
+    JOIN cellassign a ON a.vec_id = c.vec_id
+    JOIN recon r ON r.vec_id = c.vec_id
+),
+pairs AS (
+    SELECT q.q_id, q.cell, n.n_id,
+           CAST(list_sum(list_transform(range(1, 65),
+               i -> (q.q_qv[i] - n.n_qv[i]) * (q.q_qv[i] - n.n_qv[i])))
+               AS BIGINT) AS de,
+           CAST(list_sum(list_transform(range(1, 65),
+               i -> (q.q_qv[i] - n.recon[i]) * (q.q_qv[i] - n.recon[i])))
+               AS BIGINT) AS da
+    FROM qs q JOIN ns n ON n.cell = q.cell AND n.n_id <> q.q_id
+),
+pe AS (
+    SELECT q_id, cell, n_id AS nn_exact, de AS d_exact_u2,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY de ASC, n_id ASC) AS rn
+    FROM pairs
+),
+pa AS (
+    SELECT q_id, n_id AS nn_adc, da AS d_adc_u2,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY da ASC, n_id ASC) AS rn
+    FROM pairs
+)
+SELECT CAST(pe.q_id AS BIGINT) AS query_id,
+       CAST(pe.cell AS BIGINT) AS cell,
+       CAST(pe.nn_exact AS BIGINT) AS nn_exact,
+       CAST(pa.nn_adc AS BIGINT) AS nn_adc,
+       pe.d_exact_u2,
+       pa.d_adc_u2,
+       CAST(pe.nn_exact = pa.nn_adc AS INT) AS agree
+FROM pe JOIN pa ON pa.q_id = pe.q_id AND pa.rn = 1
+WHERE pe.rn = 1
+"""
+
+
+@register(
+    "sim_ann_adc_agreement", _ORACLE_SIM_ANN_ADC,
+    tags=("llm", "similarity", "ann", "pq"),
+)
+def sim_ann_adc_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ asymmetric-distance search, audited per query — the
+    missing tie between the vector-store pieces the catalog already
+    ships: coarse IVF cells (``sim_ann_ivf``'s geometry, here as the
+    deterministic first-16-centroid rule in exact integer µ-units)
+    and PQ codes (``embed_pq_codes``' codebook rule), composed into
+    the search a FAISS-style store actually runs: probe the query's
+    cell, rank neighbors by ADC — the raw query against each
+    neighbor's PQ-RECONSTRUCTED vector — and report, per sampled
+    query, the ADC winner next to the exact in-cell winner with both
+    distances and the agreement flag. The agreement rate over the
+    sample is the compression-accuracy card that sizes M/K before a
+    100 TB store commits to a codebook.
+
+    Scale: centroids and codebook are tiny broadcast frames
+    (quantizer-frame nested loops, never a data×data cartesian); PQ
+    coding is per-vector bounded fan-out (M subvectors × K codewords,
+    the encoder's own FLOP count); the probe is an EQUI join on the
+    cell id — only same-cell pairs exist, Σ|Q_cell|×|cell| work, the
+    IVF contract. Everything is whole-stage-codegen integer folds;
+    no Python anywhere.
+
+    Hash parity: all distances are exact int64 sums of squared
+    µ-unit diffs (floor(x·1e6+0.5) — the embed_pq discipline);
+    argmins tie-break (distance, id) on both engines; duplicate
+    vec_id fixture rows collapse to one identity via the
+    lexicographic MIN of the quantized vector BEFORE anything reads
+    them (arrays compare lexicographically in both engines); NULL
+    vec_ids and wrong-length embeddings are excluded by contract.
+    Queries whose cell holds no other vector drop on both sides
+    (inner probe join).
+    """
+    from .embedstats import _DIM, _PQ_K, _PQ_M, _PQ_SUB
+
+    def l2(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def _build_base() -> DataFrame:
+        raw = (
+            load(spark, sf_dir, "embeddings")
+            .filter(
+                F.col("vec_id").isNotNull() & (F.size("embedding") == _DIM)
+            )
+            .select(
+                "vec_id",
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(
+                        x * F.lit(1_000_000.0) + F.lit(0.5)
+                    ).cast("long"),
+                ).alias("qv"),
+            )
+        )
+        corpus = raw.groupBy("vec_id").agg(F.min("qv").alias("qv"))
+        cent = corpus.filter(F.col("vec_id") < _N_CELLS).select(
+            F.col("vec_id").alias("cell"), F.col("qv").alias("cv")
+        )
+        cells = (
+            corpus.crossJoin(F.broadcast(cent))
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(l2("qv", "cv").alias("d"), F.col("cell"))
+                ).alias("b")
+            )
+            .select("vec_id", F.col("b.cell").alias("cell"))
+        )
+        return corpus.join(cells, "vec_id")
+
+    # the assigned corpus feeds SIX plan branches (codebook, subs,
+    # probe q/n sides, recon chain) — checkpoint it once per
+    # (session, fixture) like every other funnel artifact, so the
+    # branches read a materialized frame instead of re-collapsing
+    # and re-assigning the corpus per branch
+    base = fixture_cached(spark, sf_dir, "embeddings", "adc_base", _build_base)
+    subs = base.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(s) for s in range(_PQ_M)])).alias("s"),
+        "qv",
+    ).select(
+        "vec_id", "s", F.slice("qv", F.col("s") * _PQ_SUB + 1, _PQ_SUB).alias("v")
+    )
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cw"), F.col("s").alias("cb_s"), F.col("v").alias("c")
+    )
+    best = (
+        subs.join(F.broadcast(cb), F.col("s") == F.col("cb_s"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct(l2("v", "c").alias("e"), F.col("cw"))).alias("b"))
+        .select("vec_id", "s", F.col("b.cw").alias("cw"))
+    )
+    cb2 = cb.select(
+        F.col("cw").alias("cw2"), F.col("cb_s").alias("s2"), F.col("c")
+    )
+    parts = [
+        F.max(F.when(F.col("s") == s, F.col("c"))).alias(f"p{s}")
+        for s in range(_PQ_M)
+    ]
+    recon = (
+        best.join(
+            F.broadcast(cb2),
+            (F.col("s") == F.col("s2")) & (F.col("cw") == F.col("cw2")),
+        )
+        .groupBy("vec_id")
+        .agg(*parts)
+        .select(
+            "vec_id",
+            F.concat(*[F.col(f"p{s}") for s in range(_PQ_M)]).alias("recon"),
+        )
+    )
+    h2 = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2)
+    q_side = base.filter(h2 >= _ADC_CUT).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv"), "cell"
+    )
+    n_side = base.join(recon, "vec_id").select(
+        F.col("vec_id").alias("n_id"),
+        F.col("qv").alias("n_qv"),
+        "recon",
+        "cell",
+    )
+    pairs = q_side.join(n_side, "cell").filter(F.col("q_id") != F.col("n_id"))
+    return (
+        pairs.groupBy("q_id", "cell")
+        .agg(
+            F.min(
+                F.struct(l2("q_qv", "n_qv").alias("d"), F.col("n_id"))
+            ).alias("be"),
+            F.min(
+                F.struct(l2("q_qv", "recon").alias("d"), F.col("n_id"))
+            ).alias("ba"),
+        )
+        .select(
+            F.col("q_id").cast("bigint").alias("query_id"),
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("be.n_id").cast("bigint").alias("nn_exact"),
+            F.col("ba.n_id").cast("bigint").alias("nn_adc"),
+            F.col("be.d").cast("bigint").alias("d_exact_u2"),
+            F.col("ba.d").cast("bigint").alias("d_adc_u2"),
+            (F.col("be.n_id") == F.col("ba.n_id")).cast("int").alias("agree"),
+        )
+    )

@@ -140,6 +140,7 @@ _KEY_ORDER = (
     # into the round-13 window head with the r8 remainder above
     # (keys are appended here as they land this session)
     "dedup_incremental_indexed", "text_redact", "corpus_token_budget",
+    "sim_ann_adc_agreement",
     # r9-green block
     "avro_census", "join_point_in_time", "cdc_snapshot_diff",
     "agg_approx_distinct_bound", "agg_mad", "agg_moments", "win_ema",

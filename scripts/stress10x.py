@@ -258,6 +258,9 @@ OPS = (
     # the greedy token-budget prefix: two-level distributed cumsum
     # over the per-doc frame — must stay doc-linear
     "corpus_token_budget",
+    # IVF+PQ ADC audit: quantizer-frame broadcasts + cell-equi probe —
+    # work must track Σ|Q_cell|x|cell|, never corpus²
+    "sim_ann_adc_agreement",
 )
 
 

@@ -445,3 +445,86 @@ def test_ntile_formula_property(total, n):
         else:
             got.append(rem + (rn - big - 1) // base + 1)
     assert got == expect
+
+
+def test_sim_ann_adc_agreement_matches_numpy(spark, sf_dir):
+    """Independent numpy int64 recompute of the whole IVF+PQ+ADC
+    chain: µ-unit quantization, first-16 centroids, exact cell
+    argmin, per-subspace codeword argmin, reconstruction, in-cell
+    exact and ADC nearest neighbors with (distance, id) tie-breaks —
+    every output row compared field-for-field."""
+    import numpy as np
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb[emb.vec_id.notna()]
+    rows = {}
+    for r in emb.itertuples():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        if v.shape[0] != 64:
+            continue
+        qv = np.floor(v * 1_000_000.0 + 0.5).astype(np.int64)
+        k = int(r.vec_id)
+        # duplicate identity collapse: lexicographic MIN of qv
+        if k not in rows or tuple(qv) < tuple(rows[k]):
+            rows[k] = qv
+    ids = sorted(rows)
+    cent = {k: rows[k] for k in ids if k < 16}
+    assert cent, "no centroids in fixture"
+
+    def d2(a, b):
+        d = a - b
+        return int((d * d).sum())
+
+    cell = {
+        k: min(cent, key=lambda c: (d2(rows[k], cent[c]), c)) for k in ids
+    }
+    cb = {
+        (cw, s): rows[cw][s * 8 : s * 8 + 8]
+        for cw in cent
+        for s in range(8)
+    }
+    recon = {}
+    for k in ids:
+        parts = []
+        for s in range(8):
+            v = rows[k][s * 8 : s * 8 + 8]
+            best = min(cent, key=lambda cw: (d2(v, cb[(cw, s)]), cw))
+            parts.append(cb[(best, s)])
+        recon[k] = np.concatenate(parts)
+    import hashlib
+
+    exp = {}
+    for q in ids:
+        if hashlib.md5(str(q).encode()).hexdigest()[:2] < "e0":
+            continue
+        peers = [n for n in ids if n != q and cell[n] == cell[q]]
+        if not peers:
+            continue
+        ne = min(peers, key=lambda n: (d2(rows[q], rows[n]), n))
+        na = min(peers, key=lambda n: (d2(rows[q], recon[n]), n))
+        exp[q] = (
+            cell[q],
+            ne,
+            na,
+            d2(rows[q], rows[ne]),
+            d2(rows[q], recon[na]),
+            int(ne == na),
+        )
+    got = (
+        CATALOG["sim_ann_adc_agreement"].builder(spark, sf_dir).toPandas()
+    )
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        e = exp[int(r.query_id)]
+        assert (
+            int(r.cell),
+            int(r.nn_exact),
+            int(r.nn_adc),
+            int(r.d_exact_u2),
+            int(r.d_adc_u2),
+            int(r.agree),
+        ) == e, r.query_id
+    # non-degeneracy: the audit must see BOTH outcomes — PQ at K=16
+    # is coarse enough to lose some NNs, near-dup pairs keep some
+    vals = {v[5] for v in exp.values()}
+    assert vals == {0, 1}, f"degenerate agreement census: {vals}"
