@@ -97,102 +97,95 @@ _MODULES = (
 # keys silently fell to the alphabetical tail, outside any evidence
 # window); tests/test_sql.py additionally pins the two lists equal.
 _KEY_ORDER = (
-    # ---- round-12 window head: the 6 zero-driver-evidence keys
-    # (round-11 session growth)
-    "split_by_cluster", "compaction_plan", "events_views_unconverted",
-    "dedup_incremental", "range_partition_plan",
-    "agg_delta_maintenance",
-    # the full 15-key r7-evidence stale tail (window positions 7-21),
-    # first green round ascending (7 r4-origin, then 8 r7-origin)
-    "agg_correlated_scalar", "lsh_band_stats", "docs_source_profile",
-    "corpus_mixture_plan", "text_vocab_coverage", "dedup_prefix",
-    "embed_bucket_purity", "jsonl_quarantine_shapes",
-    "multimodal_decode_stats", "multimodal_audio_stats",
-    "sim_ann_recall_sampled", "csv_quarantine",
-    "multimodal_frame_index", "multimodal_resize_plan",
-    "join_volume_shipping",
-    # the 29 oldest r8-evidence keys (window positions 22-50), first
-    # green round ascending: 4 r2-origin + 7 r3-origin + 2 r4-origin
-    # + 1 r5-origin + the first 15 r8-origin keys
-    "join_asof", "agg_minmax_by", "win_lead_lag", "win_session",
-    "events_session_stats", "events_paths", "events_inter_arrival",
-    "events_attribution", "events_cooccurrence",
-    "pipeline_clean_corpus", "sample_split", "events_ohlc",
-    "pipeline_mixture_manifest", "pipeline_drop_explain",
-    "join_asof_forward", "merge_upsert", "scd2_intervals",
-    "unpivot_long", "graph_degree_stats", "sample_group_reservoir",
-    "embed_top_eigen", "win_first_last", "fn_bitwise",
-    "join_min_cost_supplier", "join_null_safe", "join_lateral_topk",
-    "text_pii_census", "events_peak_concurrency",
-    "multimodal_payload_dedup",
-    # ---- BELOW the driver window ----------------------------------
-    # the 21 remaining r8-evidence keys: lead the round-13 window
-    # with any round-12 session growth
+    # ---- round-13 window head: the 4 zero-driver-evidence keys
+    # (round-12 session growth; judge-verified MATCH at sf0.01)
+    "dedup_incremental_indexed", "text_redact", "corpus_token_budget",
+    "sim_ann_adc_agreement",
+    # the full 21-key r8-evidence stale tail (window positions 5-25),
+    # first green round ascending
     "fn_url", "graph_reachability", "join_shipping_priority",
     "join_local_supplier", "join_market_share", "join_returned_items",
     "agg_forecast_revenue", "agg_promo_share", "join_late_shipments",
-    "agg_nation_profit", "join_supplier_part_count",
-    "agg_quantile_cont", "join_interval_overlap", "orc_census",
-    "embed_mrl_error", "join_asof_nearest", "scan_partition_prune",
-    "events_gap_fill", "win_rolling_median", "win_cum_distinct",
-    "embed_pq_codes",
-    # round-12 session growth block: zero driver evidence — rotates
-    # into the round-13 window head with the r8 remainder above
-    # (keys are appended here as they land this session)
-    "dedup_incremental_indexed", "text_redact", "corpus_token_budget",
-    "sim_ann_adc_agreement",
-    # r9-green block
-    "avro_census", "join_point_in_time", "cdc_snapshot_diff",
-    "agg_approx_distinct_bound", "agg_mad", "agg_moments", "win_ema",
-    "events_burst_detect", "events_funnel_timing",
-    "sample_weighted_hash", "embed_outlier_census",
-    "sim_ann_multitable", "text_source_drift", "text_langid_quality",
-    "scan_schema_merge", "scan_profile", "fn_regex", "sim_knn",
-    "dedup_embedding", "dedup_near", "dedup_clusters",
-    "dedup_near_verified", "dedup_minhash_est",
-    "dedup_survivors_verified", "dedup_exact", "dedup_simhash",
-    "sim_ann_lsh", "sim_ann_ivf", "text_stats", "text_tfidf",
-    "agg_group", "multimodal_cols", "text_quality", "text_langid",
+    "agg_nation_profit", "join_supplier_part_count", "agg_quantile_cont",
+    "join_interval_overlap", "orc_census", "embed_mrl_error",
+    "join_asof_nearest", "scan_partition_prune", "events_gap_fill",
+    "win_rolling_median", "win_cum_distinct", "embed_pq_codes",
+    # the 25 oldest r9-evidence keys (window positions 26-50), first
+    # green round ascending then catalog position
+    "scan_profile", "agg_group", "join_inner", "agg_count_distinct",
+    "scan_project", "scan_count", "filter_pred", "project_expr", "sim_knn",
+    "dedup_embedding", "dedup_near", "dedup_clusters", "dedup_exact",
+    "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "text_stats",
+    "text_tfidf", "multimodal_cols", "text_quality", "text_langid",
     "text_tokens", "text_fingerprint", "win_tumbling", "win_sliding",
+    # ---- BELOW the driver window ----------------------------------
+    # round-13 session growth block: zero driver evidence — new keys
+    # are appended HERE as they land this session, and rotate into
+    # the round-14 window head with the r9 remainder below
+    # the 25 remaining r9-evidence keys: lead the round-14 window
+    # with any round-13 session growth
     "events_funnel", "rollup_multires", "join_range_binned",
-    "sample_hash_fraction", "sample_hash_stratified", "join_inner",
-    "agg_count_distinct", "scan_project", "scan_count", "json_extract",
-    "filter_pred", "project_expr",
+    "sample_hash_fraction", "sample_hash_stratified", "json_extract",
+    "fn_regex", "dedup_near_verified", "dedup_minhash_est",
+    "dedup_survivors_verified", "avro_census", "join_point_in_time",
+    "cdc_snapshot_diff", "agg_approx_distinct_bound", "agg_mad",
+    "agg_moments", "win_ema", "events_burst_detect",
+    "events_funnel_timing", "sample_weighted_hash", "embed_outlier_census",
+    "sim_ann_multitable", "text_source_drift", "text_langid_quality",
+    "scan_schema_merge",
     # r10-green block
-    "join_bucketed", "agg_approx_quantile_bound",
-    "join_asof_tolerance", "dedup_cluster_histogram",
-    "embed_centroid_drift", "dedup_minhash_recall",
-    "text_js_divergence", "fn_interval", "events_markov_entropy",
-    "scan_zorder_stats", "distinct_rows", "jsonl_quarantine",
-    "multimodal_payload_stats", "dedup_ngram_jaccard",
-    "dedup_jaccard_capped", "fn_string", "fn_date", "fn_conditional",
-    "fn_json", "fn_levenshtein", "fn_math", "fn_array", "agg_having",
-    "win_rank", "join_theta_range", "win_range_frame", "agg_gini",
-    "agg_histogram", "dedup_keep_first", "join_skew_salted",
-    "text_decontaminate", "join_left", "join_multi", "join_semi",
-    "join_anti", "agg_collect", "events_entropy", "text_charlm",
-    "text_zipf", "text_length_profile", "dedup_cross_source",
-    "text_hapax", "text_pack_sequences", "text_bigrams",
-    "text_quality_filter", "embed_norm_bins", "events_retention",
-    "win_streak", "agg_weighted_avg", "agg_mode",
-    # r11-green block (freshest driver evidence: the whole round-11
-    # window landed 50/50 in CORRECTNESS_r11.json)
-    "events_absence_monitor", "join_stream_interval",
-    "pivot_roundtrip", "text_heavy_hitters_bound",
-    "text_contamination_ngram", "text_repetition", "text_oov_rate",
-    "events_anomaly", "events_dau_rolling", "text_keywords",
-    "text_perplexity_proxy", "agg_pareto", "events_user_lifecycle",
-    "graph_pagerank", "graph_knn_triangles", "sort_limit", "set_union",
-    "set_intersect", "set_except", "win_ntile", "win_dist",
-    "topk_per_group", "agg_pivot", "agg_cube", "agg_grouping_sets",
-    "agg_rollup", "agg_stats", "join_full", "win_running",
-    "agg_quantile_disc", "agg_top_revenue", "join_nested_semi",
-    "text_chunk_overlap", "embed_quantize_error",
-    "dedup_threshold_sweep", "join_groupagg_in", "join_disjunctive",
-    "agg_global_share", "join_anti_scalar", "join_exists_chain",
-    "text_bpe_pairs", "embed_covariance", "agg_count_histogram",
-    "embed_dim_stats", "corpus_mixture_apply", "dedup_containment",
-    "events_rfm", "docs_corpus_card", "sim_ann_recall", "agg_key_skew",
+    "distinct_rows", "fn_string", "fn_math", "fn_array", "agg_having",
+    "win_rank", "join_theta_range", "join_left", "join_multi", "join_semi",
+    "join_anti", "agg_collect", "dedup_ngram_jaccard",
+    "dedup_jaccard_capped", "fn_date", "fn_conditional", "fn_json",
+    "fn_levenshtein", "win_range_frame", "agg_gini", "agg_histogram",
+    "dedup_keep_first", "join_skew_salted", "text_decontaminate",
+    "events_entropy", "text_charlm", "text_zipf", "text_length_profile",
+    "dedup_cross_source", "text_hapax", "text_pack_sequences",
+    "text_bigrams", "text_quality_filter", "embed_norm_bins",
+    "events_retention", "win_streak", "agg_weighted_avg", "agg_mode",
+    "jsonl_quarantine", "multimodal_payload_stats", "join_bucketed",
+    "agg_approx_quantile_bound", "join_asof_tolerance",
+    "dedup_cluster_histogram", "embed_centroid_drift",
+    "dedup_minhash_recall", "text_js_divergence", "fn_interval",
+    "events_markov_entropy", "scan_zorder_stats",
+    # r11-green block
+    "sort_limit", "set_union", "set_intersect", "set_except", "win_ntile",
+    "win_dist", "topk_per_group", "agg_pivot", "agg_cube",
+    "agg_grouping_sets", "agg_rollup", "agg_stats", "join_full",
+    "win_running", "text_contamination_ngram", "text_repetition",
+    "text_oov_rate", "events_anomaly", "events_dau_rolling",
+    "text_keywords", "text_perplexity_proxy", "agg_pareto",
+    "events_user_lifecycle", "agg_quantile_disc", "graph_pagerank",
+    "graph_knn_triangles", "agg_top_revenue", "join_nested_semi",
+    "text_chunk_overlap", "embed_quantize_error", "dedup_threshold_sweep",
+    "join_groupagg_in", "join_disjunctive", "agg_global_share",
+    "join_anti_scalar", "join_exists_chain", "text_bpe_pairs",
+    "embed_covariance", "agg_count_histogram", "embed_dim_stats",
+    "corpus_mixture_apply", "dedup_containment", "events_rfm",
+    "docs_corpus_card", "sim_ann_recall", "agg_key_skew",
+    "events_absence_monitor", "join_stream_interval", "pivot_roundtrip",
+    "text_heavy_hitters_bound",
+    # r12-green block (freshest driver evidence: the whole round-12
+    # window landed 50/50 in CORRECTNESS_r12.json)
+    "join_asof", "agg_minmax_by", "win_lead_lag", "win_session",
+    "events_session_stats", "events_paths", "events_inter_arrival",
+    "events_attribution", "events_cooccurrence", "pipeline_clean_corpus",
+    "sample_split", "agg_correlated_scalar", "lsh_band_stats",
+    "docs_source_profile", "corpus_mixture_plan", "text_vocab_coverage",
+    "dedup_prefix", "embed_bucket_purity", "events_ohlc",
+    "pipeline_mixture_manifest", "pipeline_drop_explain",
+    "jsonl_quarantine_shapes", "multimodal_decode_stats",
+    "multimodal_audio_stats", "sim_ann_recall_sampled", "csv_quarantine",
+    "multimodal_frame_index", "multimodal_resize_plan",
+    "join_volume_shipping", "join_asof_forward", "merge_upsert",
+    "scd2_intervals", "unpivot_long", "graph_degree_stats",
+    "sample_group_reservoir", "embed_top_eigen", "win_first_last",
+    "fn_bitwise", "join_min_cost_supplier", "join_null_safe",
+    "join_lateral_topk", "text_pii_census", "events_peak_concurrency",
+    "multimodal_payload_dedup", "split_by_cluster", "compaction_plan",
+    "events_views_unconverted", "dedup_incremental",
+    "range_partition_plan", "agg_delta_maintenance",
     # parked permanently (see policy comment above): the protocol
     # records "err: no_oracle" for these — proven in r1 AND r4
     "agg_approx_distinct", "sample_fraction", "sample_stratified",
