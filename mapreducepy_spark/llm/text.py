@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import heapq
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_spread
@@ -1016,6 +1016,27 @@ FROM s
 """
 
 
+def _zipf_shard_key(cnt: Column, word: Column) -> Column:
+    """Rank-uniform monotonic composite shard key for the global
+    (cnt DESC, word ASC) order: −cnt·2²⁰ + first-two-byte word
+    bucket. Codepoints clamp at 255 so the bucket stays < 2²⁰ (the
+    cnt stride) — unicode heads ≥ U+00FF tie at the clamp and merely
+    colocate, preserving monotonicity. ``cnt`` itself clamps at
+    2⁴³−1 so cnt·2²⁰ can never overflow int64 (with ANSI off the
+    wrap would be SILENT, breaking shard monotonicity — ADVICE r12;
+    a head word past 8.8e12 occurrences is plausible at 100 TB).
+    Clamped heads tie at the most-negative key and colocate — Zipf
+    makes them a handful of rows, and within-shard order is still
+    the exact total sort."""
+    b1 = F.least(F.ascii(F.substring(word, 1, 1)), F.lit(255))
+    b2 = F.least(
+        F.coalesce(F.ascii(F.substring(word, 2, 1)), F.lit(0)),
+        F.lit(255),
+    )
+    cnt_c = F.least(cnt, F.lit((1 << 43) - 1))
+    return cnt_c * F.lit(-(1 << 20)) + b1 * 256 + b2
+
+
 @register("text_zipf", _ORACLE_TEXT_ZIPF, tags=("llm", "text", "quality"))
 def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus Zipf fit: least-squares slope/intercept of ln(freq) vs
@@ -1046,22 +1067,11 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shard key: Zipfian counts are catastrophically skewed for
     # value-range sharding (every word below ~cnt_max/shards — i.e.
     # almost the whole vocabulary — would land in shard 0; r12
-    # review), so shard on a composite that is monotonic in the FULL
-    # (cnt DESC, word ASC) order and near-uniform over the tail:
-    # −cnt·2²⁰ + first-two-byte word bucket. Ties (same cnt, same
-    # 2-byte prefix) colocate, which is all contiguity needs; the
-    # huge cnt=1 tail spreads across shards by word prefix. UTF-8
-    # binary string order is codepoint order, so ascii(substr) is
-    # monotonic w.r.t. the word sort on both engines.
-    # codepoints clamp at 255 so the bucket stays < 2²⁰ (the cnt
-    # stride) — unicode heads ≥ U+00FF tie at the clamp and merely
-    # colocate, preserving monotonicity
-    b1 = F.least(F.ascii(F.substring("word", 1, 1)), F.lit(255))
-    b2 = F.least(
-        F.coalesce(F.ascii(F.substring("word", 2, 1)), F.lit(0)),
-        F.lit(255),
-    )
-    sk = F.col("cnt") * F.lit(-(1 << 20)) + b1 * 256 + b2
+    # review), so shard on the rank-uniform monotonic composite
+    # (algebra + overflow clamp documented on _zipf_shard_key). The
+    # huge cnt=1 tail spreads across shards by word prefix; ties
+    # colocate, which is all contiguity needs.
+    sk = _zipf_shard_key(F.col("cnt"), F.col("word"))
     ranked = with_global_prefix(
         wc.withColumn("sk", sk),
         "sk",

@@ -173,16 +173,21 @@ def ensure_table(
     ):
         try:
             ddl = spark.read.parquet(orphan).schema.toDDL()
+            # identifier backtick-quoted, path single-quote-escaped:
+            # a quote in the warehouse path must not break (or alter)
+            # the statement now that this is shared machinery with
+            # multiple callers (ADVICE r12)
+            loc = orphan.replace("'", "''")
             spark.sql(
-                f"CREATE TABLE {name} ({ddl}) USING parquet "
-                f"{clustered_ddl} LOCATION '{orphan}'"
+                f"CREATE TABLE `{name}` ({ddl}) USING parquet "
+                f"{clustered_ddl} LOCATION '{loc}'"
             )
             write_sidecar(orphan, writer_tag, sources)
             touch(orphan)
             return
         except Exception:
             # fall through to rebuild; never trust a half-state
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
     if os.path.isdir(orphan):
         shutil.rmtree(orphan, ignore_errors=True)
     build()
