@@ -994,6 +994,205 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multi-probe IVF ------------------------------------------------
+# The recall lever sim_ann_ivf's docstring names: a query searches its
+# top-_N_PROBE nearest cells instead of only its home cell. Corpus
+# vectors stay indexed ONCE (home cell = probe rank 1); only the
+# query side fans out, so the index is unchanged and the extra cost
+# is exactly (p−1) more in-cell scans per query — the FAISS nprobe
+# contract.
+
+_N_PROBE = 3
+
+_ORACLE_SIM_ANN_IVF_MP = f"""
+WITH {_DUCK_NORMED_CTE},
+cent AS (
+    SELECT unit AS cunit,
+           ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell
+    FROM normed
+    ORDER BY vec_id ASC
+    LIMIT {_N_CELLS}
+),
+normed_r AS (
+    -- per-ROW identity (see the sim_ann_ivf oracle): assignment is a
+    -- property of the physical row, duplicate vec_ids keep their own
+    SELECT vec_id, unit, ROW_NUMBER() OVER () AS rid FROM normed
+),
+assign AS (
+    SELECT n.vec_id, n.unit, n.rid, c.cell,
+           ROW_NUMBER() OVER (
+               PARTITION BY n.rid
+               ORDER BY {_DUCK_COS.format(a="n.unit", b="c.cunit")} DESC, c.cell ASC
+           ) AS rn
+    FROM normed_r n CROSS JOIN cent c
+),
+members AS (
+    SELECT vec_id, unit, cell FROM assign WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id, unit, cell, rn AS probe FROM assign
+    WHERE rn <= {_N_PROBE}
+),
+pairs AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           a.cell AS cell, a.probe AS probe,
+           {_DUCK_COS.format(a="a.unit", b="b.unit")} AS cos_sim
+    FROM probes a
+    JOIN members b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+),
+ranked AS (
+    -- probe ASC closes the tie-break: duplicate-id query rows with
+    -- different embeddings can reach the same (neighbor, cell) at an
+    -- exactly equal cosine via different probe ranks
+    SELECT query_id, neighbor_id, cell, probe, cos_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC, cell ASC, probe ASC
+           ) AS rn
+    FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(cell AS INT) AS cell,
+       CAST(probe AS INT) AS probe,
+       (floor(cos_sim * 1000000.0 + 0.5) / 1000000.0) AS cos_sim
+FROM ranked
+WHERE rn = 1
+"""
+
+
+@register(
+    "sim_ann_ivf_multiprobe", _ORACLE_SIM_ANN_IVF_MP,
+    tags=("llm", "similarity", "ivf"),
+)
+def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: each query searches its ``_N_PROBE``
+    nearest cells (probe rank 1 = the home cell ``sim_ann_ivf``
+    searches), so a neighbor sitting just across a Voronoi boundary —
+    THE structural miss of single-probe IVF — is back in reach. The
+    candidate set is a strict superset of single-probe's, so the
+    answer's cosine is pointwise ≥ (recall can only improve;
+    tests/test_round16_refs.py pins both the pointwise dominance and
+    a strict win on a constructed boundary fixture).
+
+    Scale: the index is UNCHANGED — every corpus vector is stored in
+    exactly one cell; only the query side fans out p rows through the
+    one groupBy(cell) shuffle, the FAISS nprobe deal (p× query-side
+    shuffle bytes, Σ p·O(cell·|cell|) kernel work, zero extra index
+    build or storage). Quantizer stays tiny and broadcast; no
+    cartesian anywhere — candidate generation remains a cell-equi
+    shuffle. The assignment GEMM already scores every centroid, so
+    the top-p cells are a stable argsort of the same matrix — no
+    extra distance work per row.
+    """
+    emb = (
+        _valid_embeddings(load(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding")
+    )
+    out_schema = (
+        "query_id bigint, neighbor_id bigint, cell int, probe int, "
+        "cos_sim double"
+    )
+    cent_pdf = emb.orderBy(F.col("vec_id").asc()).limit(_N_CELLS).toPandas()
+    if len(cent_pdf) == 0:
+        # empty (or all-invalid) corpus — the sim_ann_ivf contract
+        return spark.createDataFrame([], out_schema)
+    cent = _np_unit(np.stack(cent_pdf["embedding"].to_list()).astype(np.float64))
+    bc_cent = spark.sparkContext.broadcast(cent)
+    n_probe = min(_N_PROBE, cent.shape[0])
+
+    def assign_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc_cent.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qu = _np_unit(np.stack(pdf["embedding"].to_list()).astype(np.float64))
+            sim = _np_cos(qu, c)
+            # stable argsort of −sim ⇒ ties take the lowest cell id
+            # (the oracle's cos DESC, cell ASC), probe rank = column
+            top = np.argsort(-sim, axis=1, kind="stable")[:, :n_probe]
+            n = len(pdf)
+            rep = np.repeat(np.arange(n), n_probe)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64)[rep],
+                    "embedding": pdf["embedding"].iloc[rep].reset_index(
+                        drop=True
+                    ),
+                    "cell": top.reshape(-1).astype(np.int32),
+                    "probe": np.tile(
+                        np.arange(1, n_probe + 1, dtype=np.int32), n
+                    ),
+                }
+            )
+
+    probes = _query_side(spark, emb).mapInPandas(
+        assign_probes,
+        "vec_id bigint, embedding array<float>, cell int, probe int",
+    )
+
+    def cell_top1(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "cell": pd.Series(dtype="int32"),
+                "probe": pd.Series(dtype="int32"),
+                "cos_raw": pd.Series(dtype="float64"),
+            }
+        )
+        mem = pdf[pdf["probe"] == 1]
+        if len(pdf) == 0 or len(mem) == 0:
+            return empty
+        ids_q = pdf["vec_id"].to_numpy(np.int64)
+        ids_m = mem["vec_id"].to_numpy(np.int64)
+        qu = _np_unit(np.stack(pdf["embedding"].to_list()).astype(np.float64))
+        mu = _np_unit(np.stack(mem["embedding"].to_list()).astype(np.float64))
+        sim = _np_cos(qu, mu)
+        out_n = np.empty(len(ids_q), np.int64)
+        out_c = np.empty(len(ids_q), np.float64)
+        keep = np.ones(len(ids_q), bool)
+        for i in range(len(ids_q)):
+            # full same-id mask — the sim_ann_lsh kernel contract
+            masked = np.where(ids_m == ids_q[i], -np.inf, sim[i])
+            j = int(np.lexsort((ids_m, -masked))[0])
+            if masked[j] == -np.inf:
+                keep[i] = False
+                continue
+            out_n[i] = ids_m[j]
+            out_c[i] = masked[j]
+        return pd.DataFrame(
+            {
+                "query_id": ids_q[keep],
+                "neighbor_id": out_n[keep],
+                "cell": np.full(
+                    int(keep.sum()), pdf["cell"].iloc[0], np.int32
+                ),
+                "probe": pdf["probe"].to_numpy(np.int32)[keep],
+                "cos_raw": out_c[keep],
+            }
+        )
+
+    partial = probes.groupBy("cell").applyInPandas(
+        cell_top1,
+        "query_id bigint, neighbor_id bigint, cell int, probe int, "
+        "cos_raw double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc(),
+        F.col("cell").asc(), F.col("probe").asc(),
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            "probe",
+            dround("cos_raw", 6).alias("cos_sim"),
+        )
+    )
+
+
 def kmeans_fit(
     spark: SparkSession, emb: DataFrame, k: int = _N_CELLS, n_iters: int = 3
 ) -> np.ndarray:

@@ -1160,8 +1160,10 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     three-axis chain costs ~25 stages of scheduling overhead for a
     frame that is orders of magnitude below the fact table (measured
     12.4 s chained / 4.3 s checkpointed vs 0.5 s at sf0.1 — the
-    r12 close ledger), and the segment grid itself is ≤64 rows. The
-    1-row horizon broadcasts back via cross join.
+    r12 close ledger; RE-measured per VERDICT r12 #6 with the base
+    localCheckpointed once + AQE exchange reuse: 5.49 s min-of-5 vs
+    0.53 s — the park stands), and the segment grid itself is ≤64
+    rows. The 1-row horizon broadcasts back via cross join.
 
     Hash parity: recency is exact DATE arithmetic; per-user monetary
     is rounded 1e-2 BEFORE it feeds both the ordering and the

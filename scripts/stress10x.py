@@ -261,6 +261,10 @@ OPS = (
     # IVF+PQ ADC audit: quantizer-frame broadcasts + cell-equi probe —
     # work must track Σ|Q_cell|x|cell|, never corpus²
     "sim_ann_adc_agreement",
+    # round-13 session growth: multi-probe IVF — query side fans out
+    # p=3 rows through the ONE cell-equi shuffle; work must track
+    # Σ p·|Q_cell|×|cell| (≈3× single-probe), never corpus²
+    "sim_ann_ivf_multiprobe",
 )
 
 

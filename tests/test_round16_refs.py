@@ -162,3 +162,199 @@ def test_ensure_table_adopt_survives_quoted_path(spark, tmp_path):
     assert spark.catalog.tableExists(name)
     assert spark.table(name).count() == 5
     spark.sql(f"DROP TABLE `{name}`")
+
+
+# --- sim_ann_ivf_multiprobe (r13 growth; VERDICT r12 work order #2) --
+
+
+def test_multiprobe_matches_python_mirror(spark, sf_dir):
+    """Independent recompute of the full multi-probe chain — validity
+    predicate, in-dimension-order unit fold, first-16 quantizer,
+    per-row top-3 probe ranks (cos DESC, cell ASC), home-cell member
+    index, all-pairs candidate set over probed cells, and the global
+    (cos DESC, neighbor ASC, cell ASC, probe ASC) collapse per
+    query identity — compared field-for-field."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from mapreducepy_spark.registry import load_catalog
+
+    cat = load_catalog()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def unit(v):
+        acc = 0.0
+        for x in v:  # dimension-order fold, the engines' contract
+            acc = acc + float(x) * float(x)
+        if not acc > 0:
+            return None
+        s = math.sqrt(acc)
+        return [float(x) / s for x in v]
+
+    rows = []  # physical rows, duplicates kept
+    for r in emb.itertuples():
+        if r.embedding is None or len(r.embedding) != 64:
+            continue
+        u = unit(r.embedding)
+        if u is not None:
+            rows.append((int(r.vec_id), u))
+
+    def cos(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    by_id = sorted(rows, key=lambda t: t[0])
+    assert len({t[0] for t in by_id[:16]}) == 16, (
+        "fixture grew duplicate ids inside the quantizer prefix — "
+        "centroid selection would be order-ambiguous"
+    )
+    cent = [u for _, u in by_id[:16]]
+
+    pairs = []  # (query_id, neighbor_id, cell, probe, cos)
+    home = []  # cell -> [(vec_id, unit)]
+    probed = []  # per row: (vec_id, unit, [(cell, probe)])
+    homes = {}
+    for vid, u in rows:
+        ranked = sorted(
+            range(len(cent)), key=lambda c: (-cos(u, cent[c]), c)
+        )
+        probed.append((vid, u, [(c, p + 1) for p, c in enumerate(ranked[:3])]))
+        homes.setdefault(ranked[0], []).append((vid, u))
+    for vid, u, cells in probed:
+        for cell, probe in cells:
+            for nid, nu in homes.get(cell, ()):
+                if nid != vid:
+                    pairs.append((vid, nid, cell, probe, cos(u, nu)))
+    best = {}
+    for vid, nid, cell, probe, c in pairs:
+        key = (-c, nid, cell, probe)
+        if vid not in best or key < best[vid][0]:
+            best[vid] = (key, nid, cell, probe, c)
+    exp = {
+        vid: (nid, cell, probe, math.floor(c * 1e6 + 0.5) / 1e6)
+        for vid, (_, nid, cell, probe, c) in best.items()
+    }
+
+    got = cat["sim_ann_ivf_multiprobe"].builder(spark, sf_dir).toPandas()
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        e = exp[int(r.query_id)]
+        assert (
+            int(r.neighbor_id), int(r.cell), int(r.probe), float(r.cos_sim)
+        ) == e, r.query_id
+    # non-degeneracy: multiprobe must actually WIN through probe > 1
+    # somewhere, else the key is an expensive alias of sim_ann_ivf
+    assert any(v[2] > 1 for v in exp.values())
+
+
+def test_multiprobe_dominates_single_probe(spark, sf_dir):
+    """The recall theorem, pinned on live data: multiprobe's candidate
+    set is a strict superset of single-probe's, so per query its
+    answer cosine is pointwise >= — and on this fixture strictly
+    better for a non-empty set of queries, with strictly more exact
+    top-1 hits (the sim_ann_recall machinery's hit definition)."""
+    from mapreducepy_spark.registry import load_catalog
+
+    cat = load_catalog()
+    sp = (
+        cat["sim_ann_ivf"].builder(spark, sf_dir).toPandas()
+        .set_index("query_id")
+    )
+    mp = (
+        cat["sim_ann_ivf_multiprobe"].builder(spark, sf_dir).toPandas()
+        .set_index("query_id")
+    )
+    assert set(mp.index) == set(sp.index)
+    j = mp.join(sp, lsuffix="_mp", rsuffix="_sp")
+    assert (j.cos_sim_mp >= j.cos_sim_sp).all()
+    assert (j.cos_sim_mp > j.cos_sim_sp).any()
+    # exact-top1 hit comparison (recall at equal cell count)
+    knn = cat["sim_knn"].builder(spark, sf_dir).toPandas()
+    top1 = (
+        knn.sort_values(
+            ["query_id", "cos_sim", "neighbor_id"],
+            ascending=[True, False, True],
+        )
+        .groupby("query_id")
+        .first()["neighbor_id"]
+    )
+    hits_sp = int((sp["neighbor_id"] == top1.reindex(sp.index)).sum())
+    hits_mp = int((mp["neighbor_id"] == top1.reindex(mp.index)).sum())
+    assert hits_mp > hits_sp, (hits_mp, hits_sp)
+
+
+def test_multiprobe_strict_win_on_voronoi_boundary(spark, tmp_path):
+    """Constructed boundary fixture — THE structural single-probe
+    miss: query (id 100) sits at 40 degrees between the cell-0 and
+    cell-1 centroid axes (home cell 0); its true nearest neighbor
+    (id 101) sits at 50 degrees, just across the Voronoi boundary in
+    cell 1. Single-probe must settle for the centroid vector; probe 2
+    must recover the true neighbor. Also oracle-checked end-to-end on
+    the constructed frame."""
+    import math
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from mapreducepy_spark.registry import load_catalog
+
+    from .parity_util import canon_frame
+
+    cat = load_catalog()
+    vecs = []
+    for i in range(16):  # the quantizer: axis vectors e_i
+        v = np.zeros(64, np.float32)
+        v[i] = 1.0
+        vecs.append((i, v))
+    for vid, deg in ((100, 40.0), (101, 50.0)):
+        v = np.zeros(64, np.float32)
+        v[0] = math.cos(math.radians(deg))
+        v[1] = math.sin(math.radians(deg))
+        vecs.append((vid, v))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [v[0] for v in vecs],
+            "embedding": [v[1].tolist() for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    )
+    pdf["vec_id"] = pdf["vec_id"].astype("int64")
+    pdf["label"] = pdf["label"].astype("int32")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(pdf["vec_id"], pa.int64()),
+            "embedding": pa.array(
+                pdf["embedding"], pa.list_(pa.float32())
+            ),
+            "label": pa.array(pdf["label"], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    sp = (
+        cat["sim_ann_ivf"].builder(spark, str(tmp_path)).toPandas()
+        .set_index("query_id")
+    )
+    mp = (
+        cat["sim_ann_ivf_multiprobe"].builder(spark, str(tmp_path))
+        .toPandas().set_index("query_id")
+    )
+    assert int(sp.loc[100, "neighbor_id"]) == 0  # stuck on the centroid
+    assert int(mp.loc[100, "neighbor_id"]) == 101  # recovered via probe 2
+    assert int(mp.loc[100, "probe"]) == 2
+    assert float(mp.loc[100, "cos_sim"]) > float(sp.loc[100, "cos_sim"])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    duck = con.execute(cat["sim_ann_ivf_multiprobe"].oracle).fetchdf()
+    assert canon_frame(mp.reset_index()) == canon_frame(duck)
