@@ -358,3 +358,127 @@ def test_multiprobe_strict_win_on_voronoi_boundary(spark, tmp_path):
     )
     duck = con.execute(cat["sim_ann_ivf_multiprobe"].oracle).fetchdf()
     assert canon_frame(mp.reset_index()) == canon_frame(duck)
+
+
+# --- streaming band-index maintenance (VERDICT r12 work order #5) ---
+
+
+def test_streaming_band_index_maintenance_lifecycle(spark, sf_dir, tmp_path):
+    """The streaming leg of the index lifecycle, end-to-end on a COPY
+    of the stored index: two micro-batches of new documents arrive as
+    a file stream (maxFilesPerTrigger=1), each trigger appends its
+    delta bands via foreachBatch; afterwards (a) the bucket layout
+    still plans with no Exchange, (b) every streamed doc is probeable
+    and collides with its byte-identical original, (c) restarting the
+    drained stream on the SAME checkpoint appends nothing, and (d) a
+    simulated crash-replay of one batch (at-least-once delivery)
+    duplicates rows but cannot change a countDistinct partner verdict
+    — the documented consumer contract."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    from mapreducepy_spark.io import load
+    from mapreducepy_spark.llm.dedup import _ensure_band_index
+    from mapreducepy_spark.plans import plan_text
+    from mapreducepy_spark.streaming.sinks import (
+        band_index_appender,
+        start_band_index_maintenance,
+    )
+
+    name = _ensure_band_index(spark, sf_dir)
+    copy = "bandidx_bbbbbbbbbbbb"  # test-local; dropped in finally
+    spark.sql(f"DROP TABLE IF EXISTS {copy}")
+    try:
+        (
+            spark.table(name)
+            .repartition(8, SF.col("band"), SF.col("sig"))
+            .write.bucketBy(8, "band", "sig")
+            .format("parquet")
+            .saveAsTable(copy)
+        )
+        donors = (
+            load(spark, sf_dir, "documents")
+            .where(SF.col("doc_id").isNotNull())
+            .orderBy("doc_id")
+            .limit(2)
+            .select("doc_id", "text")
+            .collect()
+        )
+        new_ids = [999_100_001, 999_100_002]
+        in_dir = str(tmp_path / "incoming")
+        os.makedirs(in_dir)
+        for i, (nid, d) in enumerate(zip(new_ids, donors)):
+            spark.createDataFrame(
+                [(nid, d.text)], "doc_id bigint, text string"
+            ).coalesce(1).write.parquet(f"{in_dir}/f{i}")
+        # one batch per arriving file: the continuous-arrival shape
+        schema = "doc_id bigint, text string"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{in_dir}/f*")
+        )
+        ckpt = str(tmp_path / "ckpt")
+        n0 = spark.table(copy).count()
+        q = start_band_index_maintenance(stream, copy, ckpt)
+        q.awaitTermination(120)
+        assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1, (
+            "expected >= 2 micro-batches (one per file)"
+        )
+        # the insert ran in the micro-batch's cloned session: this
+        # session's cached file listing is stale (documented reader
+        # contract on band_index_appender)
+        spark.catalog.refreshTable(copy)
+        after = spark.table(copy)
+        n1 = after.count()
+        assert n1 > n0
+        # (a) layout survives every trigger
+        agg = after.groupBy("band", "sig").count()
+        assert "Exchange" not in plan_text(agg, "simple")
+        # (b) each streamed doc collides with its original
+        for nid, d in zip(new_ids, donors):
+            mine = after.where(SF.col("doc_id") == nid).select("band", "sig")
+            assert mine.count() > 0, nid
+            partners = (
+                after.join(mine, ["band", "sig"])
+                .where(SF.col("doc_id") == d.doc_id)
+                .count()
+            )
+            assert partners > 0, nid
+        # (c) restart on the same checkpoint: nothing re-appends
+        stream2 = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{in_dir}/f*")
+        )
+        q2 = start_band_index_maintenance(stream2, copy, ckpt)
+        q2.awaitTermination(120)
+        spark.catalog.refreshTable(copy)
+        assert spark.table(copy).count() == n1
+        # (d) crash-replay: re-invoke the foreachBatch fn with batch 0's
+        # content — rows duplicate (at-least-once), verdicts cannot move
+        def partner_verdict():
+            mine = (
+                spark.table(copy)
+                .where(SF.col("doc_id") == new_ids[0])
+                .select("band", "sig")
+                .distinct()
+            )
+            return (
+                spark.table(copy)
+                .join(mine, ["band", "sig"])
+                .where(SF.col("doc_id") != new_ids[0])
+                .agg(SF.countDistinct("doc_id").alias("n"))
+                .collect()[0]["n"]
+            )
+
+        v_before = partner_verdict()
+        replay = spark.createDataFrame(
+            [(new_ids[0], donors[0].text)], schema
+        )
+        band_index_appender(copy)(replay, 0)
+        assert spark.table(copy).count() > n1  # duplicates landed...
+        assert partner_verdict() == v_before  # ...verdict unmoved
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {copy}")
