@@ -1004,8 +1004,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_PROBE = 3
 
-_ORACLE_SIM_ANN_IVF_MP = f"""
-WITH {_DUCK_NORMED_CTE},
+# Shared CTE chain: quantizer, per-row assignment, home-cell members,
+# top-p probes, candidate pairs, and the global per-query collapse —
+# ONE text emits both the search key's oracle and the recall audit's,
+# so the two cannot drift (the _recall_oracle_sql discipline).
+_DUCK_IVF_MP_CTES = f"""{_DUCK_NORMED_CTE},
 cent AS (
     SELECT unit AS cunit,
            ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell
@@ -1033,14 +1036,14 @@ probes AS (
     SELECT vec_id, unit, cell, rn AS probe FROM assign
     WHERE rn <= {_N_PROBE}
 ),
-pairs AS (
+mp_pairs AS (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
            a.cell AS cell, a.probe AS probe,
            {_DUCK_COS.format(a="a.unit", b="b.unit")} AS cos_sim
     FROM probes a
     JOIN members b ON a.cell = b.cell AND a.vec_id <> b.vec_id
 ),
-ranked AS (
+mp_ranked AS (
     -- probe ASC closes the tie-break: duplicate-id query rows with
     -- different embeddings can reach the same (neighbor, cell) at an
     -- exactly equal cosine via different probe ranks
@@ -1049,12 +1052,15 @@ ranked AS (
                PARTITION BY query_id
                ORDER BY cos_sim DESC, neighbor_id ASC, cell ASC, probe ASC
            ) AS rn
-    FROM pairs
-)
+    FROM mp_pairs
+)"""
+
+_ORACLE_SIM_ANN_IVF_MP = f"""
+WITH {_DUCK_IVF_MP_CTES}
 SELECT query_id, neighbor_id, CAST(cell AS INT) AS cell,
        CAST(probe AS INT) AS probe,
        (floor(cos_sim * 1000000.0 + 0.5) / 1000000.0) AS cos_sim
-FROM ranked
+FROM mp_ranked
 WHERE rn = 1
 """
 
@@ -1191,6 +1197,91 @@ def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround("cos_raw", 6).alias("cos_sim"),
         )
     )
+
+
+_ORACLE_SIM_ANN_IVF_RECALL = f"""
+WITH {_DUCK_IVF_MP_CTES},
+ann AS (
+    SELECT query_id, neighbor_id, probe,
+           (floor(cos_sim * 1000000.0 + 0.5) / 1000000.0) AS ann_cos
+    FROM mp_ranked
+    WHERE rn = 1
+),
+epairs AS (
+    SELECT a.vec_id AS query_id,
+           b.vec_id AS neighbor_id,
+           {_DUCK_COS.format(a="a.unit", b="b.unit")} AS cos_sim
+    FROM normed a
+    JOIN normed b ON a.vec_id <> b.vec_id
+),
+eranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+           ) AS rn
+    FROM epairs
+),
+exact_topk AS (
+    -- DISTINCT: membership is a SET question (see _recall_oracle_sql)
+    SELECT DISTINCT query_id, neighbor_id FROM eranked WHERE rn <= {_K}
+),
+exact_top1 AS (
+    SELECT query_id,
+           (floor(cos_sim * 1000000.0 + 0.5) / 1000000.0) AS exact_cos
+    FROM eranked WHERE rn = 1
+)
+SELECT CAST(n.probe AS INT) AS probe,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN k.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(floor(CAST(SUM(CASE WHEN k.neighbor_id IS NOT NULL
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*) * 1000000.0 + 0.5) AS BIGINT) AS hit_ppm,
+       CAST(floor(
+           CAST(SUM(CAST(floor((t.exact_cos - n.ann_cos) * 1000000.0
+                               + 0.5) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) + 0.5) AS BIGINT) AS avg_regret_upm
+FROM ann n
+LEFT JOIN exact_topk k
+       ON n.query_id = k.query_id AND n.neighbor_id = k.neighbor_id
+JOIN exact_top1 t ON n.query_id = t.query_id
+GROUP BY n.probe
+"""
+
+
+@register(
+    "sim_ann_ivf_recall", _ORACLE_SIM_ANN_IVF_RECALL,
+    tags=("llm", "similarity", "ivf", "diagnostic"),
+)
+def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe TUNING ledger: ``sim_ann_ivf_multiprobe``'s answers
+    reconciled against the exact ground truth, grouped by the WINNING
+    probe rank — for each rank 1..{_N_PROBE}, how many queries were
+    decided there, how often that answer sits inside the exact top-K,
+    and the average cosine regret vs the exact top-1. Probe rank 1
+    rows ARE single-probe's outcome on the queries multiprobe didn't
+    improve; ranks ≥ 2 price exactly what each extra probe bought —
+    the table a deployment reads to pick nprobe (the IVF counterpart
+    of the sign-LSH triptych's ``sim_ann_recall``).
+
+    Scale: composes the registered multiprobe plan verbatim with the
+    chunk-bounded exact brute-force as ground truth; at 100 TB the
+    audit samples its query side (``sim_ann_recall_sampled``'s
+    query_pred recipe applies unchanged). The ledger aggregation is
+    {_N_PROBE} output rows over K-row-per-query joins — free next to
+    the pair generation it audits.
+
+    Hash parity: the ``_recall_ledger`` discipline — hit counts are
+    integer set-membership joins on bit-identical rank orders; regret
+    is floored to integer micro-units PER ROW before the one
+    exact-int mean.
+    """
+    ann = sim_ann_ivf_multiprobe(spark, sf_dir).select(
+        "query_id", "neighbor_id", "probe",
+        F.col("cos_sim").alias("ann_cos"),
+    )
+    knn = sim_knn(spark, sf_dir)
+    return _recall_ledger(ann, knn, group_col="probe")
 
 
 def kmeans_fit(
@@ -1626,10 +1717,14 @@ def sim_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_ledger(ann, knn)
 
 
-def _recall_ledger(ann: DataFrame, knn: DataFrame) -> DataFrame:
-    """The ONE reconciliation aggregation shared by the exhaustive
-    and sampled recall audits: ANN top-1 vs exact top-K membership
-    (hit rate) and cosine regret vs exact top-1, per bucket."""
+def _recall_ledger(
+    ann: DataFrame, knn: DataFrame, group_col: str = "bucket"
+) -> DataFrame:
+    """The ONE reconciliation aggregation shared by every recall
+    audit: ANN top-1 vs exact top-K membership (hit rate) and cosine
+    regret vs exact top-1, grouped by ``group_col`` (the LSH bucket
+    for the sign-LSH audits, the winning probe rank for the IVF
+    multiprobe audit)."""
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -1652,7 +1747,7 @@ def _recall_ledger(ann: DataFrame, knn: DataFrame) -> DataFrame:
     )
     n = F.count(F.lit(1))
     hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-    return base.groupBy("bucket").agg(
+    return base.groupBy(group_col).agg(
         n.cast("bigint").alias("n_queries"),
         hits.cast("bigint").alias("n_hits"),
         F.floor(

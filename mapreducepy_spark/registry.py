@@ -122,7 +122,7 @@ _KEY_ORDER = (
     # round-13 session growth block: zero driver evidence — new keys
     # are appended HERE as they land this session, and rotate into
     # the round-14 window head with the r9 remainder below
-    "sim_ann_ivf_multiprobe",
+    "sim_ann_ivf_multiprobe", "sim_ann_ivf_recall",
     # the 25 remaining r9-evidence keys: lead the round-14 window
     # with any round-13 session growth
     "events_funnel", "rollup_multires", "join_range_binned",

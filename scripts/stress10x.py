@@ -265,6 +265,10 @@ OPS = (
     # p=3 rows through the ONE cell-equi shuffle; work must track
     # Σ p·|Q_cell|×|cell| (≈3× single-probe), never corpus²
     "sim_ann_ivf_multiprobe",
+    # the nprobe tuning ledger: composes multiprobe + the exact
+    # brute-force ground truth — cost must track those two plans, the
+    # ledger itself is 3 rows over K-per-query joins
+    "sim_ann_ivf_recall",
 )
 
 

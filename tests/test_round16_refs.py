@@ -482,3 +482,61 @@ def test_streaming_band_index_maintenance_lifecycle(spark, sf_dir, tmp_path):
         assert partner_verdict() == v_before  # ...verdict unmoved
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {copy}")
+
+
+def test_ivf_recall_ledger_matches_pandas_and_probe1_theorem(spark, sf_dir):
+    """Third ref for sim_ann_ivf_recall: (a) the ledger re-aggregated
+    independently in pandas from the two registered outputs it
+    reconciles (set-membership hits against the exact top-K, per-row
+    integer micro-unit regret, exact-int mean); (b) the probe-1
+    equivalence THEOREM — a multiprobe answer decided at probe rank 1
+    considered a superset of single-probe's candidates and still chose
+    the home cell, so on those queries it must equal sim_ann_ivf's
+    answer row-for-row."""
+    import math
+
+    from mapreducepy_spark.registry import load_catalog
+
+    cat = load_catalog()
+    mp = cat["sim_ann_ivf_multiprobe"].builder(spark, sf_dir).toPandas()
+    knn = cat["sim_knn"].builder(spark, sf_dir).toPandas()
+    got = (
+        cat["sim_ann_ivf_recall"].builder(spark, sf_dir).toPandas()
+        .sort_values("probe")
+        .reset_index(drop=True)
+    )
+
+    topk = {(int(r.query_id), int(r.neighbor_id)) for r in knn.itertuples()}
+    top1 = {}
+    for r in knn.sort_values(
+        ["query_id", "cos_sim", "neighbor_id"], ascending=[True, False, True]
+    ).itertuples():
+        top1.setdefault(int(r.query_id), float(r.cos_sim))
+    led = {}
+    for r in mp.itertuples():
+        q = int(r.query_id)
+        hit = (q, int(r.neighbor_id)) in topk
+        regret = math.floor((top1[q] - float(r.cos_sim)) * 1e6 + 0.5)
+        n, h, s = led.get(int(r.probe), (0, 0, 0))
+        led[int(r.probe)] = (n + 1, h + int(hit), s + regret)
+    assert len(got) == len(led)
+    for r in got.itertuples():
+        n, h, s = led[int(r.probe)]
+        assert int(r.n_queries) == n
+        assert int(r.n_hits) == h
+        assert int(r.hit_ppm) == math.floor(h / n * 1e6 + 0.5)
+        assert int(r.avg_regret_upm) == math.floor(s / n + 0.5)
+    assert int(got["n_queries"].sum()) == len(mp)
+    # (b) probe-1 equivalence vs the single-probe key
+    sp = (
+        cat["sim_ann_ivf"].builder(spark, sf_dir).toPandas()
+        .set_index("query_id")
+    )
+    p1 = mp[mp["probe"] == 1].set_index("query_id")
+    assert len(p1) > 0
+    for q in p1.index:
+        assert int(p1.loc[q, "neighbor_id"]) == int(sp.loc[q, "neighbor_id"]), q
+        assert float(p1.loc[q, "cos_sim"]) == float(sp.loc[q, "cos_sim"]), q
+    # non-degeneracy: at least two probe ranks must appear, else the
+    # ledger cannot price what probing bought
+    assert got["probe"].nunique() >= 2
