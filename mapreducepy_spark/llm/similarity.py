@@ -1284,6 +1284,92 @@ def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_ledger(ann, knn, group_col="probe")
 
 
+_ORACLE_SIM_ANN_IVF_BALANCE = f"""
+WITH {_DUCK_IVF_MP_CTES},
+counts AS (
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM members GROUP BY cell
+),
+tot AS (SELECT CAST(SUM(n_members) AS BIGINT) AS n_total FROM counts)
+SELECT CAST(c.cell AS INT) AS cell,
+       c.n_members,
+       CAST(floor(CAST(c.n_members AS DOUBLE) / t.n_total
+                  * 1000000.0 + 0.5) AS BIGINT) AS share_ppm,
+       CAST(floor(CAST(c.n_members * {_N_CELLS} AS DOUBLE) / t.n_total
+                  * 1000.0 + 0.5) AS BIGINT) AS load_x1000
+FROM counts c, tot t
+"""
+
+
+@register(
+    "sim_ann_ivf_balance", _ORACLE_SIM_ANN_IVF_BALANCE,
+    tags=("llm", "similarity", "ivf", "diagnostic"),
+)
+def sim_ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quantizer LOAD-BALANCE card: the population of every cell
+    of the coarse quantizer, as absolute members, corpus share (ppm),
+    and a load factor normalized so 1000 = perfectly balanced. The
+    third leg of the IVF tuning table: in-cell search work is
+    Σ O(|cell|²), so tail latency and shuffle skew are governed by
+    ``max(load)`` — a deployment reads THIS card to decide whether
+    the quantizer needs retraining (Lloyd rounds via ``kmeans_fit``)
+    or more cells, before ``sim_ann_ivf_recall`` prices the probes.
+
+    Scale: assignment is the same narrow broadcast GEMM every IVF key
+    rides (no shuffle); the census is ONE groupBy(cell) over
+    {_N_CELLS} groups with map-side combine, and the totals join is a
+    broadcast of one row. Output is quantizer-sized, never
+    corpus-sized.
+
+    Hash parity: pure integer counts; the two ratios are single IEEE
+    divisions of exact integers, floored to integer units per row
+    (the hit_ppm discipline).
+    """
+    emb = (
+        _valid_embeddings(load(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding")
+    )
+    out_schema = (
+        "cell int, n_members bigint, share_ppm bigint, load_x1000 bigint"
+    )
+    cent_pdf = emb.orderBy(F.col("vec_id").asc()).limit(_N_CELLS).toPandas()
+    if len(cent_pdf) == 0:
+        return spark.createDataFrame([], out_schema)
+    cent = _np_unit(np.stack(cent_pdf["embedding"].to_list()).astype(np.float64))
+    bc_cent = spark.sparkContext.broadcast(cent)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc_cent.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qu = _np_unit(np.stack(pdf["embedding"].to_list()).astype(np.float64))
+            sim = _np_cos(qu, c)
+            yield pd.DataFrame(
+                {"cell": np.argmax(sim, axis=1).astype(np.int32)}
+            )
+
+    counts = (
+        _query_side(spark, emb)
+        .mapInPandas(assign, "cell int")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    )
+    tot = counts.agg(F.sum("n_members").cast("bigint").alias("n_total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_members",
+        F.floor(
+            F.col("n_members").cast("double") / F.col("n_total")
+            * 1000000.0 + 0.5
+        ).cast("bigint").alias("share_ppm"),
+        F.floor(
+            (F.col("n_members") * _N_CELLS).cast("double")
+            / F.col("n_total") * 1000.0 + 0.5
+        ).cast("bigint").alias("load_x1000"),
+    )
+
+
 def kmeans_fit(
     spark: SparkSession, emb: DataFrame, k: int = _N_CELLS, n_iters: int = 3
 ) -> np.ndarray:

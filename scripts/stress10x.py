@@ -269,6 +269,9 @@ OPS = (
     # brute-force ground truth — cost must track those two plans, the
     # ledger itself is 3 rows over K-per-query joins
     "sim_ann_ivf_recall",
+    # the quantizer load-balance card: one broadcast GEMM + one
+    # 16-group census — must stay scan-linear, output quantizer-sized
+    "sim_ann_ivf_balance",
 )
 
 

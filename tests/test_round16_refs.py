@@ -540,3 +540,60 @@ def test_ivf_recall_ledger_matches_pandas_and_probe1_theorem(spark, sf_dir):
     # non-degeneracy: at least two probe ranks must appear, else the
     # ledger cannot price what probing bought
     assert got["probe"].nunique() >= 2
+
+
+def test_ivf_balance_matches_python_census(spark, sf_dir):
+    """Third ref for sim_ann_ivf_balance: the cell census recomputed
+    independently (validity predicate, dimension-order folds, first-16
+    quantizer, argmax-with-lowest-cell-tie assignment), plus the
+    conservation theorems: member counts sum to the valid corpus size
+    and shares sum to ~1e6 ppm."""
+    import math
+
+    import pandas as pd
+
+    from mapreducepy_spark.registry import load_catalog
+
+    cat = load_catalog()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def unit(v):
+        acc = 0.0
+        for x in v:
+            acc = acc + float(x) * float(x)
+        if not acc > 0:
+            return None
+        s = math.sqrt(acc)
+        return [float(x) / s for x in v]
+
+    def cos(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    rows = []
+    for r in emb.itertuples():
+        if r.embedding is None or len(r.embedding) != 64:
+            continue
+        u = unit(r.embedding)
+        if u is not None:
+            rows.append((int(r.vec_id), u))
+    cent = [u for _, u in sorted(rows, key=lambda t: t[0])[:16]]
+    census = {}
+    for _, u in rows:
+        best = min(range(len(cent)), key=lambda c: (-cos(u, cent[c]), c))
+        census[best] = census.get(best, 0) + 1
+    total = sum(census.values())
+    got = cat["sim_ann_ivf_balance"].builder(spark, sf_dir).toPandas()
+    assert len(got) == len(census)
+    for r in got.itertuples():
+        n = census[int(r.cell)]
+        assert int(r.n_members) == n
+        assert int(r.share_ppm) == math.floor(n / total * 1e6 + 0.5)
+        assert int(r.load_x1000) == math.floor(n * 16 / total * 1e3 + 0.5)
+    assert int(got["n_members"].sum()) == total == len(rows)
+    assert abs(int(got["share_ppm"].sum()) - 1_000_000) <= len(census)
+    # non-degeneracy: the untrained first-16 quantizer on real data
+    # must show visible imbalance, else the card reads as decorative
+    assert int(got["load_x1000"].max()) > 1000 > int(got["load_x1000"].min())
