@@ -837,6 +837,22 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_CELLS = 16
 
+
+def _ivf_quantizer(spark, emb):
+    """The ONE deterministic coarse-quantizer bootstrap every IVF key
+    shares (r13 review: previously copy-pasted three times): the
+    ``_N_CELLS`` lowest-id valid vectors, unit-normalized and
+    broadcast. Returns the broadcast handle, or None for an empty /
+    all-invalid corpus (the caller returns its empty frame — not a
+    numpy crash; found by the empty-tables sweep)."""
+    cent_pdf = emb.orderBy(F.col("vec_id").asc()).limit(_N_CELLS).toPandas()
+    if len(cent_pdf) == 0:
+        return None
+    cent = _np_unit(
+        np.stack(cent_pdf["embedding"].to_list()).astype(np.float64)
+    )
+    return spark.sparkContext.broadcast(cent)
+
 _ORACLE_SIM_ANN_IVF = f"""
 WITH {_DUCK_NORMED_CTE},
 cent AS (
@@ -904,16 +920,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _valid_embeddings(load(spark, sf_dir, "embeddings"))
         .select("vec_id", "embedding")
     )
-    cent_pdf = emb.orderBy(F.col("vec_id").asc()).limit(_N_CELLS).toPandas()
-    if len(cent_pdf) == 0:
-        # empty (or all-invalid) corpus: no centroids to stack — the
-        # answer is the empty pair set, not a numpy crash (found by
-        # the empty-tables sweep)
+    bc_cent = _ivf_quantizer(spark, emb)
+    if bc_cent is None:
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, cell int, cos_sim double"
         )
-    cent = _np_unit(np.stack(cent_pdf["embedding"].to_list()).astype(np.float64))
-    bc_cent = spark.sparkContext.broadcast(cent)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c = bc_cent.value
@@ -1097,13 +1108,10 @@ def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id bigint, neighbor_id bigint, cell int, probe int, "
         "cos_sim double"
     )
-    cent_pdf = emb.orderBy(F.col("vec_id").asc()).limit(_N_CELLS).toPandas()
-    if len(cent_pdf) == 0:
-        # empty (or all-invalid) corpus — the sim_ann_ivf contract
+    bc_cent = _ivf_quantizer(spark, emb)
+    if bc_cent is None:
         return spark.createDataFrame([], out_schema)
-    cent = _np_unit(np.stack(cent_pdf["embedding"].to_list()).astype(np.float64))
-    bc_cent = spark.sparkContext.broadcast(cent)
-    n_probe = min(_N_PROBE, cent.shape[0])
+    n_probe = min(_N_PROBE, bc_cent.value.shape[0])
 
     def assign_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c = bc_cent.value
@@ -1199,20 +1207,25 @@ def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_SIM_ANN_IVF_RECALL = f"""
-WITH {_DUCK_IVF_MP_CTES},
-ann AS (
-    SELECT query_id, neighbor_id, probe,
-           (floor(cos_sim * 1000000.0 + 0.5) / 1000000.0) AS ann_cos
-    FROM mp_ranked
-    WHERE rn = 1
-),
+def _recall_ledger_sql(
+    ann_ctes: str, group_expr: str, group_alias: str,
+    query_filter: str = "",
+) -> str:
+    """The ONE ledger tail behind every recall-audit oracle —
+    ``ann_ctes`` (which must start with the ``normed`` CTE and end by
+    defining ``ann(query_id, neighbor_id, <group>, ann_cos)``) plugs
+    into a single exact-ground-truth + hit/regret aggregation text,
+    so no pair of audits (sign-LSH exhaustive/sampled, IVF
+    multiprobe) can drift in membership or rounding semantics
+    (r13 review: the IVF copy previously duplicated this block)."""
+    return f"""
+WITH {ann_ctes},
 epairs AS (
     SELECT a.vec_id AS query_id,
            b.vec_id AS neighbor_id,
            {_DUCK_COS.format(a="a.unit", b="b.unit")} AS cos_sim
     FROM normed a
-    JOIN normed b ON a.vec_id <> b.vec_id
+    JOIN normed b ON a.vec_id <> b.vec_id{query_filter}
 ),
 eranked AS (
     SELECT query_id, neighbor_id, cos_sim,
@@ -1222,7 +1235,10 @@ eranked AS (
     FROM epairs
 ),
 exact_topk AS (
-    -- DISTINCT: membership is a SET question (see _recall_oracle_sql)
+    -- DISTINCT: duplicate vec_ids fan the exact top-K out once per
+    -- source row; membership ("is the ANN pick inside the exact
+    -- top-K?") is a SET question, and a bag here would multiply the
+    -- hit join and inflate n_queries (the duplicate-id sweep row)
     SELECT DISTINCT query_id, neighbor_id FROM eranked WHERE rn <= {_K}
 ),
 exact_top1 AS (
@@ -1230,7 +1246,7 @@ exact_top1 AS (
            (floor(cos_sim * 1000000.0 + 0.5) / 1000000.0) AS exact_cos
     FROM eranked WHERE rn = 1
 )
-SELECT CAST(n.probe AS INT) AS probe,
+SELECT {group_expr} AS {group_alias},
        CAST(COUNT(*) AS BIGINT) AS n_queries,
        CAST(SUM(CASE WHEN k.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_hits,
@@ -1245,8 +1261,21 @@ FROM ann n
 LEFT JOIN exact_topk k
        ON n.query_id = k.query_id AND n.neighbor_id = k.neighbor_id
 JOIN exact_top1 t ON n.query_id = t.query_id
-GROUP BY n.probe
+GROUP BY {group_expr}
 """
+
+
+_ORACLE_SIM_ANN_IVF_RECALL = _recall_ledger_sql(
+    f"""{_DUCK_IVF_MP_CTES},
+ann AS (
+    SELECT query_id, neighbor_id, probe,
+           (floor(cos_sim * 1000000.0 + 0.5) / 1000000.0) AS ann_cos
+    FROM mp_ranked
+    WHERE rn = 1
+)""",
+    "CAST(n.probe AS INT)",
+    "probe",
+)
 
 
 @register(
@@ -1332,11 +1361,9 @@ def sim_ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = (
         "cell int, n_members bigint, share_ppm bigint, load_x1000 bigint"
     )
-    cent_pdf = emb.orderBy(F.col("vec_id").asc()).limit(_N_CELLS).toPandas()
-    if len(cent_pdf) == 0:
+    bc_cent = _ivf_quantizer(spark, emb)
+    if bc_cent is None:
         return spark.createDataFrame([], out_schema)
-    cent = _np_unit(np.stack(cent_pdf["embedding"].to_list()).astype(np.float64))
-    bc_cent = spark.sparkContext.broadcast(cent)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c = bc_cent.value
@@ -1646,13 +1673,13 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- ANN quality: bucketed top-1 vs exact top-K recall --------------
 
 def _recall_oracle_sql(query_mod: int | None = None) -> str:
-    """The recall-ledger oracle, parameterized by the deterministic
-    query-side sample (``a.vec_id % query_mod = 0``; ``None`` = every
-    vector is a query). One template emits BOTH keys' SQL so the
-    exhaustive and sampled audits cannot drift."""
+    """The sign-LSH recall-ledger oracle, parameterized by the
+    deterministic query-side sample (``a.vec_id % query_mod = 0``;
+    ``None`` = every vector is a query). One ann-side text emits BOTH
+    keys' SQL, and the ledger tail is the shared
+    ``_recall_ledger_sql`` — neither half can drift between audits."""
     qf = f" AND a.vec_id % {query_mod} = 0" if query_mod else ""
-    return f"""
-WITH {_DUCK_NORMED_CTE},
+    ann_ctes = f"""{_DUCK_NORMED_CTE},
 bucketed AS (
     SELECT vec_id, unit, {_DUCK_BUCKET} AS bucket
     FROM normed
@@ -1675,50 +1702,8 @@ ann AS (
         FROM apairs
     )
     WHERE rn = 1
-),
-epairs AS (
-    SELECT a.vec_id AS query_id,
-           b.vec_id AS neighbor_id,
-           {_DUCK_COS.format(a="a.unit", b="b.unit")} AS cos_sim
-    FROM normed a
-    JOIN normed b ON a.vec_id <> b.vec_id{qf}
-),
-eranked AS (
-    SELECT query_id, neighbor_id, cos_sim,
-           ROW_NUMBER() OVER (
-               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
-           ) AS rn
-    FROM epairs
-),
-exact_topk AS (
-    -- DISTINCT: duplicate vec_ids fan the exact top-K out once per
-    -- source row; membership ("is the ANN pick inside the exact
-    -- top-K?") is a SET question, and a bag here would multiply the
-    -- hit join and inflate n_queries (the duplicate-id sweep row)
-    SELECT DISTINCT query_id, neighbor_id FROM eranked WHERE rn <= {_K}
-),
-exact_top1 AS (
-    SELECT query_id,
-           (floor(cos_sim * 1000000.0 + 0.5) / 1000000.0) AS exact_cos
-    FROM eranked WHERE rn = 1
-)
-SELECT n.bucket,
-       CAST(COUNT(*) AS BIGINT) AS n_queries,
-       CAST(SUM(CASE WHEN k.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_hits,
-       CAST(floor(CAST(SUM(CASE WHEN k.neighbor_id IS NOT NULL
-                                THEN 1 ELSE 0 END) AS DOUBLE)
-                  / COUNT(*) * 1000000.0 + 0.5) AS BIGINT) AS hit_ppm,
-       CAST(floor(
-           CAST(SUM(CAST(floor((t.exact_cos - n.ann_cos) * 1000000.0
-                               + 0.5) AS BIGINT)) AS DOUBLE)
-           / COUNT(*) + 0.5) AS BIGINT) AS avg_regret_upm
-FROM ann n
-LEFT JOIN exact_topk k
-       ON n.query_id = k.query_id AND n.neighbor_id = k.neighbor_id
-JOIN exact_top1 t ON n.query_id = t.query_id
-GROUP BY n.bucket
-"""
+)"""
+    return _recall_ledger_sql(ann_ctes, "n.bucket", "bucket", qf)
 
 
 _RECALL_SAMPLE_EVERY = 5  # audit every 5th vector (20% sample)

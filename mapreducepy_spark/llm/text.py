@@ -1033,7 +1033,15 @@ def _zipf_shard_key(cnt: Column, word: Column) -> Column:
         F.coalesce(F.ascii(F.substring(word, 2, 1)), F.lit(0)),
         F.lit(255),
     )
-    cnt_c = F.least(cnt, F.lit((1 << 43) - 1))
+    # NULL-propagating clamp (r13 review): Spark's least() SKIPS
+    # NULLs, so a bare least(cnt, lit) would turn a NULL count into
+    # the max-clamp head key — bypassing with_global_prefix's NULL
+    # sentinel path and sharding NULL rows as the most frequent
+    # words. The sole current caller's count(*) is never NULL, but
+    # this is named reusable machinery now.
+    cnt_c = F.when(
+        cnt.isNull(), F.lit(None).cast("bigint")
+    ).otherwise(F.least(cnt, F.lit((1 << 43) - 1)))
     return cnt_c * F.lit(-(1 << 20)) + b1 * 256 + b2
 
 

@@ -88,8 +88,12 @@ def _leading_sort_flags(col: Column, shard_col: str):
             child = child.child()
         if child.getClass().getSimpleName() != "UnresolvedAttribute":
             return None
-        name = str(child.nameParts().mkString("."))
-        if name.split(".")[-1] != shard_col:
+        # NUL-joined so a literal dotted column name (created via
+        # backticks) cannot be conflated with a qualifier prefix
+        # (r13 review): match either the full joined name or the
+        # last part (qualified reference to the shard column).
+        parts = str(child.nameParts().mkString("\x00")).split("\x00")
+        if ".".join(parts) != shard_col and parts[-1] != shard_col:
             return None
         desc = node.sortDirection().getClass().getSimpleName() == "Descending$"
         nlast = node.nullOrdering().getClass().getSimpleName() == "NullsLast$"

@@ -597,3 +597,36 @@ def test_ivf_balance_matches_python_census(spark, sf_dir):
     # non-degeneracy: the untrained first-16 quantizer on real data
     # must show visible imbalance, else the card reads as decorative
     assert int(got["load_x1000"].max()) > 1000 > int(got["load_x1000"].min())
+
+
+def test_zipf_shard_key_null_propagates(spark):
+    """r13 review: Spark's least() skips NULLs — the clamp must not
+    convert a NULL count into the max-clamp head key; NULL stays NULL
+    so with_global_prefix's −1 sentinel path keeps owning it."""
+    from mapreducepy_spark.llm.text import _zipf_shard_key
+
+    rows = (
+        spark.createDataFrame(
+            [(None, "aa"), (5, "aa")], "cnt: bigint, word: string"
+        )
+        .select(
+            "cnt",
+            _zipf_shard_key(F.col("cnt"), F.col("word")).alias("sk"),
+        )
+        .collect()
+    )
+    by_cnt = {r.cnt: r.sk for r in rows}
+    assert by_cnt[None] is None
+    assert by_cnt[5] is not None
+
+
+def test_leading_sort_flags_dotted_literal_name(spark):
+    """r13 review: a literal dotted column name (backtick-created)
+    must still be matched by the flag guard — nameParts are joined
+    with a NUL sentinel, not '.', so a qualifier prefix cannot be
+    conflated with a dotted literal."""
+    from mapreducepy_spark.operators.prefix import _leading_sort_flags
+
+    assert _leading_sort_flags(F.col("`a.b`").desc(), "a.b") == (True, True)
+    # qualified reference to a plain shard column still matches
+    assert _leading_sort_flags(F.col("t.k").asc(), "k") == (False, False)
