@@ -1085,3 +1085,139 @@ def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (top.getField("nd") * F.lit(-1)).cast("bigint").alias("max_gap_dim"),
         dround(top.getField("ag") / _SCALE, 6).alias("max_gap"),
     )
+
+
+# --- cross-modal coverage: the training-store consistency card -------
+
+# Validity predicate text matches llm/similarity.py's contract
+# (exactly _DIM components AND norm² > 0) so "valid" means the same
+# thing to the coverage card and to every ANN/dedup consumer.
+_DUCK_EMB_VALID = (
+    f"len(embedding) = {_DIM} AND "
+    "list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0"
+)
+
+_ORACLE_DOCS_EMB_COVERAGE = f"""
+WITH e AS (
+    -- collapse per embedding IDENTITY first: duplicate vec_ids must
+    -- not fan the document join out (the duplicate-id sweep row)
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MAX(CASE WHEN {_DUCK_EMB_VALID} THEN 1 ELSE 0 END) AS any_valid
+    FROM embeddings
+    GROUP BY vec_id
+),
+per_source AS (
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_embedded,
+           CAST(SUM(CASE WHEN e.any_valid = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_valid
+    FROM documents d
+    LEFT JOIN e ON d.doc_id = e.vec_id
+    GROUP BY d.source
+),
+orphans AS (
+    -- NOT EXISTS, not NOT IN: a NULL vec_id must count as an orphan
+    -- on both engines instead of poisoning the whole predicate
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(any_valid), 0) AS BIGINT) AS nv
+    FROM e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM documents dd WHERE dd.doc_id = e.vec_id
+    )
+)
+SELECT source, n_docs, n_embedded, n_valid,
+       CAST(floor(CAST(n_embedded AS DOUBLE) / n_docs * 1000000.0 + 0.5)
+            AS BIGINT) AS coverage_ppm
+FROM per_source
+UNION ALL
+SELECT '(orphan embeddings)', CAST(0 AS BIGINT), n, nv,
+       CAST(NULL AS BIGINT)
+FROM orphans
+"""
+
+
+@register(
+    "docs_embedding_coverage", _ORACLE_DOCS_EMB_COVERAGE,
+    tags=("llm", "embedding", "quality"),
+)
+def docs_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal training-store consistency card: per document
+    source, how many documents exist, how many have an embedding row
+    (keyed ``doc_id = vec_id``), how many of those embeddings are
+    VALID under the ANN contract (exactly {_DIM} components, norm² >
+    0 — the same predicate every similarity/dedup consumer applies),
+    and the coverage in ppm — plus one ``(orphan embeddings)`` row
+    counting embedding identities with no document at all. This is
+    the first gate a curation pipeline checks before trusting any
+    embedding-driven stage: silent coverage holes bias dedup and ANN
+    toward whatever DID get embedded.
+
+    Scale: both tables are corpus-sized at 100 TB, so the join is an
+    id-keyed shuffle join (bucket both stores on the id to make it
+    co-located and exchange-free); embeddings collapse per identity
+    BEFORE the join (duplicate rows never fan the document side),
+    the census is a groupBy(source) with map-side combine over a
+    handful of groups, and the orphan branch is a LEFT ANTI join +
+    one-row aggregate. Output is sources + 1 rows.
+
+    Hash parity: pure integer counts; coverage_ppm is one IEEE
+    division floored to integer ppm (the hit_ppm discipline); NULL
+    sources group, NULL join keys never match, and a NULL vec_id
+    lands in the orphan row via NOT EXISTS / LEFT ANTI on both
+    engines.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    norm_sq = F.aggregate(
+        "embedding",
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    valid = (F.size("embedding") == _DIM) & (norm_sq > 0)
+    e = emb.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.max(F.when(valid, 1).otherwise(0)).alias("any_valid"),
+    )
+    per_source = (
+        docs.join(e, docs.doc_id == e.vec_id, "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("vec_id").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_embedded"),
+            F.sum(
+                F.when(F.col("any_valid") == 1, 1).otherwise(0)
+            ).cast("bigint").alias("n_valid"),
+        )
+        .select(
+            "source", "n_docs", "n_embedded", "n_valid",
+            F.floor(
+                F.col("n_embedded").cast("double") / F.col("n_docs")
+                * 1000000.0 + 0.5
+            ).cast("bigint").alias("coverage_ppm"),
+        )
+    )
+    orphan = (
+        e.join(
+            docs.select("doc_id"), e.vec_id == F.col("doc_id"), "left_anti"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_embedded"),
+            F.coalesce(F.sum("any_valid"), F.lit(0)).cast("bigint").alias(
+                "n_valid"
+            ),
+        )
+        .select(
+            F.lit("(orphan embeddings)").alias("source"),
+            F.lit(0).cast("bigint").alias("n_docs"),
+            "n_embedded",
+            "n_valid",
+            F.lit(None).cast("bigint").alias("coverage_ppm"),
+        )
+    )
+    return per_source.unionByName(orphan)

@@ -123,7 +123,7 @@ _KEY_ORDER = (
     # are appended HERE as they land this session, and rotate into
     # the round-14 window head with the r9 remainder below
     "sim_ann_ivf_multiprobe", "sim_ann_ivf_recall",
-    "sim_ann_ivf_balance",
+    "sim_ann_ivf_balance", "docs_embedding_coverage",
     # the 25 remaining r9-evidence keys: lead the round-14 window
     # with any round-13 session growth
     "events_funnel", "rollup_multires", "join_range_binned",

@@ -630,3 +630,125 @@ def test_leading_sort_flags_dotted_literal_name(spark):
     assert _leading_sort_flags(F.col("`a.b`").desc(), "a.b") == (True, True)
     # qualified reference to a plain shard column still matches
     assert _leading_sort_flags(F.col("t.k").asc(), "k") == (False, False)
+
+
+def test_docs_embedding_coverage_pandas_and_boundary_fixture(spark, sf_dir, tmp_path):
+    """Third ref for docs_embedding_coverage: (a) full pandas
+    recompute at the fixture SF; (b) a constructed boundary fixture
+    exercising every arm at once — duplicate vec_id (valid + invalid
+    row), wrong-length and zero-vector invalids, an unembedded doc, a
+    NULL-source doc, an orphan embedding AND a NULL-vec_id orphan —
+    oracle cross-checked end-to-end."""
+    import math
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreducepy_spark.registry import load_catalog
+
+    from .parity_util import canon_frame
+
+    cat = load_catalog()
+
+    def recompute(docs: pd.DataFrame, emb: pd.DataFrame) -> dict:
+        per_id = {}
+        for r in emb.itertuples():
+            v = r.embedding
+            ok = (
+                v is not None
+                and len(v) == 64
+                and sum(float(x) * float(x) for x in v) > 0
+            )
+            k = None if pd.isna(r.vec_id) else int(r.vec_id)
+            n, av = per_id.get(k, (0, 0))
+            per_id[k] = (n + 1, max(av, int(ok)))
+        out = {}
+        for r in docs.itertuples():
+            src = None if (isinstance(r.source, float) and pd.isna(r.source)) else r.source
+            d, e, vv = out.get(src, (0, 0, 0))
+            did = None if pd.isna(r.doc_id) else int(r.doc_id)
+            hit = did is not None and did in per_id
+            out[src] = (
+                d + 1,
+                e + int(hit),
+                vv + (per_id[did][1] if hit else 0),
+            )
+        doc_ids = {int(r.doc_id) for r in docs.itertuples() if not pd.isna(r.doc_id)}
+        orph = [(n, av) for k, (n, av) in per_id.items() if k is None or k not in doc_ids]
+        res = {
+            src: (d, e, vv, math.floor(e / d * 1e6 + 0.5))
+            for src, (d, e, vv) in out.items()
+        }
+        res["(orphan embeddings)"] = (
+            0, len(orph), sum(av for _, av in orph), None,
+        )
+        return res
+
+    def check(sfd):
+        docs = pd.read_parquet(f"{sfd}/documents.parquet")[["doc_id", "source"]]
+        emb = pd.read_parquet(f"{sfd}/embeddings.parquet")[["vec_id", "embedding"]]
+        exp = recompute(docs, emb)
+        got = cat["docs_embedding_coverage"].builder(spark, sfd).toPandas()
+        assert len(got) == len(exp)
+        for r in got.itertuples():
+            src = None if (isinstance(r.source, float) and pd.isna(r.source)) else r.source
+            d, e, vv, ppm = exp[src]
+            assert (int(r.n_docs), int(r.n_embedded), int(r.n_valid)) == (d, e, vv), src
+            if ppm is None:
+                assert pd.isna(r.coverage_ppm)
+            else:
+                assert int(r.coverage_ppm) == ppm, src
+        return got
+
+    check(sf_dir)
+
+    # constructed boundary fixture
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, 3, None], dtype="Int64"),
+            "text": ["a", "b", "c", "d"],
+            "lang": ["en"] * 4,
+            "source": ["web", "web", None, "books"],
+            "n_chars": pd.array([1, 1, 1, 1], dtype="Int64"),
+        }
+    )
+    good = [0.1] * 64
+    emb = pd.DataFrame(
+        {
+            "vec_id": pd.array([1, 1, 3, 99, None], dtype="Int64"),
+            "embedding": [good, [0.0] * 64, [0.2] * 63, good, good],
+            "label": pd.array([0] * 5, dtype="Int32"),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(emb["vec_id"], pa.int64()),
+            "embedding": pa.array(emb["embedding"], pa.list_(pa.float32())),
+            "label": pa.array(emb["label"], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    got = check(str(tmp_path))
+    by_src = got.set_index("source")
+    # doc 1: duplicate vec_id, one valid row -> embedded AND valid;
+    # doc 2: unembedded; doc 3 (NULL source): wrong-length = invalid
+    assert (
+        int(by_src.loc["web", "n_docs"]),
+        int(by_src.loc["web", "n_embedded"]),
+        int(by_src.loc["web", "n_valid"]),
+    ) == (2, 1, 1)
+    # orphans: vec 99 (valid) + NULL vec_id (valid embedding bytes)
+    assert int(by_src.loc["(orphan embeddings)", "n_embedded"]) == 2
+    assert int(by_src.loc["(orphan embeddings)", "n_valid"]) == 2
+    # oracle cross-check on the constructed frame
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    duck = con.execute(cat["docs_embedding_coverage"].oracle).fetchdf()
+    assert canon_frame(got) == canon_frame(duck)
