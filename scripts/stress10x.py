@@ -272,6 +272,10 @@ OPS = (
     # the quantizer load-balance card: one broadcast GEMM + one
     # 16-group census — must stay scan-linear, output quantizer-sized
     "sim_ann_ivf_balance",
+    # cross-modal coverage census: one id-keyed join of two
+    # corpus-sized stores + a sources-sized census — must stay
+    # join-linear with constant-row output
+    "docs_embedding_coverage",
 )
 
 
