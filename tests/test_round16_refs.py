@@ -752,3 +752,101 @@ def test_docs_embedding_coverage_pandas_and_boundary_fixture(spark, sf_dir, tmp_
         )
     duck = con.execute(cat["docs_embedding_coverage"].oracle).fetchdf()
     assert canon_frame(got) == canon_frame(duck)
+
+
+# --- value-level refs for the two plan-only predicted-r14-window keys
+
+
+def test_join_multi_matches_pandas(spark):
+    """Q5-shaped 6-table star join recomputed with pandas merges:
+    same region/date filters, same join graph, revenue per nation =
+    Σ extprice·(1−discount). Cent-level tolerance on the one rounded
+    float (the dround(…,2) discipline). Runs at sf0.01, NOT the
+    default fixture: the ASIA + c_nationkey=s_nationkey chain leaves
+    only 3 rows at sf0.001 (a date-window mutation was provably blind
+    there); sf0.01 has 155 rows across 5 nations and the window
+    excludes 9 live rows."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from mapreducepy_spark.registry import load_catalog
+
+    cat = load_catalog()
+    sf_dir = "/root/testdata/sf0.01"
+
+    def _pq(name):
+        return pd.read_parquet(f"{sf_dir}/{name}.parquet")
+
+    c, o_all, li = _pq("customer"), _pq("orders"), _pq("lineitem")
+    s, n, r = _pq("supplier"), _pq("nation"), _pq("region")
+    o = o_all[
+        (o_all.o_orderdate >= pd.Timestamp("1996-01-01"))
+        & (o_all.o_orderdate < pd.Timestamp("1998-01-01"))
+    ]
+    r = r[r.r_name == "ASIA"]
+    j = c.merge(o, left_on="c_custkey", right_on="o_custkey")
+    j = j.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    j = j.merge(
+        s,
+        left_on=["l_suppkey", "c_nationkey"],
+        right_on=["s_suppkey", "s_nationkey"],
+    )
+    j = j.merge(n, left_on="s_nationkey", right_on="n_nationkey")
+    j = j.merge(r, left_on="n_regionkey", right_on="r_regionkey")
+    exp = (
+        (j.l_extendedprice * (1 - j.l_discount))
+        .groupby(j.n_name)
+        .sum()
+        .to_dict()
+    )
+    got = cat["join_multi"].builder(spark, sf_dir).toPandas()
+    assert len(got) == len(exp) >= 4  # several nations, not a near-empty chain
+    for row in got.itertuples():
+        assert float(row.revenue) == _pytest.approx(
+            exp[row.nation], abs=0.02
+        ), row.nation
+    # the date window must BITE (the blind-mutation lesson): widening
+    # it changes at least one nation's revenue beyond tolerance
+    j2 = c.merge(o_all, left_on="c_custkey", right_on="o_custkey")
+    j2 = j2.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    j2 = j2.merge(
+        s,
+        left_on=["l_suppkey", "c_nationkey"],
+        right_on=["s_suppkey", "s_nationkey"],
+    )
+    j2 = j2.merge(n, left_on="s_nationkey", right_on="n_nationkey")
+    j2 = j2.merge(r, left_on="n_regionkey", right_on="r_regionkey")
+    unwindowed = (
+        (j2.l_extendedprice * (1 - j2.l_discount))
+        .groupby(j2.n_name)
+        .sum()
+        .to_dict()
+    )
+    assert any(
+        abs(unwindowed.get(k, 0.0) - v) > 0.02 for k, v in exp.items()
+    )
+
+
+def test_join_semi_matches_pandas(spark, sf_dir):
+    """Left-semi recomputed as set membership: exactly the customers
+    holding ≥1 order past the cutoff, each left row emitted once."""
+    import pandas as pd
+
+    from mapreducepy_spark.registry import load_catalog
+
+    cat = load_catalog()
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    keep = set(
+        o[o.o_orderdate >= pd.Timestamp("2000-01-01")].o_custkey.astype(int)
+    )
+    exp = sorted(
+        (int(r.c_custkey), r.c_mktsegment)
+        for r in c.itertuples()
+        if int(r.c_custkey) in keep
+    )
+    got = cat["join_semi"].builder(spark, sf_dir).toPandas()
+    assert (
+        sorted(zip(got.c_custkey.astype(int), got.c_mktsegment)) == exp
+    )
+    assert len(exp) > 0  # the cutoff must bite, not select everything
