@@ -1191,15 +1191,26 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner one 1e-6-rounded before the deviations so both engines
     subtract the identical double.
 
-    Scale: two window-sorted passes over the fact table, both
-    partitioned on the SAME group key (the second input is the first
-    pass's deviations, so the partitioning is reusable); the group
-    medians ride a broadcast join back onto the rows. At 100 TB the
-    same statistic runs on ``approx_percentile`` sketches where
-    exactness isn't contractual — plan shape unchanged.
+    Scale (r13 optimization round — guide §2.4 "window functions
+    partitioned by the same key share one shuffle"): both median
+    passes, the deviation projection and the final one-row-per-group
+    cut are ALL keyed on ``o_orderpriority``, so the whole statistic
+    runs after ONE exchange of the fact table: rank/count windows
+    pick the type-7 median per group, the deviations are a pure
+    per-row projection against the group's window-computed median
+    (no broadcast-join round trip back onto the rows), the second
+    rank window re-sorts WITHIN the same partitions, and the final
+    groupBy reuses the partitioning (plan: 1 Exchange total, was
+    2 exchanges + 2 groupBy round-trips + 2 joins —
+    plans/r13/agg_mad_before.txt vs _after.txt). At 100 TB the same
+    statistic runs on ``approx_percentile`` sketches where exactness
+    isn't contractual — plan shape unchanged.
 
     Hash parity: the quantile_cont rank-pick algebra at p = 0.5 on
-    both passes; NULL-priority groups line up via null-safe joins.
+    both passes, with the inner median 1e-6-rounded through the
+    IDENTICAL expression as before, so both engines subtract the
+    identical double; NULL priorities form their own window
+    partition, matching the null-safe joins this replaces.
     """
     from pyspark.sql.window import Window
 
@@ -1209,53 +1220,46 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice").isNotNull())
     )
 
-    def p50(df: DataFrame, val: str) -> DataFrame:
+    wn = Window.partitionBy("o_orderpriority")
+
+    def p50_cols(df: DataFrame, val: str, out: str) -> DataFrame:
+        """Attach the group's type-7 median of ``val`` as column
+        ``out`` (1e-6-rounded), via rank/pick windows — no shuffle
+        beyond the group partitioning already in force."""
         w = Window.partitionBy("o_orderpriority").orderBy(val)
-        wn = Window.partitionBy("o_orderpriority")
         ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
             "n", F.count(F.lit(1)).over(wn)
         )
         h = (F.col("n") - 1).cast("double") * F.lit(0.5) + F.lit(1.0)
         lo_rank = F.floor(h).cast("long")
-        lo = F.max(F.when(F.col("rn") == lo_rank, F.col(val)))
-        hi = F.max(F.when(F.col("rn") == lo_rank + 1, F.col(val)))
-        frac = F.max(h - F.floor(h))
-        m = lo + frac * (F.coalesce(hi, lo) - lo)
-        return ranked.groupBy("o_orderpriority").agg(
-            (
-                F.floor(m * F.lit(1_000_000.0) + F.lit(0.5))
-                / F.lit(1_000_000.0)
-            ).alias("m"),
-            F.max("n").cast("bigint").alias("n_rows"),
+        picked = ranked.withColumn(
+            "lo", F.max(F.when(F.col("rn") == lo_rank, F.col(val))).over(wn)
+        ).withColumn(
+            "hi",
+            F.max(F.when(F.col("rn") == lo_rank + 1, F.col(val))).over(wn),
         )
+        frac = h - F.floor(h)
+        m = F.col("lo") + frac * (
+            F.coalesce(F.col("hi"), F.col("lo")) - F.col("lo")
+        )
+        return picked.withColumn(
+            out,
+            F.floor(m * F.lit(1_000_000.0) + F.lit(0.5))
+            / F.lit(1_000_000.0),
+        ).drop("rn", "lo", "hi")
 
-    med = p50(base, "o_totalprice")
-    b = base.alias("b")
-    mm = med.select(
-        F.col("o_orderpriority").alias("mprio"), "m"
-    ).alias("mm")
-    dev = b.join(
-        F.broadcast(mm),
-        F.col("b.o_orderpriority").eqNullSafe(F.col("mm.mprio")),
-    ).select(
-        F.col("b.o_orderpriority").alias("o_orderpriority"),
-        F.abs(F.col("b.o_totalprice") - F.col("mm.m")).alias("d"),
+    med = p50_cols(base, "o_totalprice", "m")
+    dev = med.select(
+        "o_orderpriority",
+        "n",
+        "m",
+        F.abs(F.col("o_totalprice") - F.col("m")).alias("d"),
     )
-    mad = p50(dev, "d")
-    return (
-        med.alias("me")
-        .join(
-            mad.alias("ma"),
-            F.col("me.o_orderpriority").eqNullSafe(
-                F.col("ma.o_orderpriority")
-            ),
-        )
-        .select(
-            F.col("me.o_orderpriority").alias("o_orderpriority"),
-            F.col("me.n_rows").alias("n_rows"),
-            F.col("me.m").alias("median_price"),
-            F.col("ma.m").alias("mad_price"),
-        )
+    mad = p50_cols(dev, "d", "m2")
+    return mad.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.max("m").alias("median_price"),
+        F.max("m2").alias("mad_price"),
     )
 
 

@@ -238,6 +238,13 @@ def with_global_prefix(
         for out, src in {**sums, **total_sums}.items()
     ]
     agg_cols.append(F.count(F.lit(1)).alias("__pt_cnt"))
+    # r13 optimization round: tried sourcing this aggregate from the
+    # __pid-partitioned window frame to share its Exchange — column
+    # pruning removes the unused Window AND its exchange requirement,
+    # so the plan falls back to exactly this shape plus one extra
+    # exchange from the wider grouping key. The shipped shape is
+    # already the cheap one: a map-side partial aggregate combines to
+    # ≤ shards rows per task before an S-row exchange.
     ptot = h.groupBy("__ord").agg(*agg_cols)
     before = F.col("b.__ord") < F.col("a.__ord")
     off_cols = []

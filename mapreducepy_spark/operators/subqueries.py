@@ -371,43 +371,73 @@ def join_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     them on the probe keeps one flat pipeline instead of nested
     per-row subqueries.
 
-    Scale: both the semi and the anti side are the SAME projected
-    lineitem keyed on ``l_orderkey``, so the probe shuffles once and
-    the two build sides hash-partition on the same key (co-located
-    back-to-back joins, no re-Exchange of the probe between them);
-    the supplier dimension broadcasts. The NOT-EXISTS inequality
-    (``l3.l_shipdate > l1.l_shipdate``) is a residual on the
-    anti-join's equi-key, never a theta-only join.
+    Scale (r13 optimization round — guide §2.4 "remove shuffles
+    outright"): the decorrelated semi/anti chain shuffled the
+    projected fact table THREE times (probe + two build sides, all on
+    ``l_orderkey``). Both EXISTS predicates only compare a row to the
+    OTHER rows of its own order, so they are order-partitioned window
+    algebra: after ONE exchange on ``l_orderkey``,
 
-    Hash parity: counts only — no doubles anywhere.
+    - EXISTS(other supplier)  ⇔  count(*) over (order) >
+      count(*) over (order, supplier) — another row with a different
+      suppkey exists;
+    - NOT EXISTS(other supplier shipped strictly later)  ⇔
+      ``max shipdate among OTHER suppliers <= own shipdate``, where
+      that max is ``d1`` (the order's max) unless the row's supplier
+      IS the lexicographic argmax ``k1`` of (shipdate, suppkey) — then
+      it is ``m2 = max(shipdate WHERE suppkey != k1)``. If a DIFFERENT
+      supplier ties ``d1``, m2 == d1 and the tie keeps every tied-last
+      supplier, exactly the semi/anti semantics.
+
+    The (order, supplier) window sits ABOVE the order windows so
+    hashpartitioning(l_orderkey) satisfies both partitionings — one
+    fact shuffle total (3 Exchange → 1, verified in
+    plans/r13/join_exists_chain_after.txt); the supplier dimension
+    still broadcasts.
+
+    Hash parity: counts only — no doubles anywhere; the rewrite is
+    pure integer/date comparisons, proven against the unchanged
+    EXISTS/NOT-EXISTS oracle at sf0.001/0.01/0.1.
     """
+    from pyspark.sql.window import Window
+
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     supp = load(spark, sf_dir, "supplier")
-    o2 = li.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
-    )
-    o3 = li.select(
-        F.col("l_orderkey").alias("ok3"),
-        F.col("l_suppkey").alias("sk3"),
-        F.col("l_shipdate").alias("ship3"),
-    )
-    last = (
-        li.join(
-            o2,
-            (F.col("l_orderkey") == F.col("ok2"))
-            & (F.col("l_suppkey") != F.col("sk2")),
-            "left_semi",
+    w_ord = Window.partitionBy("l_orderkey")
+    w_os = Window.partitionBy("l_orderkey", "l_suppkey")
+    step1 = li.select(
+        "*",
+        F.count(F.lit(1)).over(w_ord).alias("n_rows"),
+        F.max(
+            F.struct(
+                F.col("l_shipdate").alias("d"), F.col("l_suppkey").alias("k")
+            )
         )
-        .join(
-            o3,
-            (F.col("l_orderkey") == F.col("ok3"))
-            & (F.col("l_suppkey") != F.col("sk3"))
-            & (F.col("ship3") > F.col("l_shipdate")),
-            "left_anti",
-        )
+        .over(w_ord)
+        .alias("top1"),
     )
+    step2 = step1.select(
+        "*",
+        F.max(
+            F.when(
+                F.col("l_suppkey") != F.col("top1.k"), F.col("l_shipdate")
+            )
+        )
+        .over(w_ord)
+        .alias("m2"),
+    )
+    step3 = step2.select(
+        "*", F.count(F.lit(1)).over(w_os).alias("n_own")
+    )
+    other_max = F.when(
+        F.col("l_suppkey") == F.col("top1.k"), F.col("m2")
+    ).otherwise(F.col("top1.d"))
+    last = step3.filter(
+        (F.col("n_rows") > F.col("n_own"))
+        & (other_max <= F.col("l_shipdate"))
+    ).select("l_orderkey", "l_suppkey")
     return (
         last.join(
             F.broadcast(supp), last.l_suppkey == supp.s_suppkey

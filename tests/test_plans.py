@@ -765,13 +765,17 @@ def test_disjunctive_join_pushes_per_side_ors(spark, sf_dir):
     assert "EqualTo(p_brand,Brand#11)" in plan
 
 
-def test_exists_chain_is_semi_then_anti_not_cartesian(spark, sf_dir):
-    """join_exists_chain: EXISTS ⇒ LeftSemi, NOT EXISTS ⇒ LeftAnti,
-    both equi-keyed on l_orderkey with the shipdate inequality as a
-    residual — never a nested-loop/cartesian pair enumeration."""
-    plan = plan_of(spark, "join_exists_chain", sf_dir)
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+def test_exists_chain_is_one_fact_shuffle_window(spark, sf_dir):
+    """join_exists_chain (r13 optimization): both correlated EXISTS
+    predicates are order-partitioned window algebra — the fact table
+    shuffles ONCE on l_orderkey (the old semi/anti chain shuffled or
+    broadcast it three times), the (order, supplier) window reuses
+    the order partitioning, and only the supplier dimension
+    broadcasts. Never a nested-loop/cartesian pair enumeration."""
+    plan = plan_of(spark, "join_exists_chain", sf_dir, mode="simple")
+    assert plan.count("Exchange hashpartitioning(l_orderkey") == 1
+    assert "Window" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -1217,11 +1221,15 @@ def test_win_ema_one_exchange_no_join(spark, sf_dir):
     assert plan.count("Exchange") == 1  # the user-keyed window sort
 
 
-def test_agg_mad_broadcasts_medians_onto_rows(spark, sf_dir):
-    """The group medians (5 rows) ride broadcast joins back onto the
-    fact rows; both median passes partition on the same key."""
+def test_agg_mad_is_single_exchange_window_plan(spark, sf_dir):
+    """agg_mad (r13 optimization): both median passes, the deviation
+    projection and the final per-group cut all key on
+    o_orderpriority, so the whole statistic is ONE exchange — the
+    rank windows, the second in-partition re-sort and the final
+    groupBy all reuse it; no join, no broadcast round trip."""
     plan = plan_of(spark, "agg_mad", sf_dir, mode="simple")
-    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
 
 
