@@ -810,13 +810,28 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = subs.join(F.broadcast(cb), subs.s == cb.cb_s).select(
         "vec_id", "s", "cw", err.alias("err")
     )
+    # r13 optimization round: the (err, cw) argmin is packed into ONE
+    # bigint — ``min(err * K + cw)`` — because ``min`` over a STRUCT
+    # is not hash-aggregatable (Spark plans a SortAggregate: two full
+    # sorts of the M·n subvector frame); over a BIGINT it rides the
+    # ordinary HashAggregate with map-side combining (SortAggregate →
+    # HashAggregate, 2 Sorts removed — plans/r13/embed_pq_codes_*).
+    # Exact: cw ∈ [0, K) and err ≥ 0, so lexicographic (err, cw)
+    # order == numeric err·K+cw order. Overflow headroom: the int64
+    # l2 fold already bounds per-dim |µ-units| (the oracle computes
+    # the same BIGINT sums); packing adds only log2(K)=4 bits on top
+    # (fixture err ≤ ~1e13, packed ≤ ~2e14 ≪ 2^63).
     best = (
         dist.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("err", "cw")).alias("b"))
+        .agg(
+            F.min(
+                F.col("err") * F.lit(_PQ_K).cast("long") + F.col("cw")
+            ).alias("enc")
+        )
         .select(
             "s",
-            F.col("b.cw").alias("codeword"),
-            F.col("b.err").alias("err"),
+            (F.col("enc") % _PQ_K).alias("codeword"),
+            F.expr(f"enc div {_PQ_K}").alias("err"),
         )
     )
     return best.groupBy(

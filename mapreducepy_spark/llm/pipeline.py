@@ -1002,6 +1002,15 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("word").cast("bigint").alias("n_types"),
     )
     d = docs.select("doc_id", "source").join(pd_, "doc_id")
+    # r13 optimization round: the prefix pass reads its input from
+    # THREE plan branches (bounds, local window, shard totals) — per
+    # the prefix module's own cost caveat, a corpus-pipeline lineage
+    # must be pinned first or every branch re-runs the explode +
+    # token groupBy. One per-run localCheckpoint of the doc-sized
+    # frame (never the corpus) replaces 3 lineage executions with 1
+    # (measured interleaved min-of-5 at sf0.1: 1.37 → 1.19 s; cold
+    # 5.6 → 2.2 s).
+    d = d.localCheckpoint()
     c = with_global_prefix(
         d,
         "n_types",

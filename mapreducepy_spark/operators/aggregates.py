@@ -1308,9 +1308,25 @@ def agg_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     data (hash-based, no RNG), so the flag is stable.
     """
     li = load(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.count_distinct("l_partkey").cast("bigint").alias("exact_parts"),
-        F.approx_count_distinct("l_partkey", _ACD_RSD).alias("approx"),
+    # r13 optimization round: the sketch runs as its OWN branch, not
+    # fused into the distinct aggregate — Catalyst plans a fused
+    # (one distinct + one regular agg) as a partial aggregate KEYED
+    # ON (group, distinct value), which materializes an HLL sketch
+    # buffer per (returnflag, partkey) PAIR (~60k sketches at sf0.1)
+    # only to merge them per group later. Split, the sketch pass
+    # keeps one buffer per GROUP and combines map-side, the exact
+    # branch is the plain dedup shuffle, and the two branches run
+    # concurrently (interleaved min-of-5 at sf0.1: 1.57 → 0.59 s,
+    # identical output). The group-count-sized sketch table
+    # broadcasts back onto the exact side.
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").cast("bigint").alias("exact_parts")
+    )
+    approx = li.groupBy(F.col("l_returnflag").alias("rf2")).agg(
+        F.approx_count_distinct("l_partkey", _ACD_RSD).alias("approx")
+    )
+    agg = exact.join(
+        F.broadcast(approx), exact.l_returnflag.eqNullSafe(F.col("rf2"))
     )
     err = F.abs(
         F.col("approx").cast("double") - F.col("exact_parts").cast("double")

@@ -217,7 +217,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("share").cast("bigint").alias("s"))
         )
         ranks = (
-            base.join(F.broadcast(contrib), base["node"] == contrib["dst"])
+            # r13 optimization round: NO broadcast hint here — both
+            # sides are node-sized AND already hash-partitioned on
+            # the join key (base from groupBy(src), contrib from
+            # groupBy(dst)), so the join runs co-partitioned off the
+            # reused exchanges; a broadcast hint forced a build job
+            # per iteration (3 extra jobs, measured 1.05 → 0.73 s at
+            # sf0.1). The rank-onto-EDGES broadcast above stays — at
+            # scale the node table is the provably small side there.
+            base.join(contrib, base["node"] == contrib["dst"])
             .select(
                 "node",
                 "d",

@@ -549,11 +549,13 @@ def test_scan_profile_approx_swaps_distinct_strategy(spark, sf_dir):
     no Expand replication of the input for multi-distinct."""
     from mapreducepy_spark.operators.scans import scan_profile
 
-    # the registered oracle key stays exact: multi-column exact
-    # distinct shows as an Expand (input replicated per distinct
-    # column) + double Exchange
+    # the registered oracle key stays exact: since r13 each exact
+    # distinct is its OWN single-column branch (concurrent, narrow)
+    # — never Catalyst's Expand rewrite that replicates every input
+    # row once per distinct column through one aggregate
     exact = plan_of(spark, "scan_profile", sf_dir)
-    assert "Expand" in exact
+    assert "Expand" not in exact
+    assert exact.count("count(distinct") >= 3
     assert "approx_count_distinct" not in exact
     approx = plan_text(scan_profile(spark, sf_dir, exact=False), "formatted")
     assert "approx_count_distinct" in approx
@@ -1249,13 +1251,18 @@ def test_point_in_time_is_union_timeline_no_join(spark, sf_dir):
     assert "PushedFilters" in plan_of(spark, "join_point_in_time", sf_dir)
 
 
-def test_approx_bound_single_aggregate_both_measures(spark, sf_dir):
-    """Exact countDistinct and the HLL sketch must ride ONE
-    aggregation pipeline over one scan — the audit never scans
-    twice."""
+def test_approx_bound_sketch_is_own_branch(spark, sf_dir):
+    """r13: the HLL sketch runs as its OWN concurrent branch with one
+    buffer per GROUP — fused with the distinct aggregate, Catalyst
+    keys the partial aggregate on (group, value) and materializes a
+    sketch per PAIR (measured 1.57 → 0.59 s split at sf0.1). The
+    group-count-sized sketch table broadcasts back; the pair space is
+    never joined."""
     plan = plan_of(spark, "agg_approx_distinct_bound", sf_dir, mode="simple")
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan parquet") == 2
     assert "approx_count_distinct" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_schema_merge_census_is_one_scan_one_aggregate(spark, sf_dir):
