@@ -54,8 +54,11 @@ _KNOWN_COSTS: dict[str, tuple[float, str]] = {
     "scan_profile": (
         4.0,
         "oracle pins exact countDistinct x3 (the profiling card's "
-        "contract); the approx_count_distinct swap for 100TB scale "
-        "is wired+plan-tested behind the exact=False parameter "
+        "contract); since r13-opt the three exact distincts run as "
+        "concurrent per-column branches instead of the Expand "
+        "rewrite (1.87 -> 0.95 s quiet min-of-5); the "
+        "approx_count_distinct swap for 100TB scale is "
+        "wired+plan-tested behind the exact=False parameter "
         "(operators/scans.py)",
     ),
     "dedup_survivors_verified": (3.0, _FUNNEL_WHY),
