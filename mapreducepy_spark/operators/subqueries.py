@@ -398,11 +398,25 @@ def join_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash parity: counts only — no doubles anywhere; the rewrite is
     pure integer/date comparisons, proven against the unchanged
     EXISTS/NOT-EXISTS oracle at sf0.001/0.01/0.1.
+
+    NULL algebra (pinned by the adversarial null-sweep): a NULL
+    l_orderkey or l_suppkey row can never be a survivor (the
+    correlated equality / inequality is UNKNOWN), never an EXISTS
+    witness and never a NOT-EXISTS offender — so those rows are
+    pre-filtered (they also can't reach the supplier join). A NULL
+    l_shipdate row CAN witness EXISTS and CAN survive (``l3.shipdate
+    > NULL`` is UNKNOWN, so it has no offenders) but can never
+    offend, so shipdates are guarded inside the window maxes and the
+    anti-condition passes when either side of the comparison is NULL.
     """
     from pyspark.sql.window import Window
 
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
     )
     supp = load(spark, sf_dir, "supplier")
     w_ord = Window.partitionBy("l_orderkey")
@@ -411,8 +425,12 @@ def join_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.count(F.lit(1)).over(w_ord).alias("n_rows"),
         F.max(
-            F.struct(
-                F.col("l_shipdate").alias("d"), F.col("l_suppkey").alias("k")
+            F.when(
+                F.col("l_shipdate").isNotNull(),
+                F.struct(
+                    F.col("l_shipdate").alias("d"),
+                    F.col("l_suppkey").alias("k"),
+                ),
             )
         )
         .over(w_ord)
@@ -422,7 +440,9 @@ def join_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.max(
             F.when(
-                F.col("l_suppkey") != F.col("top1.k"), F.col("l_shipdate")
+                F.col("l_shipdate").isNotNull()
+                & (F.col("l_suppkey") != F.col("top1.k")),
+                F.col("l_shipdate"),
             )
         )
         .over(w_ord)
@@ -436,7 +456,11 @@ def join_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.col("top1.d"))
     last = step3.filter(
         (F.col("n_rows") > F.col("n_own"))
-        & (other_max <= F.col("l_shipdate"))
+        & (
+            F.col("l_shipdate").isNull()
+            | other_max.isNull()
+            | (other_max <= F.col("l_shipdate"))
+        )
     ).select("l_orderkey", "l_suppkey")
     return (
         last.join(
