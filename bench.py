@@ -138,6 +138,18 @@ _KNOWN_COSTS: dict[str, tuple[float, str]] = {
         "5.56 s max while the same-evening isolated floor was "
         "1.85 s). Ceiling = 3 s.",
     ),
+    "join_skew_salted": (
+        3.0,
+        "the salted-join DEMO key: lineitem salted 8 ways against an "
+        "8x-exploded orders side, oracle-proven result-invariant — "
+        "the 8x replication IS the key's contract (the explicit "
+        "fallback for a hot key AQE's skew splitter can't fix), so "
+        "its floor is the replicated shuffle. r13-opt quiet min-of-3 "
+        "floors: 1.43-1.47 s across four same-day full benches — "
+        "under the 2 s tripwire, but the documented 1.2-2.5x "
+        "contention band crosses it (observed 2.10 min / 2.38 max in "
+        "one contended run, same code). Ceiling = 3 s.",
+    ),
     "join_volume_shipping": (
         3.0,
         "TPC-H Q7 shape: lineitem joins orders AND customer (two "
