@@ -11,6 +11,22 @@ unevenly, and this box shows heavy run-to-run contention noise —
 measured same-code totals swing 44–90 s — so the min over three is
 the honest steady-state read; the JSON records the run count). JVM
 + Python-worker startup are warmed once up front and never billed.
+
+Output (all JSON lines on stdout, in this order):
+1. the legacy one-line ``{"metric": ..., "queries": {...}}`` map
+   (the original driver contract — grows with the catalog);
+2. ``per_query_part`` lines, each a self-contained ≲1.8 KB slice of
+   the per-key map with steady (min), max and run-1 cold seconds —
+   VERDICT r13 #1: the legacy line outgrew the driver's bounded
+   line capture at 232 keys, so the map is re-emitted in chunks a
+   line-wise reader can always reconstruct;
+3. one ``artifact_fills`` line — VERDICT r13 #2 cold-run
+   accounting: total run-1 (cold) seconds next to the min-of-N
+   total, plus every session-cache artifact fill attributed to the
+   (key, run) that paid it;
+4. the short final summary line (headline total + cold total +
+   over-budget maps + loadavg) — printed LAST so it survives any
+   tail truncation regardless of catalog size.
 """
 
 from __future__ import annotations
@@ -192,6 +208,48 @@ _KNOWN_COSTS: dict[str, tuple[float, str]] = {
 }
 
 
+def per_query_parts(
+    timings: dict[str, float],
+    spreads: dict[str, tuple[float, float]],
+    colds: dict[str, float],
+    sf_val,
+    max_len: int = 1600,
+) -> list[dict]:
+    """Slice the per-key map into self-contained ``per_query_part``
+    payloads whose serialized length stays well under the driver's
+    ~2 KB line-capture bound (VERDICT r13 #1). Merging the parts'
+    ``queries`` maps reconstructs the legacy line's map exactly."""
+    parts: list[tuple[dict, dict, dict]] = []
+    cur_q: dict[str, float] = {}
+    cur_x: dict[str, float] = {}
+    cur_c: dict[str, float] = {}
+    cur_len = 0
+    for k in sorted(timings):
+        entry_len = 3 * (len(k) + 14)  # ~3 numeric entries per key
+        if cur_q and cur_len + entry_len > max_len:
+            parts.append((cur_q, cur_x, cur_c))
+            cur_q, cur_x, cur_c, cur_len = {}, {}, {}, 0
+        cur_q[k] = timings[k]
+        cur_x[k] = spreads[k][1]
+        cur_c[k] = colds[k]
+        cur_len += entry_len
+    if cur_q:
+        parts.append((cur_q, cur_x, cur_c))
+    return [
+        {
+            "metric": "per_query_part",
+            "part": i,
+            "of": len(parts),
+            "sf": sf_val,
+            "runs_per_query": _RUNS,
+            "queries": pq,
+            "qmax": px,
+            "qcold": pc,
+        }
+        for i, (pq, px, pc) in enumerate(parts, start=1)
+    ]
+
+
 def _loadavg() -> list[float] | None:
     try:
         with open("/proc/loadavg") as fh:
@@ -221,18 +279,34 @@ def main() -> None:
     load(spark, sf_dir, "lineitem").count()
     spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
+    from mapreducepy_spark import session_cache
+
     timings: dict[str, float] = {}
     spreads: dict[str, tuple[float, float]] = {}
+    colds: dict[str, float] = {}
+    # Artifact-fill attribution (VERDICT r13 work order #2): every
+    # session-cache build that runs during a key's timed runs is
+    # recorded against that key + run index, so a run-1 (cold) vs
+    # min-of-3 (steady) gap is itemized to a NAMED artifact in the
+    # output instead of silently vanishing behind the min().
+    fills_by_key: dict[str, list[dict]] = {}
     for name in sorted(catalog):
         q = catalog[name]
         runs: list[float] = []
-        for _ in range(_RUNS):
+        for r in range(_RUNS):
+            n_fills = len(session_cache.fill_log())
             t0 = time.perf_counter()
             df = q.builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+            new = session_cache.fill_log()[n_fills:]
+            if new:
+                fills_by_key.setdefault(name, []).extend(
+                    {**f, "run": r + 1} for f in new
+                )
         timings[name] = round(min(runs), 3)
         spreads[name] = (round(min(runs), 3), round(max(runs), 3))
+        colds[name] = round(runs[0], 3)
 
     total = round(sum(timings.values()), 3)
     over = sorted(
@@ -294,27 +368,89 @@ def main() -> None:
     # The per-query line above grows with the catalog (111 keys blew
     # past the driver's bounded tail capture in round 3 —
     # BENCH_r03.json "parsed": null because the head of the line,
-    # where the total lives, was truncated away). Print a second,
-    # SHORT, self-contained summary line LAST so the headline number
-    # survives any tail truncation regardless of catalog size.
+    # where the total lives, was truncated away; in round 13 the same
+    # truncation emptied PERF_r13's per_query/geomean/scaling maps).
+    # VERDICT r13 work order #1: re-emit the per-query map as
+    # MULTIPLE self-contained JSON lines bounded well under 2 KB
+    # each, so a line-wise reader can reconstruct the full map no
+    # matter how large the catalog grows. Each part carries per-key
+    # steady sec (min-of-_RUNS, identical to the legacy line), the
+    # max across runs (contention-attribution spread, VERDICT r8 #4)
+    # and the run-1 cold time (session-cache fill visibility,
+    # VERDICT r13 #2).
     sys.stdout.flush()
+    parts = per_query_parts(timings, spreads, colds, sf_val)
+    n_parts = len(parts)
+    for payload in parts:
+        print(json.dumps(payload))
+    # Cold-run accounting (VERDICT r13 work order #2): the sum of
+    # run-1 times next to the min-of-_RUNS total, plus every
+    # session-cache artifact fill attributed to the key + run that
+    # paid it — a cache fill is always visible in the artifact now.
+    total_cold = round(sum(colds.values()), 3)
+    # Bound this line too: a healthy session fills each artifact
+    # once (~a dozen entries); cap far above that so even an
+    # eviction storm cannot push the line past the capture bound.
+    n_fills = sum(len(v) for v in fills_by_key.values())
+    fills_capped: dict[str, list[dict]] = {}
+    kept = 0
+    for k, v in fills_by_key.items():
+        if kept >= 24:
+            break
+        fills_capped[k] = v[: 24 - kept]
+        kept += len(fills_capped[k])
+    print(
+        json.dumps(
+            {
+                "metric": "artifact_fills",
+                "total_cold": total_cold,
+                "total_steady": total,
+                "fills_omitted": n_fills - kept,
+                "fills": fills_capped,
+            }
+        )
+    )
     # Box-load marker (VERDICT r10 #7): this machine swings 1.2-2.5x
     # under contention, and per-round total spreads kept being
     # attributed to load by narrative. Record 1/5/15-min loadavg at
     # bench START and END so contention attribution is data in the
     # ledger (before ≈ what the box was doing when timing began;
     # after's 15-min figure also covers the run itself).
+    # Keep the FINAL line itself comfortably under the ~2 KB
+    # line-capture bound: the known-cost "why" annotations are long
+    # documentation strings, so they are truncated here (magnitudes —
+    # sec/max/ceiling — stay exact; the full text lives in
+    # bench.py::_KNOWN_COSTS), and at most the 5 largest trips are
+    # inlined (the rest are still named, with exact seconds, in the
+    # per_query_part lines above and on stderr).
+    known_trimmed = {
+        k: {
+            **over_budget_known[k],
+            "why": over_budget_known[k]["why"][:160]
+            + ("…" if len(over_budget_known[k]["why"]) > 160 else ""),
+        }
+        for k in sorted(over_budget_known, key=lambda k: -timings[k])[:5]
+    }
+    known_omitted = len(over_budget_known) - len(known_trimmed)
     print(
         json.dumps(
             {
                 "metric": "total_runtime_all_queries",
                 "value": total,
+                "value_cold": total_cold,
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "runs_per_query": _RUNS,
-                "over_budget": over_budget,
-                "over_budget_known": over_budget_known,
+                "per_query_parts": n_parts,
+                "over_budget": dict(
+                    sorted(
+                        over_budget.items(), key=lambda kv: -kv[1]["sec"]
+                    )[:10]
+                ),
+                "over_budget_omitted": max(0, len(over_budget) - 10),
+                "over_budget_known": known_trimmed,
+                "over_budget_known_omitted": known_omitted,
                 "loadavg_before": load_before,
                 "loadavg_after": _loadavg(),
             }

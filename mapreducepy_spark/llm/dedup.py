@@ -599,11 +599,23 @@ def dedup_ngram_jaccard(
     (sizes + both join sides; four with the cap's df aggregation),
     and materializing it once replaces extra corpus explode passes
     with block reads — same rationale as ``dedup_jaccard_capped``.
+
+    The REGISTERED (uncapped) pair table is itself a funnel artifact
+    since r14 (VERDICT r13 #5): two keys consume the identical
+    ≥-threshold true-pair table — this one and
+    ``dedup_minhash_recall``'s true-pair side — so the inverted-index
+    intersection runs once per (session, fixture content) instead of
+    once per consumer per timed run. The parameterized ``df_cap``
+    path (a different pair space) is never cached here.
     """
-    sh = _shingle_index(spark, sf_dir)
     if df_cap is not None:
-        sh = _df_capped_index(sh, df_cap)
-    return _jaccard_pairs(sh)
+        return _jaccard_pairs(_df_capped_index(_shingle_index(spark, sf_dir), df_cap))
+    return _funnel_cached(
+        spark,
+        sf_dir,
+        "true_jaccard_pairs",
+        lambda: _jaccard_pairs(_shingle_index(spark, sf_dir)),
+    )
 
 
 def _df_capped_index(sh: DataFrame, df_cap: int) -> DataFrame:
@@ -899,11 +911,33 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _candidate_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard for every LSH candidate pair — the
-    shared verification core of ``dedup_near_verified`` and
-    ``dedup_threshold_sweep`` (Spark twin of ``_DUCK_VERIFY_CTES``).
-    Emits ``jac_raw`` (full double, for threshold verdicts on the
-    unrounded value) and ``jaccard`` (micro-unit rounded, the
-    emitted/banded form)."""
+    shared verification core of ``dedup_near_verified``,
+    ``dedup_threshold_sweep`` and (through the near-verified edge
+    list) ``dedup_survivors_verified`` (Spark twin of
+    ``_DUCK_VERIFY_CTES``). Emits ``jac_raw`` (full double, for
+    threshold verdicts on the unrounded value) and ``jaccard``
+    (micro-unit rounded, the emitted/banded form).
+
+    Since r14 the verified-pair table itself is a funnel artifact
+    (VERDICT r13 work order #5 — the builder's parked candidate,
+    sanctioned once the cold-run accounting of work order #2 made
+    fill costs visible in the bench artifact): the candidate⋈shingle
+    intersection runs once per (session, fixture content) and its
+    O(candidate-pair)-sized result is localCheckpoint-ed and shared
+    by the three consumer keys, instead of re-paying the
+    intersection per consumer per timed run. The fill is timed
+    inside whichever key's run-1 triggers it and is itemized in
+    bench.py's ``artifact_fills`` line."""
+    return _funnel_cached(
+        spark,
+        sf_dir,
+        "verified_pairs",
+        lambda: _candidate_jaccard_build(spark, sf_dir),
+    )
+
+
+def _candidate_jaccard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verification pass itself (see ``_candidate_jaccard``)."""
     sh = _shingle_index(spark, sf_dir)
     cand = _candidate_pairs_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))

@@ -137,11 +137,14 @@ def scan_profile(
     fixture's single-row-group scan that is 2.4 M rows through ONE
     task — while the branches are narrower, hash smaller per-column
     maps, and execute CONCURRENTLY (interleaved min-of-5 at sf0.1:
-    1.87 → 0.95 s, identical values). On columnar storage the
-    per-column branches read each column once, so total bytes stay
-    ~the single-scan plan's; the distinct-domain shuffles dominate
-    either way, and the exact mode is the audit path, not the
-    100 TB default.
+    1.87 → 0.95 s, identical values). The byte-cost claim is scoped
+    to COLUMNAR sources (ADVICE r13): with parquet column pruning
+    each branch reads only its own column, so total bytes stay ~the
+    single-scan plan's; a row-oriented source would pay ~4× the I/O
+    in exact mode — there, keep the Expand form or (better) profile
+    with the HLL path. The distinct-domain shuffles dominate either
+    way, and the exact mode is the audit path, not the 100 TB
+    default.
     """
     li = load(spark, sf_dir, "lineitem")
     cols = ("l_quantity", "l_extendedprice", "l_discount")

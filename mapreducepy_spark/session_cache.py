@@ -25,12 +25,73 @@ per (session, input), never once per consumer query.
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple, DataFrame] = {}
 _CACHE_MAX = 24
+
+# Artifact-fill ledger (VERDICT r13 work order #2 — cold-run
+# accounting): every cache MISS that builds an artifact appends
+# {tag, sec} here, so bench.py can attribute each key's run-1
+# (cold) minus min-of-3 (steady) gap to a NAMED artifact instead of
+# leaving session-cache fills invisible behind the min(). Other
+# session caches (the corpus chunk broadcasts and IVF quantizer in
+# llm/similarity.py) call ``note_fill`` for the same ledger.
+_FILL_LOG: list[dict] = []
+
+
+def note_fill(tag: str, sec: float) -> None:
+    """Record one artifact build (tag + seconds) in the fill ledger."""
+    _FILL_LOG.append({"tag": tag, "sec": round(sec, 3)})
+
+
+def fill_log() -> list[dict]:
+    """The session's artifact-fill ledger (append-only; callers
+    snapshot ``len()`` to window it)."""
+    return _FILL_LOG
+
+
+_SCALARS: dict[tuple, object] = {}
+_SCALARS_MAX = 24
+
+
+def scalar_cached(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    tag: str,
+    compute: Callable[[], object],
+):
+    """Like ``fixture_cached`` but for SMALL driver-side values
+    (packing bounds, invariant flags — O(1) numbers, never result
+    rows): run ``compute`` once per (session, fixture content, tag)
+    and memoize the returned object. Used to gate provably-exact
+    plan rewrites (e.g. bigint argmin packing) on runtime-derived
+    data bounds without re-paying the bounds scan per run; fills are
+    recorded in the artifact ledger like every other cache. On a
+    non-stat-able fixture layout nothing is cached (the
+    ``fixture_cached`` rule: no content-free keys)."""
+    src = os.path.abspath(f"{sf_dir}/{table}.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        t0 = time.perf_counter()
+        out = compute()
+        note_fill(tag, time.perf_counter() - t0)
+        return out
+    key = (spark.sparkContext.applicationId, tag, src, st.st_mtime_ns, st.st_size)
+    if key in _SCALARS:
+        return _SCALARS[key]
+    t0 = time.perf_counter()
+    out = compute()
+    note_fill(tag, time.perf_counter() - t0)
+    while len(_SCALARS) >= _SCALARS_MAX:
+        _SCALARS.pop(next(iter(_SCALARS)))
+    _SCALARS[key] = out
+    return out
 
 
 def fixture_cached(
@@ -48,12 +109,20 @@ def fixture_cached(
         st = os.stat(src)
         fp: tuple | None = (st.st_mtime_ns, st.st_size)
     except OSError:
-        fp = None  # non-file layout: fall through, key on path only
+        # Non-stat-able layout: build + checkpoint but DO NOT cache —
+        # a content-free key could serve a stale table if the fixture
+        # appears or is rewritten mid-session (ADVICE r13).
+        t0 = time.perf_counter()
+        df = build().localCheckpoint()
+        note_fill(tag, time.perf_counter() - t0)
+        return df
     key = (spark.sparkContext.applicationId, tag, src, fp)
     hit = _CACHE.get(key)
     if hit is not None:
         return hit
+    t0 = time.perf_counter()
     df = build().localCheckpoint()
+    note_fill(tag, time.perf_counter() - t0)
     while len(_CACHE) >= _CACHE_MAX:
         _CACHE.pop(next(iter(_CACHE)))
     _CACHE[key] = df
