@@ -64,7 +64,11 @@ _FUNNEL_WHY = (
     "(session, fixture content) and shared across all four funnel "
     "keys (llm/dedup.py _shingle_index — VERDICT r7 work order #2); "
     "min-of-5 floors r8: quiet 1.10-1.73 s, CONTENDED (pytest "
-    "saturating the box) 1.07-1.66 s. Ceiling = 3 s."
+    "saturating the box) 1.07-1.66 s. r14 (VERDICT r13 #5): the "
+    "verified-pair and true-Jaccard-pair tables are themselves "
+    "content-keyed session artifacts, so per-consumer steady floors "
+    "dropped to 0.03-0.4 s with the one-time fills itemized in the "
+    "artifact_fills line. Ceiling = 3 s."
 )
 _KNOWN_COSTS: dict[str, tuple[float, str]] = {
     "scan_profile": (

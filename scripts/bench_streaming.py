@@ -137,14 +137,15 @@ def main() -> int:
         return sj.attribution_pairs(purchases, views), "append"
 
     def op_dedup_monitor():
-        return sw.dedup_events(sw.with_watermark(events_stream())), "append"
+        # dedup_events declares its own watermark — pass the raw stream
+        return sw.dedup_events(events_stream()), "append"
 
     def op_absence_monitor():
         return (
             sw.silent_user_alerts(
                 events_stream(), threshold_min=360, watermark="1 hour"
             ),
-            "update",
+            "append",
         )
 
     ops = {
